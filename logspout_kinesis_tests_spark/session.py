@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[N]`` (single JVM); the config choices are
+nonetheless made for a real multi-executor cluster at ~100 TB:
+
+- AQE on (runtime shuffle coalescing, broadcast-join conversion, skew-join
+  splitting) — load-bearing for the star joins and LSH bucket joins.
+- ``spark.sql.shuffle.partitions`` sized to the local core count in tests;
+  at cluster scale the AQE coalescer makes the static number mostly moot.
+- Arrow enabled for the (rare) Pandas-UDF paths.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are stable regardless of host timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs every query in this engine relies on.  They are applied both
+#: at build time (``get_spark``) and defensively at query time
+#: (``ensure_runtime_confs``) because the verification driver constructs its
+#: own SparkSession that our code does not control.
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver's events table stores TIMESTAMP(NANOS) which vanilla Spark
+    # refuses to read; read them as raw int64 ns and convert ourselves
+    # (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs this engine needs to *any* session.
+
+    Safe to call repeatedly; all keys in :data:`RUNTIME_CONFS` are
+    runtime-mutable SQL confs (verified — none are static SparkConf entries).
+    """
+    for key, value in RUNTIME_CONFS.items():
+        spark.conf.set(key, value)
+    return spark
+
+
+def get_spark(
+    app_name: str = "logspout-kinesis-tests-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) —
+    the harness contract — but any existing session is reused as-is with
+    runtime confs applied.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local mode: the driver JVM is the only process; give codegen and
+        # broadcast space.  On a real cluster these come from spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,3 @@
+from logspout_kinesis_tests_spark.sources.tables import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

@@ -59,7 +59,10 @@ def docker_fields(docker_host: str) -> Column:
 
 
 def logstash_message(
-    df: DataFrame, docker_host: str = "unknown-docker-host", use_v0: bool = False
+    df: DataFrame,
+    docker_host: str = "unknown-docker-host",
+    use_v0: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """A7+A12: project LOG_INPUT rows into the nested Logstash document.
 
@@ -69,7 +72,8 @@ def logstash_message(
 
     Returns a DataFrame with a single ``msg`` struct column plus the
     partition key (``partition_key`` = docker_host, the PutRecords key at
-    logspoutkinesis.go:209).
+    logspoutkinesis.go:209).  ``passthrough`` names input columns to carry
+    along unchanged (e.g. a record id for differential tests).
     """
     docker = docker_fields(docker_host)
     ts = rfc3339(F.col("time"))
@@ -88,7 +92,9 @@ def logstash_message(
             docker.alias("docker"),
         )
     return df.select(
-        msg.alias("msg"), F.lit(docker_host).alias("partition_key")
+        *[F.col(c) for c in passthrough],
+        msg.alias("msg"),
+        F.lit(docker_host).alias("partition_key"),
     )
 
 
@@ -110,13 +116,28 @@ def parse_consumed(df: DataFrame, schema, value_col: str = "value") -> DataFrame
     )
 
 
-def quarantine_split(df: DataFrame, parsed_col: str = "parsed") -> tuple[DataFrame, DataFrame]:
+def quarantine_split(
+    df: DataFrame,
+    parsed_col: str = "parsed",
+    required: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
     """A19: route un-parseable records to a quarantine stream instead of
     muting/skipping (mute latch, logspoutkinesis.go:194-219).
 
     Returns ``(good, quarantined)``.  The reference logs once and drops;
     we keep the bad rows addressable — at 100 TB, silently dropped records
     are un-debuggable.
+
+    Malformed detection: Spark's PERMISSIVE ``from_json`` yields a struct of
+    NULL fields (not a NULL struct) for garbage input, so a record counts as
+    quarantined when the struct is NULL **or** every ``required`` field is
+    NULL.  Pass the fields a well-formed record must carry (defaults to all
+    top-level fields of the parsed struct).
     """
-    is_bad = F.col(parsed_col).isNull()
+    schema_fields = [f.name for f in df.schema[parsed_col].dataType.fields]
+    required = required or tuple(schema_fields)
+    all_null = F.lit(True)
+    for name in required:
+        all_null = all_null & F.col(parsed_col).getField(name).isNull()
+    is_bad = F.col(parsed_col).isNull() | all_null
     return df.filter(~is_bad), df.filter(is_bad)

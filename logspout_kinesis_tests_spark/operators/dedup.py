@@ -1,0 +1,324 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2 C8-C9).
+
+All variants are pure DataFrame compositions (no MLlib, no Python UDFs):
+
+- exact dedup          — sha256 content hash, groupBy (C8)
+- MinHash + LSH        — shingle → per-seed min-hash signature → banded
+                         bucket join (C9); candidate pairs verified with
+                         exact n-gram Jaccard
+- SimHash              — 64-bit sign-of-weighted-bit-sums fingerprint,
+                         Hamming-ball search via 16-bit band buckets
+- n-gram Jaccard       — exact set similarity with cheap blocking
+- embedding cosine     — near-dup by vector similarity with blocking
+
+Scale design (100 TB): every variant reduces the O(n²) pair space *before*
+any shuffle — LSH bands, simhash chunks, or block keys — so the only joins
+are equi-joins on bucket keys that AQE can handle (and salt if a bucket key
+skews).  Signatures are computed scan-side in whole-stage codegen;
+the per-document cost is O(shingles × hashes) with no Python involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
+
+# --------------------------------------------------------------------------
+# C8 — exact dedup by content hash.
+# --------------------------------------------------------------------------
+
+def with_content_hash(df: DataFrame, text_col: str = "text", out: str = "content_sha256") -> DataFrame:
+    """sha256 over the raw content — the canonical exact-dedup key.
+
+    At 100 TB the hash is computed in the scan stage; the dedup groupBy
+    shuffles only (hash, id), never the document bodies.
+    """
+    return df.withColumn(out, F.sha2(F.col(text_col), 256))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (lowest id) per distinct content.
+
+    Aggregating min(id)+count per hash avoids a window over the full data —
+    one shuffle on the 32-byte hash key, map-side partial aggregation on.
+    """
+    hashed = with_content_hash(df, text_col)
+    return hashed.groupBy("content_sha256").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard).
+# --------------------------------------------------------------------------
+
+def word_shingles(text_col: str, n: int = 3, out: str = "shingles") -> Column:
+    """Distinct word n-gram shingles of ``lower(text)`` as an array column.
+
+    Pure expression (split → sequence → slice → concat_ws), evaluated in
+    codegen next to the scan.
+    """
+    return F.expr(
+        f"""
+        array_distinct(
+          CASE WHEN size(split(lower({text_col}), ' ')) >= {n}
+               THEN transform(
+                      sequence(1, size(split(lower({text_col}), ' ')) - {n - 1}),
+                      i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))
+               ELSE array(lower({text_col}))
+          END)
+        """
+    ).alias(out)
+
+
+# --------------------------------------------------------------------------
+# C9 — MinHash signatures + LSH banding.
+# --------------------------------------------------------------------------
+
+def minhash_signature(
+    shingles_col: str = "shingles", num_hashes: int = 64, out: str = "minhash"
+) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(shingle#i).
+
+    xxhash64 is Spark's built-in 64-bit hash (JVM, codegen).  Seeding is done
+    by suffixing the shingle with the seed index — equivalent to a family of
+    independent hash functions for LSH purposes.
+    """
+    return F.expr(
+        f"""
+        transform(sequence(0, {num_hashes - 1}),
+                  i -> array_min(transform({shingles_col},
+                                           s -> xxhash64(concat(s, '#', CAST(i AS STRING))))))
+        """
+    ).alias(out)
+
+
+def lsh_bands(
+    minhash_col: str = "minhash", bands: int = 16, rows_per_band: int = 4, out: str = "bands"
+) -> Column:
+    """Split the signature into ``bands`` bands of ``rows_per_band`` hashes;
+    each band collapses to one 64-bit bucket key."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {bands - 1}),
+                  b -> struct(b AS band,
+                              xxhash64(concat_ws(',',
+                                  transform(slice({minhash_col}, b * {rows_per_band} + 1,
+                                                  {rows_per_band}),
+                                            h -> CAST(h AS STRING)))) AS bucket))
+        """
+    ).alias(out)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share ≥1 LSH band.
+
+    Plan shape: scan → signature projection → explode bands →
+    self-equi-join on (band, bucket) → distinct pairs.  The join key space
+    is the bucket universe, so the shuffle moves ids only.
+    """
+    sig = df.select(
+        F.col(id_col),
+        word_shingles(text_col, shingle_n),
+    ).select(F.col(id_col), minhash_signature(num_hashes=num_hashes))
+    banded = sig.select(
+        F.col(id_col), F.explode(lsh_bands(bands=bands, rows_per_band=num_hashes // bands)).alias("b")
+    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# C9 — exact n-gram Jaccard (verification stage + standalone operator).
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets for candidate pairs.
+
+    ``block_cols`` restricts the pair space (same-block equi-join) — the
+    blocking pattern that keeps this O(n²/blocks) instead of O(n²).
+    Jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed with array intersect
+    on the (distinct) shingle arrays.
+    """
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(text_col, shingle_n)
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+
+    The verify join re-reads only candidate documents' shingles; false
+    positives from banding are filtered by the exact measure.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    shing = df.select(F.col(id_col), word_shingles(text_col, shingle_n))
+    a = shing.alias("sa")
+    b = shing.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union = F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
+        .join(b, cands.id_b == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) + Hamming-band search.
+# --------------------------------------------------------------------------
+
+def simhash64(text_col: str = "text", out: str = "simhash") -> Column:
+    """64-bit SimHash over word hashes: bit k set iff Σ_words (±1 by bit k
+    of xxhash64(word)) > 0.  Entirely expression-level (two nested folds)."""
+    words = f"array_distinct(split(lower({text_col}), ' '))"
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, 63),
+          0L,
+          (acc, k) -> acc + CASE WHEN
+              aggregate({words}, 0L,
+                        (s, w) -> s + CASE WHEN (shiftright(xxhash64(w), k) & 1) = 1
+                                       THEN 1L ELSE -1L END) > 0
+              THEN shiftleft(1L, k) ELSE 0L END)
+        """
+    ).alias(out)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``bands`` chunks; any pair with
+    Hamming < bands must agree on ≥1 chunk (guaranteed recall for
+    max_hamming ≤ bands-1; probabilistic above), so candidates come from a
+    bucket equi-join and the exact bit_count filter runs on candidates only.
+    Band-width trade-off at scale: narrower chunks (more bands) raise recall
+    but widen buckets — 8×8-bit is a recall-leaning default; drop to 4×16-bit
+    on corpora where bucket skew dominates.
+    """
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = df.select(F.col(id_col), simhash64(text_col))
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), c -> struct(c AS chunk, "
+                f"(shiftright(simhash, c * {width}) & {mask}) AS val))"
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "simhash", F.col("b.chunk").alias("chunk"), F.col("b.val").alias("val"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# C8/C10 — embedding-cosine near-dup.
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, optionally blocked (e.g. by a coarse
+    cluster/label key) to bound the pair space."""
+    base = df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in block_cols])
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

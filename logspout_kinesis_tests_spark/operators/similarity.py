@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (SURVEY.md §2 C10).
+
+Two paths:
+
+- ``cosine_topk``       — exact brute-force: broadcast the (small) query set
+                          against the corpus scan, rank per query.  The
+                          baseline and the oracle-matched variant.
+- ``cosine_topk_lsh``   — random-hyperplane LSH: corpus and queries get a
+                          sign-bit bucket; candidate generation is a bucket
+                          equi-join, exact cosine re-ranks candidates.  The
+                          100 TB path: the corpus is scanned once to build
+                          buckets; per-query work is proportional to one
+                          bucket, not the corpus.
+
+Determinism: hyperplanes are pseudo-random from xxhash64 of (plane, dim) —
+no RNG state, so plans are reproducible across runs/executors by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    The query set is broadcast (it is small by definition of the operation);
+    the corpus streams past it — one scan, no corpus shuffle.  Ranking uses
+    a per-query window; ties break on corpus id for determinism.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("c_vec"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    if exclude_self:
+        # exclude BEFORE ranking so each query still yields k neighbors
+        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(vec_col: str, n_planes: int = 8, dim: int = 64, out: str = "bucket"):
+    """Random-hyperplane signature as an integer bucket id.
+
+    Plane p's component d is a deterministic pseudo-random value in [-1, 1)
+    derived from xxhash64('p:d') — reproducible everywhere, no RNG.  Bit p
+    of the bucket = sign(v · h_p).
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, {n_planes - 1}),
+          0L,
+          (acc, p) -> acc + CASE WHEN
+            aggregate(
+              sequence(0, {dim - 1}),
+              CAST(0.0 AS DOUBLE),
+              (s, d) -> s + CAST(element_at({vec_col}, d + 1) AS DOUBLE)
+                          * (CAST(pmod(xxhash64(concat(CAST(p AS STRING), ':', CAST(d AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0)
+            ) > 0 THEN shiftleft(1L, p) ELSE 0L END)
+        """
+    ).alias(out)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    exact cosine re-ranks.  Recall < 1 by design (bucket misses); raise
+    ``n_planes`` ↓bucket size / add multiprobe for tighter recall targets.
+    """
+    qb = queries.select(
+        F.col(query_id), F.col(vec_col).alias("q_vec"), hyperplane_bucket(vec_col, n_planes, dim)
+    )
+    cb = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("c_vec"), hyperplane_bucket(vec_col, n_planes, dim)
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

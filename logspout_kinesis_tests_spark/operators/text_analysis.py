@@ -1,0 +1,129 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY.md §2 C11).
+
+All pure ``pyspark.sql.functions`` expressions — language ID, quality
+scoring, token counting, fingerprinting run scan-side in codegen, which is
+what makes them viable over 100 TB of documents.  Formulas use only exact
+arithmetic (+, *, /, comparisons) so results are bit-identical to the DuckDB
+oracle's evaluation of the same expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Shared stopword list (ASCII, matches the synthetic corpus vocabulary).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: Heuristic language-ID marker words, checked in fixed priority order.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "les", "et"),
+}
+
+#: BPE-ish tokenizer regex: lowercase runs, digit runs, single other symbols.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, distinct ratio, stopword ratio,
+    mean token length — the building blocks of quality filters."""
+    w = words(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(w)
+    n_stop = F.size(F.array_intersect(w, stop_arr))  # distinct-stopword hits
+    n_distinct = F.size(F.array_distinct(w))
+    total_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n.cast("double")).alias("distinct_ratio"),
+        n_stop.alias("n_stopword_types"),
+        (total_chars.cast("double") / n.cast("double")).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0, 1] from exact-arithmetic signals:
+    length saturation, stopword-type presence, vocabulary diversity.
+
+    score = 0.4·min(1, n_tokens/50) + 0.3·(stopword_types/8) +
+            0.3·distinct_ratio
+    """
+    w = words(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(w).cast("double")
+    n_stop = F.size(F.array_intersect(w, stop_arr)).cast("double")
+    n_distinct = F.size(F.array_distinct(w)).cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+        + F.lit(0.3) * (n_stop / F.lit(float(len(STOPWORDS))))
+        + F.lit(0.3) * (n_distinct / n)
+    )
+    return df.select(F.col(id_col), score.alias("quality"))
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-word *types* per language, pick
+    the max with fixed priority (en > es > de > fr), 'und' when all zero.
+
+    A real deployment swaps the marker lists for n-gram profiles; the
+    operator mechanics (argmax over per-language evidence, computed
+    scan-side) are what this pins down.
+    """
+    w = words(text_col)
+    counts = {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = fixed priority
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    return df.select(F.col(id_col), pred.alias("predicted_lang"))
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counts: whitespace tokens and BPE-ish regex tokens."""
+    return df.select(
+        F.col(id_col),
+        F.size(words(text_col)).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+        ).alias("n_re_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical content fingerprint: md5 of the sorted distinct word set.
+
+    Invariant to word order and repetition — catches shuffled/near-identical
+    documents that exact hashing misses, at one 16-byte key per doc.
+    """
+    w = words(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w)))).alias("fingerprint"),
+    )
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
+    """Corpus-level top-N term frequencies (explode → count → top-k).
+
+    The explode happens after an in-codegen split; the aggregate is
+    map-side-combined so the shuffle carries (term, partial count).
+    """
+    return (
+        df.select(F.explode(words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(top_n)
+    )

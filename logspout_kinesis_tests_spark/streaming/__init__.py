@@ -1,0 +1,17 @@
+from logspout_kinesis_tests_spark.streaming.sink import (
+    FileRecordingClient,
+    make_batch_writer,
+)
+from logspout_kinesis_tests_spark.streaming.pipeline import (
+    attach_stats_listener,
+    console_pipeline,
+    produce_pipeline,
+)
+
+__all__ = [
+    "FileRecordingClient",
+    "make_batch_writer",
+    "attach_stats_listener",
+    "console_pipeline",
+    "produce_pipeline",
+]

@@ -1,0 +1,77 @@
+"""Benchmark harness — prints ONE JSON line with per-query wall times.
+
+Contract (driver): run the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Execution forces full materialization through the noop sink (no driver-side
+collect, no result-size bias).  One warmup query amortizes JVM/codegen
+startup out of the timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+#: Headline queries: the scan/agg, join, window, ETL-serialize, dedup,
+#: similarity and text-analysis paths — one per operator family.
+HEADLINE = (
+    "flagship_event_stats",
+    "c1_filter_pushdown",
+    "c2_pricing_summary",
+    "c3_star_join_revenue",
+    "c4_topk_orders",
+    "c5_window_running_lag",
+    "c7_tumbling_window",
+    "a13_serialize_json_v1",
+    "c8_exact_dedup",
+    "c9_ngram_jaccard",
+    "c10_cosine_topk",
+    "c11_text_stats",
+    "c11_term_frequencies",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+    from logspout_kinesis_tests_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warmup: JVM, codegen, parquet footer caches
+    REGISTRY["c4_topk_orders"].build(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        build = REGISTRY[name].build
+        best = float("inf")
+        for _run in range(2):  # min of 2: steady-state, codegen compiled
+            t0 = time.perf_counter()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (noop sink, warm session)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -164,32 +164,63 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_cols: tuple[str, ...] = (),
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over word-n-gram shingle sets for candidate pairs.
+    """Exact Jaccard over word-n-gram shingle sets, inverted-index style.
 
-    ``block_cols`` restricts the pair space (same-block equi-join) — the
-    blocking pattern that keeps this O(n²/blocks) instead of O(n²).
-    Jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed with array intersect
-    on the (distinct) shingle arrays.
+    Instead of a blocked cross join with per-pair ``array_intersect``
+    (O(pairs × |shingles|) — measured 175 s at sf0.1, hopeless at 100 TB),
+    the intersection sizes come from an *inverted index*: explode distinct
+    shingles, self-equi-join on the shingle (plus ``block_cols``), count per
+    (id_a, id_b).  Only pairs sharing ≥1 shingle materialize — pairs with
+    an empty intersection have Jaccard 0 and can never pass a positive
+    threshold, so results are identical.
+
+    Jaccard = |A∩B| / (|A| + |B| - |A∩B|) with set sizes broadcast back in.
+
+    Scale levers: the shuffle key is the shingle, so a shingle shared by k
+    documents contributes k² join rows — ``max_shingle_df`` drops shingles
+    with document frequency above the cut (near-dup signal lives in rare
+    shingles; this is the standard stop-shingle cut).  AQE's skew-join
+    splitting handles residual hot shingles.
     """
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(text_col, shingle_n)
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    sizes = base.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
+    inv = base.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("shingles").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(keep, "shingle")
+    a, b = inv.alias("a"), inv.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
+    inter = (
         a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -1,0 +1,55 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These keep future edits honest: predicate pushdown must reach the parquet
+scan, projections must prune columns, dimension joins must broadcast, and
+the ETL hot path must stay shuffle-free.  A plan regression here costs
+nothing at sf0.01 but everything at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from logspout_kinesis_tests_spark.plans import REGISTRY
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c1_filter_pushdown"].build(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range predicate at scan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in plan
+    assert "l_returnflag" not in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c3_star_join_revenue"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # constant dim filter folded into the scan
+    assert "EqualTo(r_name,ASIA)" in plan
+    # no sort-merge join should appear while dims are broadcastable
+    assert "SortMergeJoin" not in plan
+
+
+def test_etl_hot_path_is_shuffle_free(spark, sf_dir):
+    # A7-A13 is one projection: scan → codegen project → (sink); a shuffle
+    # here would be a plan bug that throttles the streaming producer path.
+    plan = _formatted_plan(REGISTRY["a13_serialize_json_v1"].build(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen covers the projection
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    # C4 must plan TakeOrderedAndProject (partial top-k per partition),
+    # never a global sort of the full table.
+    plan = _formatted_plan(REGISTRY["c4_topk_orders"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

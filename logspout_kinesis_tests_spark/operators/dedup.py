@@ -57,23 +57,32 @@ def exact_dedup(
 # Shingling (shared by MinHash / Jaccard).
 # --------------------------------------------------------------------------
 
-def word_shingles(text_col: str, n: int = 3, out: str = "shingles") -> Column:
+def with_word_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
     """Distinct word n-gram shingles of ``lower(text)`` as an array column.
 
-    Pure expression (split → sequence → slice → concat_ws), evaluated in
-    codegen next to the scan.
+    Two-step projection: the word split is materialized in its own select
+    before the windowed slice references it.  Inlining the split into the
+    per-shingle lambda would make Catalyst re-evaluate it once per shingle
+    (O(words²) per document — same trap as winnowing_fingerprints, where it
+    measured 30× slower).  Both steps stay inside whole-stage codegen.
     """
-    return F.expr(
-        f"""
-        array_distinct(
-          CASE WHEN size(split(lower({text_col}), ' ')) >= {n}
-               THEN transform(
-                      sequence(1, size(split(lower({text_col}), ' ')) - {n - 1}),
-                      i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))
-               ELSE array(lower({text_col}))
-          END)
-        """
-    ).alias(out)
+    words = df.withColumn("_words", F.split(F.lower(F.col(text_col)), " "))
+    shingled = words.withColumn(
+        out,
+        F.expr(
+            f"""
+            array_distinct(
+              CASE WHEN size(_words) >= {n}
+                   THEN transform(sequence(1, size(_words) - {n - 1}),
+                                  i -> concat_ws(' ', slice(_words, i, {n})))
+                   ELSE array(lower({text_col}))
+              END)
+            """
+        ),
+    )
+    return shingled.drop("_words")
 
 
 # --------------------------------------------------------------------------
@@ -129,9 +138,8 @@ def minhash_lsh_candidates(
     self-equi-join on (band, bucket) → distinct pairs.  The join key space
     is the bucket universe, so the shuffle moves ids only.
     """
-    sig = df.select(
-        F.col(id_col),
-        word_shingles(text_col, shingle_n),
+    sig = with_word_shingles(
+        df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n
     ).select(F.col(id_col), minhash_signature(num_hashes=num_hashes))
     banded = sig.select(
         F.col(id_col), F.explode(lsh_bands(bands=bands, rows_per_band=num_hashes // bands)).alias("b")
@@ -184,9 +192,11 @@ def ngram_jaccard_pairs(
     shingles; this is the standard stop-shingle cut).  AQE's skew-join
     splitting handles residual hot shingles.
     """
-    base = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], word_shingles(text_col, shingle_n)
-    )
+    base = with_word_shingles(
+        df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col)),
+        text_col,
+        shingle_n,
+    ).drop(text_col)
     sizes = base.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
     inv = base.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.explode("shingles").alias("shingle")
@@ -240,7 +250,9 @@ def minhash_near_duplicates(
     positives from banding are filtered by the exact measure.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    shing = df.select(F.col(id_col), word_shingles(text_col, shingle_n))
+    shing = with_word_shingles(
+        df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n
+    ).drop(text_col)
     a = shing.alias("sa")
     b = shing.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
@@ -255,25 +267,132 @@ def minhash_near_duplicates(
 
 
 # --------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling-hash minima).
+# --------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS scheme): hash every ``kgram``-char gram of the normalized
+    text, keep the minimum of each ``window`` of consecutive hashes,
+    dedupe.  Guarantees: any shared substring of length ≥ kgram+window-1
+    yields a shared fingerprint — position-robust copy detection that
+    whole-document hashing misses.
+
+    Output: one (id, fingerprint) row per selected hash.  Pairs sharing
+    fingerprints come from a groupBy/self-join on the fingerprint key —
+    same inverted-index shape as n-gram Jaccard, same scale profile.
+    Everything is expression-level (substring grams → xxhash64 → windowed
+    array_min), no Python.
+    """
+    n_grams = f"greatest(length(lower({text_col})) - {kgram - 1}, 1)"
+    hashes = (
+        f"transform(sequence(1, {n_grams}), "
+        f"i -> xxhash64(substring(lower({text_col}), i, {kgram})))"
+    )
+    # Materialize the hash array in its own projection.  Inlining it into
+    # the windowed-minima lambda makes Catalyst re-evaluate the FULL O(n)
+    # hash transform per window → O(n²·k) per document (measured: 300+ s on
+    # 500 docs; ~1 s materialized).  The CollapseProject rule keeps multiply
+    # -referenced non-cheap aliases un-inlined, so the two-step projection
+    # is stable.
+    hashed = df.select(F.col(id_col), F.expr(hashes).alias("_hashes"))
+    fps = F.expr(
+        f"""
+        array_distinct(
+          CASE WHEN size(_hashes) >= {window}
+               THEN transform(sequence(1, size(_hashes) - {window - 1}),
+                              i -> array_min(slice(_hashes, i, {window})))
+               ELSE array(array_min(_hashes))
+          END)
+        """
+    )
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def winnowing_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 16,
+    window: int = 8,
+    min_shared: int = 5,
+    max_fingerprint_df: int | None = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints (inverted-index join on the fingerprint).
+
+    ``max_fingerprint_df`` drops fingerprints present in more documents
+    than the cut before the pair join — a fingerprint shared by k docs
+    contributes k² join rows but no near-dup signal (it is boilerplate by
+    definition).  Measured here: without the cut the pair join blows up
+    ~25× on a small-vocabulary corpus.
+    """
+    fp = winnowing_fingerprints(df, id_col, text_col, kgram, window)
+    if max_fingerprint_df is not None:
+        keep = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_fingerprint_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(keep, "fingerprint")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash (64-bit) + Hamming-band search.
 # --------------------------------------------------------------------------
 
-def simhash64(text_col: str = "text", out: str = "simhash") -> Column:
+def with_simhash64(
+    df: DataFrame, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
     """64-bit SimHash over word hashes: bit k set iff Σ_words (±1 by bit k
-    of xxhash64(word)) > 0.  Entirely expression-level (two nested folds)."""
-    words = f"array_distinct(split(lower({text_col}), ' '))"
-    return F.expr(
-        f"""
-        aggregate(
-          sequence(0, 63),
-          0L,
-          (acc, k) -> acc + CASE WHEN
-              aggregate({words}, 0L,
-                        (s, w) -> s + CASE WHEN (shiftright(xxhash64(w), k) & 1) = 1
-                                       THEN 1L ELSE -1L END) > 0
-              THEN shiftleft(1L, k) ELSE 0L END)
-        """
-    ).alias(out)
+    of xxhash64(word)) > 0.  Entirely expression-level (two nested folds).
+
+    The word-hash array is materialized in its own projection first — the
+    outer fold evaluates its body 64 times per row, and inlining the
+    split+hash there would recompute it per bit (the winnowing lesson).
+    """
+    hashed = df.withColumn(
+        "_whashes",
+        F.expr(
+            f"transform(array_distinct(split(lower({text_col}), ' ')), w -> xxhash64(w))"
+        ),
+    )
+    sig = hashed.withColumn(
+        out,
+        F.expr(
+            """
+            aggregate(
+              sequence(0, 63),
+              0L,
+              (acc, k) -> acc + CASE WHEN
+                  aggregate(_whashes, 0L,
+                            (s, h) -> s + CASE WHEN (shiftright(h, k) & 1) = 1
+                                           THEN 1L ELSE -1L END) > 0
+                  THEN shiftleft(1L, k) ELSE 0L END)
+            """
+        ),
+    )
+    return sig.drop("_whashes")
 
 
 def simhash_near_duplicates(
@@ -296,7 +415,9 @@ def simhash_near_duplicates(
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = df.select(F.col(id_col), simhash64(text_col))
+    sigs = with_simhash64(df.select(F.col(id_col), F.col(text_col)), text_col).drop(
+        text_col
+    )
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

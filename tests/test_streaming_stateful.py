@@ -1,0 +1,119 @@
+"""Watermarked event-time windows and stateful cross-batch dedup in real
+streaming mode (micro-batches via maxFilesPerTrigger)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from logspout_kinesis_tests_spark.schemas import EVENTS
+from logspout_kinesis_tests_spark.streaming.stateful import streaming_first_seen
+
+
+def _write_events(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """C7 streaming form: 1h tumbling window + 30min watermark; an event
+    older than (max_ts - watermark) after window close is discarded."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+
+    def run_batch() -> None:
+        # one availableNow drain per call → deterministic batch boundaries
+        # (a single run can coalesce several files into one batch, which
+        # would let the late row in before the watermark advances); the
+        # memory sink can't recover from a checkpoint, so collect emitted
+        # rows via foreachBatch into plain files
+        stream = spark.readStream.schema(EVENTS).json(src)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("string").alias("start"), "n")
+        )
+
+        def collect(df, batch_id):
+            emitted = [(r["start"], r["n"]) for r in df.collect()]
+            if emitted:
+                with open(os.path.join(out_dir, f"emit-{batch_id}.json"), "w") as f:
+                    json.dump(emitted, f)
+
+        q = (
+            agg.writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: events at 10:00-10:20; batch 2 advances time to 13:00 (the
+    # watermark passes the 10:00 window's end); batch 3 is a late 10:05 row.
+    _write_events(
+        os.path.join(src, "f1.json"),
+        [
+            {"event_id": 1, "ts": "2026-08-13T10:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2026-08-13T10:20:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        ],
+    )
+    run_batch()
+    _write_events(
+        os.path.join(src, "f2.json"),
+        [{"event_id": 3, "ts": "2026-08-13T13:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"}],
+    )
+    run_batch()
+    _write_events(
+        os.path.join(src, "f3.json"),
+        [{"event_id": 4, "ts": "2026-08-13T10:05:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"}],
+    )
+    run_batch()
+    import glob
+
+    rows: dict[str, int] = {}
+    for path in glob.glob(os.path.join(out_dir, "emit-*.json")):
+        with open(path) as f:
+            rows.update({start: n for start, n in json.load(f)})
+    # the 10:00 window closed with exactly the 2 on-time events; the late
+    # event_id=4 (10:05, after watermark passed 12:30) was dropped
+    assert rows.get("2026-08-13 10:00:00") == 2, rows
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # same payload appears in batch 1 (×2) and again in batch 2; a new
+    # payload appears in batch 2
+    _write_events(os.path.join(src, "b1.json"), [{"v": "doc-A"}, {"v": "doc-A"}])
+    _write_events(os.path.join(src, "b2.json"), [{"v": "doc-A"}, {"v": "doc-B"}])
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = streaming_first_seen(stream, value_col="v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM first_seen ORDER BY value").collect()
+    # doc-A emitted once (from batch 1, with 1 same-batch duplicate
+    # counted); the batch-2 re-delivery emitted nothing; doc-B emitted once
+    assert [(r["value"], r["n_duplicates_dropped"]) for r in rows] == [
+        ("doc-A", 1),
+        ("doc-B", 0),
+    ]

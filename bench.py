@@ -23,15 +23,20 @@ HEADLINE = (
     "c1_filter_pushdown",
     "c2_pricing_summary",
     "c3_star_join_revenue",
+    "c3_sort_merge_join",
     "c4_topk_orders",
     "c5_window_running_lag",
     "c7_tumbling_window",
+    "c7_session_window",
     "a13_serialize_json_v1",
     "c8_exact_dedup",
     "c9_ngram_jaccard",
+    "c9_minhash_lsh",
+    "c9_winnowing",
     "c10_cosine_topk",
     "c11_text_stats",
     "c11_term_frequencies",
+    "c14_dataset_split",
 )
 
 

@@ -3,6 +3,7 @@
 from logspout_kinesis_tests_spark.plans import (  # noqa: F401
     etl_queries,
     llm_queries,
+    llm_sampling,
     relational,
     relational_ext,
 )

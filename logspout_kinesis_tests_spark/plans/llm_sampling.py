@@ -1,0 +1,102 @@
+"""Deterministic sampling / dataset-split operators (training-data surface).
+
+A training-data pipeline needs *reproducible* sampling: the same document
+must land in the same split on every run, cluster size, and partitioning.
+Random samplers (``df.sample``) don't give that across engines or re-runs;
+content-hash-based assignment does.  md5 exists in both Spark and DuckDB
+with identical output, so all of these are fully oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+@register(
+    "c14_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    doc="C14: stratified sample — 20 docs per language, ordered by content "
+    "hash (deterministic pseudo-random within stratum).",
+)
+def c14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+@register(
+    "c14_dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+                WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="C14: train/val/test assignment by content-hash range (~80/10/10) — "
+    "stable under re-runs, re-partitioning, and incremental ingest; "
+    "duplicate documents always land in the same split (no leakage).",
+)
+def c14_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5("text"), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "c14_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+    doc="C14: ~10% deterministic hash sample (md5(id) prefix < 0x1a) — the "
+    "reproducible alternative to df.sample(); composable (a 10% sample of "
+    "a 10% sample is stable).",
+)
+def c14_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "c11_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS normalized
+    FROM documents
+    """,
+    doc="C11+: text normalization chain (lowercase → strip non-alphanumerics "
+    "→ collapse whitespace → trim) — the canonicalization step before "
+    "hashing/dedup.",
+)
+def c11_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select("doc_id", normalized.alias("normalized"))

@@ -90,6 +90,74 @@ def c3_sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c2_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS DOUBLE) AS click,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS DOUBLE) AS error,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS DOUBLE) AS signup,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS DOUBLE) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="C2+: pivot — per-user value totals spread across event-type "
+    "columns (explicit pivot values keep the schema static, which is also "
+    "the scale-safe form: no driver-side distinct scan).",
+)
+def c2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(dec_sum("value"))
+    )
+
+
+@register(
+    "c3_shuffle_hash_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="C3: shuffle-hash join (hint) — the middle strategy between "
+    "broadcast and sort-merge; right choice when both sides are large but "
+    "one side's per-partition slice fits memory (skips both sorts).",
+)
+def c3_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "c6_union_all",
+    oracle="""
+    SELECT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, 'signup' AS src FROM events WHERE event_type = 'signup'
+    """,
+    doc="C6: UNION ALL (bag union, no dedup shuffle).",
+)
+def c6_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.lit("purchase").alias("src")
+    )
+    signup = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.lit("signup").alias("src")
+    )
+    return purchase.union(signup)
+
+
+@register(
     "c4_multi_key_sort",
     oracle=f"""
     SELECT c_mktsegment, c_nationkey, c_custkey, c_acctbal

@@ -89,37 +89,6 @@ def with_word_shingles(
 # C9 — MinHash signatures + LSH banding.
 # --------------------------------------------------------------------------
 
-def minhash_signature(
-    shingles_col: str = "shingles", num_hashes: int = 64, out: str = "minhash"
-) -> Column:
-    """MinHash signature via one base hash + cheap fixed-width rehashing.
-
-    Each shingle is string-hashed ONCE (xxhash64 over the variable-length
-    string); the i-th family member rehashes that 8-byte long together with
-    the seed — ``xxhash64(base, i)`` — so the per-seed cost is fixed-width
-    integer hashing, not string traversal.  (An affine ``a·h+b`` family
-    would be cheaper still but ANSI mode rejects the intended wraparound
-    multiply.)
-
-    The base-hash array must be materialized before the per-seed fold —
-    inlining it would re-evaluate the string hashing per seed (the
-    lambda-inlining trap documented on with_word_shingles).
-    """
-    return F.expr(
-        f"""
-        transform(sequence(0, {num_hashes - 1}),
-                  i -> array_min(transform(_base_hashes, h -> xxhash64(h, i))))
-        """
-    ).alias(out)
-
-
-def _with_base_hashes(df: DataFrame, shingles_col: str = "shingles") -> DataFrame:
-    """Materialize per-shingle base hashes for the affine MinHash family."""
-    return df.withColumn(
-        "_base_hashes", F.expr(f"transform({shingles_col}, s -> xxhash64(s))")
-    )
-
-
 def lsh_bands(
     minhash_col: str = "minhash", bands: int = 16, rows_per_band: int = 4, out: str = "bands"
 ) -> Column:

@@ -81,6 +81,80 @@ def c14_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c11_pii_scrub",
+    oracle="""
+    WITH tainted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM tainted
+    """,
+    doc="C11+: PII scrubbing — email/phone redaction over documents with "
+    "injected contact strings (regexp_replace chain, scan-side codegen).",
+)
+def c11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(tainted, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+        "<PHONE>",
+    )
+    return docs.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@register(
+    "c8_fingerprint_dedup",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+               AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        -- word-order shuffle: same word set, different text -> sha256 dedup
+        -- misses it, fingerprint dedup catches it
+        SELECT doc_id + 3000000,
+               array_to_string(list_sort(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id % 9 = 0
+    )
+    GROUP BY 1
+    """,
+    doc="C8+: order-invariant dedup via the sorted-word-set fingerprint — "
+    "catches reshuffled duplicates exact hashing misses (planted by "
+    "re-appending word-sorted copies).",
+)
+def c8_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffled = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " "))).alias("text"),
+    )
+    corpus = docs.union(shuffled)
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))))
+    )
+    return (
+        corpus.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
     "c11_normalize_text",
     oracle="""
     SELECT doc_id,

@@ -237,6 +237,27 @@ def c10_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c8_embedding_neardup_ivf",
+    oracle=None,  # blocking cells come from IVF (xxhash-seeded k-means); rows-only.
+    doc="C8: embedding near-dup with IVF-cluster blocking instead of a "
+    "label column — the 100 TB path when no natural block key exists; "
+    "planted identical vectors land in the same cell by construction.",
+)
+def c8_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import ivf_index
+    from logspout_kinesis_tests_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(planted)
+    assignment, _centroids = ivf_index(corpus, nlist=16, iters=1)
+    blocked = corpus.join(assignment, "vec_id")
+    return embedding_neardup_pairs(blocked, threshold=0.9, block_cols=("cell",))
+
+
+@register(
     "c10_ivf_topk",
     oracle=None,  # approximate by design (nprobe cells); rows-only.
     doc="C10: IVF approximate top-5 — deterministic 2-iteration k-means "

@@ -59,6 +59,24 @@ def test_winnowing_finds_planted_prefix_dups(spark, sf_dir):
     assert recall >= 0.95, f"winnowing recall {recall}"
 
 
+def test_ivf_blocked_neardup_finds_planted(spark, sf_dir):
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+
+    rows = REGISTRY["c8_embedding_neardup_ivf"].build(spark, sf_dir).collect()
+    planted = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    found = {r["id_a"] for r in rows if r["id_b"] == r["id_a"] + 1_000_000}
+    # identical vectors share the nearest centroid by construction → the
+    # IVF block key has perfect recall on exact duplicates
+    assert found == planted
+    assert all(r["cosine"] >= 0.9 for r in rows)
+
+
 def test_approx_sketches_within_bounds(spark, sf_dir):
     from logspout_kinesis_tests_spark.plans import REGISTRY
 

@@ -1,0 +1,55 @@
+"""Dataset writer — partitioned, size-controlled parquet output.
+
+The reading side of a 100 TB pipeline is only half the story: the written
+dataset must come out with sane file sizes (no small-file explosion, no
+multi-GB monoliths), useful partition directories, and optional in-file
+ordering for row-group skipping.  This wraps the three Spark levers that
+control that:
+
+- ``repartition(n[, cols])``  → number of output tasks ≈ number of files
+- ``maxRecordsPerFile``       → hard per-file row cap (splits big tasks)
+- ``sortWithinPartitions``    → clustered row groups → min/max skipping
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    target_rows_per_file: int = 1_000_000,
+    approx_total_rows: int | None = None,
+    sort_within: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with controlled file count and sizes.
+
+    ``approx_total_rows`` (pass a known count or estimate; counting 100 TB
+    to plan a write is wasteful) sizes the repartition; ``maxRecordsPerFile``
+    backstops estimation error.  With ``partition_by``, repartitioning on
+    the partition columns lines tasks up with directories so each task
+    writes few files (avoiding the files = tasks × directories blowup).
+    """
+    writer_df = df
+    if approx_total_rows is not None:
+        n_files = max(1, math.ceil(approx_total_rows / target_rows_per_file))
+        if partition_by:
+            writer_df = df.repartition(n_files, *partition_by)
+        else:
+            writer_df = df.repartition(n_files)
+    elif partition_by:
+        writer_df = df.repartition(*partition_by)
+    if sort_within:
+        writer_df = writer_df.sortWithinPartitions(*sort_within)
+    writer = (
+        writer_df.write.mode(mode)
+        .option("maxRecordsPerFile", str(target_rows_per_file))
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

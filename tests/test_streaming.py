@@ -122,6 +122,33 @@ def test_checkpoint_resume_no_duplicates(spark, tmp_path, log_files):
     assert len(late) == 5
 
 
+def test_streaming_consumer_parse_and_quarantine(spark, tmp_path):
+    """Consumer side in streaming mode (A14+A19): parse JSON payloads off
+    the stream, quarantine garbage without stopping the query."""
+    from logspout_kinesis_tests_spark.operators.etl import parse_consumed, quarantine_split
+    from logspout_kinesis_tests_spark.schemas import EVENT_PROPS
+
+    src = str(tmp_path / "consumer-src")
+    os.makedirs(src)
+    with open(os.path.join(src, "payloads.json"), "w") as f:
+        for v in ['{"k": 1}', '{"k": 2}', "garbage!!", '{"k": 3}']:
+            f.write(json.dumps({"value": v}) + "\n")
+    stream = spark.readStream.schema("value string").json(src)
+    good, bad = quarantine_split(parse_consumed(stream, EVENT_PROPS))
+    out = good.select(F.col("parsed.k").alias("k"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("consumed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-consume"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r["k"] for r in spark.sql("SELECT * FROM consumed").collect())
+    assert ks == [1, 2, 3]  # garbage row quarantined, stream completed
+
+
 def test_console_sink_runs(spark, tmp_path, log_files):
     src_dir, _rows = log_files
     cfg = EngineConfig(docker_host="dh-test")

@@ -1,0 +1,116 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are expressed as compositions of existing DataFrame operators — no
+Pandas UDF, no mapPartitions:
+
+- **as-of join**: the union-and-carry pattern.  Tag both sides, union,
+  sort within each key by (ts, side); a ``last(..., ignorenulls)`` window
+  carries the most recent right-side row forward onto each left row.  One
+  shuffle on the key (the same shuffle a sort-merge join would do); state
+  per row is O(carried columns).  This is how event-time point-in-time
+  lookups (feature stores, trade/quote joins) scale: no per-key loops, no
+  range probing.
+- **range join**: interval bucketization.  A naive ``value BETWEEN lo AND
+  hi`` join is a broadcast-nested-loop (O(n·m)); mapping each interval to
+  the fixed-width buckets it overlaps and each probe value to its single
+  bucket turns it into an equi-join + residual refine — the standard
+  approach (Databricks' range-join optimization does exactly this
+  internally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same key with
+    ``right_ts <= left_ts`` (left-outer semantics: no match → NULLs).
+
+    Ties at equal timestamps resolve right-before-left (inclusive ``<=``,
+    matching DuckDB's ASOF JOIN).
+    """
+    carried = [f"{c}{suffix}" for c in (*right_cols, right_ts)]
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in (*right_cols, right_ts)],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c != on],
+        *[F.col(c).alias(f"{c}{suffix}") for c in (*right_cols, right_ts)],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_exprs = [
+        F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in carried
+    ]
+    return (
+        unioned.select(
+            F.col(on),
+            "_ts",
+            "_side",
+            *[F.col(c) for c in left.columns if c != on],
+            *carried_exprs,
+        )
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_ts")
+    )
+
+
+def range_join_bucketized(
+    values: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 20.0,
+) -> DataFrame:
+    """Inner join ``values`` to every interval with ``lo <= value < hi``.
+
+    Each interval explodes to the buckets it overlaps; each value maps to
+    exactly one bucket, so the equi-join on the bucket produces no
+    duplicates and the residual predicate only refines.  ``bucket_width``
+    should approximate the median interval width — narrower buckets cut
+    false candidates, wider buckets cut the interval replication factor.
+    """
+    b = float(bucket_width)
+    exploded = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b).cast("long"),
+                # hi is exclusive: the bucket containing hi is only needed
+                # when hi is not exactly on a bucket boundary
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / b
+                ).cast("long"),
+            )
+        ),
+    )
+    probed = values.withColumn("_bucket", F.floor(F.col(value_col) / b).cast("long"))
+    return (
+        probed.join(exploded, "_bucket")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_bucket")
+    )

@@ -6,6 +6,7 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
     llm_sampling,
     relational,
     relational_ext,
+    temporal_queries,
 )
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

@@ -1,0 +1,129 @@
+"""Hypertable-style multi-resolution rollups and mergeable sketches.
+
+- ``hypertable_rollup``: TimescaleDB-continuous-aggregate semantics — one
+  fact stream rolled up to several time resolutions at once.  The finest
+  level aggregates the raw rows; every coarser level re-aggregates the
+  next finer level (sum-of-sums), which is exact for algebraic aggregates
+  and is what makes the pattern cheap to maintain incrementally at 100 TB:
+  a day's rollup touches 24 hourly partials, not a day of raw rows.
+  Decimal sums keep the re-aggregation bit-identical to aggregating raw
+  data directly, so the whole stack is oracle-checkable.
+
+- ``count_min_sketch`` / ``cms_estimate``: a Count-Min sketch as plain
+  DataFrames.  The sketch IS a grouped count table over (row, hashed
+  bucket); building it is one map-side-combined groupBy, merging two
+  sketches is a union+re-groupBy, and estimation is min over depth rows —
+  every step distributed, nothing driver-side.  Guarantees: estimate ≥
+  true count; overshoot ≤ εN with probability 1-δ for width=⌈e/ε⌉,
+  depth=⌈ln 1/δ⌉.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: resolution name → truncation unit accepted by date_trunc.
+RESOLUTIONS = ("minute", "hour", "day")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
+    resolutions: tuple[str, ...] = RESOLUTIONS,
+) -> DataFrame:
+    """Stacked rollup: one output row per (resolution, bucket, groups).
+
+    Output columns: ``resolution``, ``bucket_start`` (timestamp), group
+    columns, ``n`` (count) and ``total`` (decimal-exact sum as double).
+    Level k>0 aggregates level k-1's partials.
+    """
+    levels: list[DataFrame] = []
+    finest = (
+        df.groupBy(
+            F.date_trunc(resolutions[0], F.col(ts_col)).alias("bucket_start"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_total_dec"),
+        )
+    )
+    levels.append(finest.withColumn("resolution", F.lit(resolutions[0])))
+    prev = finest
+    for res in resolutions[1:]:
+        prev = (
+            prev.groupBy(
+                F.date_trunc(res, F.col("bucket_start")).alias("bucket_start"),
+                *[F.col(c) for c in group_cols],
+            )
+            .agg(
+                F.sum("n").alias("n"),  # re-aggregation of partials
+                F.sum("_total_dec").alias("_total_dec"),
+            )
+        )
+        levels.append(prev.withColumn("resolution", F.lit(res)))
+    stacked = levels[0]
+    for lvl in levels[1:]:
+        stacked = stacked.unionByName(lvl)
+    return stacked.select(
+        "resolution",
+        "bucket_start",
+        *group_cols,
+        "n",
+        F.col("_total_dec").cast("double").alias("total"),
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a Count-Min sketch: rows (row, bucket, cnt), depth×width cells.
+
+    Bucket for row d = xxhash64(key, d) mod width.  The groupBy is the
+    whole build — partial aggregation makes each executor emit at most
+    depth×width cells regardless of input size, so sketching 100 TB
+    shuffles O(depth·width·executors) rows.
+    """
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        F.col(key_col).alias("_k"),
+    )
+    return (
+        rows.select(
+            "row", F.pmod(F.xxhash64(F.col("_k"), F.col("row")), F.lit(width)).alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width): cell-wise sum."""
+    return (
+        a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate counts for ``keys``: min over the depth rows' cells.
+
+    Missing cells mean zero occurrences → estimate 0 (coalesced before the
+    min so an absent key reports 0, not NULL).
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).select(
+        F.col(key_col),
+        "row",
+        F.pmod(F.xxhash64(F.col(key_col), F.col("row")), F.lit(width)).alias("bucket"),
+    )
+    joined = probes.join(sketch, ["row", "bucket"], "left").select(
+        F.col(key_col), F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("estimate"))

@@ -7,6 +7,7 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
     relational,
     relational_ext,
     temporal_queries,
+    timeseries_queries,
 )
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

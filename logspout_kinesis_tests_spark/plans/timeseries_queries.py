@@ -1,0 +1,66 @@
+"""Hypertable rollup and Count-Min sketch queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.timeseries import (
+    cms_estimate,
+    count_min_sketch,
+)
+from logspout_kinesis_tests_spark.plans.helpers import sql_ts_str, ts_str
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+@register(
+    "c16_hypertable_rollup",
+    oracle=f"""
+    WITH raw AS (SELECT ts, event_type, value FROM events)
+    SELECT 'minute' AS resolution, {sql_ts_str("date_trunc('minute', ts)")} AS bucket_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM raw GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', {sql_ts_str("date_trunc('hour', ts)")}, event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM raw GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', {sql_ts_str("date_trunc('day', ts)")}, event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM raw GROUP BY 2, 3
+    """,
+    doc="C16: hypertable rollup — minute/hour/day continuous aggregates; "
+    "the engine re-aggregates each level from the next finer one "
+    "(sum-of-sums), the oracle computes every level from raw rows; exact "
+    "decimal arithmetic makes the two provably identical.",
+)
+def c16_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.timeseries import hypertable_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hypertable_rollup(ev, group_cols=("event_type",))
+    return out.select(
+        "resolution",
+        ts_str("bucket_start").alias("bucket_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "c16_count_min_sketch",
+    oracle=None,  # xxhash64 bucketing — rows-only; bounds asserted in pytest.
+    doc="C16: Count-Min sketch over user_id — distributed build (one "
+    "map-combined groupBy), point estimates = min over depth rows; "
+    "estimate >= true count with bounded overshoot (pytest).",
+)
+def c16_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id", depth=4, width=1024)
+    keys = ev.select("user_id").distinct()
+    return cms_estimate(sketch, keys, "user_id", depth=4, width=1024).orderBy(
+        "user_id"
+    )

@@ -1,0 +1,75 @@
+"""Hypertable rollup consistency and Count-Min sketch error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.timeseries import (
+    cms_estimate,
+    cms_merge,
+    count_min_sketch,
+    hypertable_rollup,
+)
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+def test_rollup_levels_are_consistent(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = hypertable_rollup(ev, group_cols=("event_type",)).cache()
+    total_raw = ev.count()
+    by_res = {
+        r["resolution"]: r["n"]
+        for r in out.groupBy("resolution").agg(F.sum("n").alias("n")).collect()
+    }
+    # every resolution accounts for every raw row exactly once
+    assert by_res == {"minute": total_raw, "hour": total_raw, "day": total_raw}
+    # coarser levels have fewer-or-equal buckets
+    buckets = {
+        r["resolution"]: r["b"]
+        for r in out.groupBy("resolution").agg(F.count("*").alias("b")).collect()
+    }
+    assert buckets["day"] <= buckets["hour"] <= buckets["minute"]
+
+
+def test_cms_estimates_bound_true_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id", depth=4, width=1024)
+    keys = ev.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["estimate"]
+        for r in cms_estimate(sketch, keys, "user_id", depth=4, width=1024).collect()
+    }
+    true = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = ev.count()
+    for uid, t in true.items():
+        assert est[uid] >= t  # CMS never undercounts
+        assert est[uid] - t <= 0.01 * n_total + 1  # ε ≈ e/width ≈ 0.0027
+
+
+def test_cms_merge_equals_single_build(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = cms_merge(
+        count_min_sketch(a, "user_id"), count_min_sketch(b, "user_id")
+    )
+    single = count_min_sketch(ev, "user_id")
+    m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    s = {(r["row"], r["bucket"]): r["cnt"] for r in single.collect()}
+    assert m == s  # sketches are mergeable cell-wise
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id", depth=4, width=1024)
+    ghosts = spark.createDataFrame([(99999,), (123456,)], "user_id long")
+    est = {
+        r["user_id"]: r["estimate"]
+        for r in cms_estimate(sketch, ghosts, "user_id").collect()
+    }
+    # absent keys: 0 unless all four hash rows collide (bounded overshoot)
+    for v in est.values():
+        assert v <= 0.01 * ev.count() + 1

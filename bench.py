@@ -37,6 +37,8 @@ HEADLINE = (
     "c11_text_stats",
     "c11_term_frequencies",
     "c14_dataset_split",
+    "c15_asof_join",
+    "c16_hypertable_rollup",
 )
 
 

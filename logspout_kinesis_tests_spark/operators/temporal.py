@@ -32,12 +32,16 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same key with
     ``right_ts <= left_ts`` (left-outer semantics: no match → NULLs).
 
     Ties at equal timestamps resolve right-before-left (inclusive ``<=``,
-    matching DuckDB's ASOF JOIN).
+    matching DuckDB's ASOF JOIN).  ``tolerance`` (an INTERVAL string like
+    ``'30 minutes'``) additionally requires ``left_ts - right_ts <=
+    tolerance`` — matches older than the window are nulled out, the left
+    row is kept (pandas ``merge_asof`` semantics).
     """
     carried = [f"{c}{suffix}" for c in (*right_cols, right_ts)]
     l_tagged = left.select(
@@ -63,7 +67,7 @@ def asof_join(
     carried_exprs = [
         F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in carried
     ]
-    return (
+    out = (
         unioned.select(
             F.col(on),
             "_ts",
@@ -72,8 +76,13 @@ def asof_join(
             *carried_exprs,
         )
         .filter(F.col("_side") == 1)
-        .drop("_side", "_ts")
     )
+    if tolerance is not None:
+        ts_carried = f"{right_ts}{suffix}"
+        stale = F.col(ts_carried) < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        for c in carried:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out.drop("_side", "_ts")
 
 
 def range_join_bucketized(

@@ -447,9 +447,23 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     block_cols: tuple[str, ...] = (),
+    allow_full_cross: bool = False,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold, optionally blocked (e.g. by a coarse
-    cluster/label key) to bound the pair space."""
+    """Pairs with cosine ≥ threshold, blocked (e.g. by a coarse cluster/label
+    key) to bound the pair space.
+
+    Without ``block_cols`` the join degenerates to an all-pairs cross join —
+    O(n²) pairs, a scale-killer on any real corpus — so empty ``block_cols``
+    raises unless ``allow_full_cross=True`` is passed explicitly (tiny
+    corpora / ground-truth generation only).  Use a label column, an IVF
+    cell (``operators.ann.ivf_index``), or an LSH bucket as the block key.
+    """
+    if not block_cols and not allow_full_cross:
+        raise ValueError(
+            "embedding_neardup_pairs without block_cols is an all-pairs "
+            "cross join (O(n^2)); pass block_cols (label / IVF cell / LSH "
+            "bucket) or allow_full_cross=True for tiny corpora."
+        )
     base = df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in block_cols])
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

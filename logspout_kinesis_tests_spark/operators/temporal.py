@@ -42,47 +42,57 @@ def asof_join(
     ``'30 minutes'``) additionally requires ``left_ts - right_ts <=
     tolerance`` — matches older than the window are nulled out, the left
     row is kept (pandas ``merge_asof`` semantics).
+
+    All right columns are carried as ONE struct through a single
+    ``last(ignorenulls)`` — never per-column — so the attached values always
+    come from the same right row even when some of them are NULL.  Among
+    right rows sharing (key, ts) the struct itself is the final sort key, so
+    the carried row is the field-wise maximum: deterministic across runs and
+    partitionings.
     """
     carried = [f"{c}{suffix}" for c in (*right_cols, right_ts)]
+    rstruct = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}") for c in (*right_cols, right_ts)]
+    )
+    rstruct_type = right.select(rstruct.alias("_r")).schema["_r"].dataType
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in (on,)],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in (*right_cols, right_ts)],
+        F.lit(None).cast(rstruct_type).alias("_rstruct"),
     )
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c != on],
-        *[F.col(c).alias(f"{c}{suffix}") for c in (*right_cols, right_ts)],
+        rstruct.alias("_rstruct"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_rstruct")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried_exprs = [
-        F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in carried
-    ]
-    out = (
-        unioned.select(
-            F.col(on),
-            "_ts",
-            "_side",
-            *[F.col(c) for c in left.columns if c != on],
-            *carried_exprs,
-        )
-        .filter(F.col("_side") == 1)
-    )
+    out = unioned.select(
+        F.col(on),
+        "_ts",
+        "_side",
+        *[F.col(c) for c in left.columns if c != on],
+        F.last("_rstruct", ignorenulls=True).over(w).alias("_r"),
+    ).filter(F.col("_side") == 1)
     if tolerance is not None:
-        ts_carried = f"{right_ts}{suffix}"
-        stale = F.col(ts_carried) < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-        for c in carried:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.drop("_side", "_ts")
+        stale = F.col(f"_r.{right_ts}{suffix}") < F.col("_ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.withColumn(
+            "_r", F.when(stale, F.lit(None).cast(rstruct_type)).otherwise(F.col("_r"))
+        )
+    out = out.select(
+        "*", *[F.col(f"_r.{c}").alias(c) for c in carried]
+    )
+    return out.drop("_side", "_ts", "_r")
 
 
 def range_join_bucketized(

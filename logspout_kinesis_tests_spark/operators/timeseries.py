@@ -48,7 +48,12 @@ def hypertable_rollup(
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_total_dec"),
+            # explicit decimal(38,2) at EVERY level: keeps the union schema
+            # stable and makes overflow behavior deliberate (38,2 headroom)
+            # rather than relying on unionByName's implicit widening.
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("_total_dec"),
         )
     )
     levels.append(finest.withColumn("resolution", F.lit(resolutions[0])))
@@ -61,7 +66,7 @@ def hypertable_rollup(
             )
             .agg(
                 F.sum("n").alias("n"),  # re-aggregation of partials
-                F.sum("_total_dec").alias("_total_dec"),
+                F.sum("_total_dec").cast("decimal(38,2)").alias("_total_dec"),
             )
         )
         levels.append(prev.withColumn("resolution", F.lit(res)))

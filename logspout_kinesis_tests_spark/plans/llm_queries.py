@@ -295,22 +295,47 @@ def c9_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c2_approx_sketches",
-    oracle=None,  # HLL / KLL sketches have no cross-engine-identical SQL.
+    oracle=None,  # HLL estimates have no cross-engine-identical SQL.
     doc="C2+: approximate aggregates — HyperLogLog distinct counts and "
-    "KLL percentile sketches per event type; error bounds asserted vs "
-    "exact in pytest.",
+    "percentile sketches per event type, flattened to scalar columns "
+    "(p50/p95/p99); error bounds asserted vs exact in pytest.",
 )
 def c2_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-                "value_percentiles"
-            ),
+            pct.getItem(0).alias("p50"),
+            pct.getItem(1).alias("p95"),
+            pct.getItem(2).alias("p99"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "c2_percentile_sketch",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="C2+: percentile sketch (GK/percentile_approx) per event type with "
+    "accuracy >= group size, so the sketch degenerates to exact discrete "
+    "quantiles — bit-identical to DuckDB quantile_disc (verified at sf0.01); "
+    "the approximation-regime behavior is pinned separately in pytest.",
+)
+def c2_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return ev.groupBy("event_type").agg(
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p95"),
+        pct.getItem(2).alias("p99"),
     )
 
 
@@ -448,13 +473,39 @@ def c12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c12_multimodal_features",
-    oracle=None,  # mapInPandas feature extraction — plumbing check.
+    # The stub features are deterministic byte statistics and the driver text
+    # is pure ASCII (byte == code point), so the mapInPandas output is fully
+    # SQL-expressible: f0=n_bytes, f1=first byte, f2=last byte, f3=sum of the
+    # first 16 bytes mod 997.
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS DOUBLE) AS f0,
+           CAST(ord(substr(text, 1, 1)) AS DOUBLE) AS f1,
+           CAST(ord(substr(text, length(text), 1)) AS DOUBLE) AS f2,
+           CAST(list_reduce(
+                  list_transform(range(1, least(length(text), 16) + 1),
+                                 i -> ord(substr(text, CAST(i AS INTEGER), 1))),
+                  (a, b) -> a + b) % 997 AS DOUBLE) AS f3
+    FROM documents
+    """,
     doc="C12: Arrow-batched mapInPandas feature extraction over payloads "
-    "(decode stubbed with deterministic fake — see operators/multimodal.py).",
+    "(decode stubbed with deterministic fake — see operators/multimodal.py); "
+    "feature vector flattened to scalar f0..f3 for the driver canonicalizer.",
 )
 def c12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_text_payload(docs))
+    feats = extract_features(attach_text_payload(docs))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.col("features").getItem(0).alias("f0"),
+        F.col("features").getItem(1).alias("f1"),
+        F.col("features").getItem(2).alias("f2"),
+        F.col("features").getItem(3).alias("f3"),
+    )
 
 
 # --------------------------------------------------------------------------

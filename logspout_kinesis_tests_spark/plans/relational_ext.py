@@ -315,9 +315,11 @@ def c_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
+               -- >= not >: Spark's session_window merge is end-exclusive,
+               -- so a gap of exactly 30 minutes starts a NEW session.
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ), numbered AS (

@@ -98,5 +98,5 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         assert abs(row["approx_users"] - exact[et]["users"]) <= max(
             2, 0.1 * exact[et]["users"]
         )
-        p50 = row["value_percentiles"][0]
+        p50 = row["p50"]
         assert abs(p50 - exact[et]["p50"]) <= 0.1 * max(1.0, exact[et]["p50"])

@@ -108,3 +108,19 @@ def test_multimodal_metadata_prunes_payload(spark, sf_dir):
     mm = attach_text_payload(docs).select("doc_id", F.col("meta.n_bytes"))
     plan = mm._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_embedding_neardup_refuses_unblocked_all_pairs(spark, sf_dir):
+    # empty block_cols degenerates to an O(n^2) cross join — the API must
+    # refuse unless the caller explicitly opts in
+    import pytest
+
+    from logspout_kinesis_tests_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="block_cols"):
+        embedding_neardup_pairs(emb, threshold=0.9)
+    # the explicit escape hatch still works on tiny corpora
+    tiny = emb.limit(20)
+    rows = embedding_neardup_pairs(tiny, threshold=-1.0, allow_full_cross=True)
+    assert rows.count() == 20 * 19 // 2

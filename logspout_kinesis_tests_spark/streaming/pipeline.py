@@ -83,6 +83,37 @@ def produce_pipeline(
     return writer.start()
 
 
+def consume_pipeline(
+    spark: SparkSession,
+    client: str,
+    client_args: dict | None,
+    checkpoint_dir: str,
+    stream: str = "stream",
+    start: str = "TRIM_HORIZON",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The reference's consumer program (readstream.py:19-38) end-to-end:
+    shard-parallel pull source → stdout dump.
+
+    Shards are read by parallel tasks (vs the reference's single round-robin
+    thread); sequence numbers live in the checkpoint (vs the in-memory
+    iterator list); the 5-reads/s/shard sleep becomes trigger pacing +
+    ``maxRecordsPerFetch``.  The client is injected by importable path —
+    ``file_shard_client`` in tests, ``boto3_pull_client`` against AWS.
+    """
+    from logspout_kinesis_tests_spark.streaming.pull_source import pull_stream
+
+    src = pull_stream(spark, client, client_args, stream=stream, start=start)
+    return (
+        src.select("value")  # the reference prints record["Data"] only
+        .writeStream.format("console")
+        .option("truncate", "false")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def console_pipeline(
     spark: SparkSession,
     source_dir: str,

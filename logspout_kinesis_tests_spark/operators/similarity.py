@@ -90,13 +90,39 @@ def cosine_topk_lsh(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket,
-    exact cosine re-ranks.  Recall < 1 by design (bucket misses); raise
-    ``n_planes`` ↓bucket size / add multiprobe for tighter recall targets.
+    exact cosine re-ranks.
+
+    ``multiprobe`` probes every bucket within Hamming distance ≤ r of the
+    query's signature (standard multiprobe LSH): a near neighbor differing on
+    one marginal hyperplane sign still becomes a candidate.  Cost: the
+    (broadcast) query side fans out ×Σ C(n_planes, i); the corpus side —
+    the 100 TB side — is still hashed exactly once and joined once, and each
+    (query, candidate) pair matches at most once because a corpus vector
+    lives in exactly one bucket.
     """
-    qb = queries.select(
-        F.col(query_id), F.col(vec_col).alias("q_vec"), hyperplane_bucket(vec_col, n_planes, dim)
+    if multiprobe < 0 or multiprobe > 2:
+        raise ValueError("multiprobe supports Hamming radius 0..2")
+    probes = [F.col("_bucket0")]
+    for i in range(n_planes):
+        if multiprobe >= 1:
+            probes.append(F.col("_bucket0").bitwiseXOR(F.lit(1 << i)))
+        if multiprobe >= 2:
+            probes.extend(
+                F.col("_bucket0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for j in range(i + 1, n_planes)
+            )
+    qb = (
+        queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("q_vec"),
+            hyperplane_bucket(vec_col, n_planes, dim, out="_bucket0"),
+        )
+        .select(
+            F.col(query_id), "q_vec", F.explode(F.array(*probes)).alias("bucket")
+        )
     )
     cb = corpus.select(
         F.col(corpus_id), F.col(vec_col).alias("c_vec"), hyperplane_bucket(vec_col, n_planes, dim)

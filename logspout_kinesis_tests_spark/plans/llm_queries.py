@@ -237,6 +237,54 @@ def c10_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c10_lsh_recall_gate",
+    # Self-checking recall gate: the query emits VIOLATION rows (empty when
+    # healthy) and the oracle is the empty relation with the same schema —
+    # the driver row goes red iff LSH recall regresses.  Thresholds carry
+    # margin under the measured agreement (24/50 at sf0.001/0.01/0.1 with
+    # multiprobe=2; per-query self-match is structural).
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C10: driver-visible LSH recall regression gate — compares "
+    "multiprobe LSH top-5 against the (oracle-matched) exact top-5 and "
+    "returns per-query and aggregate agreement violations.",
+)
+def c10_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = cosine_topk(queries, corpus, k=5)
+    lsh = cosine_topk_lsh(queries, corpus, k=5, n_planes=8, multiprobe=2)
+    agree = (
+        exact.select("query_id", "vec_id")
+        .join(lsh.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_agree"))
+    )
+    per_q = (
+        queries.select("query_id")
+        .join(agree, "query_id", "left")
+        .select("query_id", F.coalesce("n_agree", F.lit(0)).alias("n_agree"))
+    )
+    # violation 1: a query lost even its structural self-match (bucket logic
+    # broken); violation 2: aggregate neighbor agreement dropped below 18/50
+    per_q_viol = per_q.filter(F.col("n_agree") < 1).select(
+        F.concat(F.lit("query_"), F.col("query_id").cast("string")).alias("gate"),
+        F.col("n_agree").cast("long").alias("observed"),
+    )
+    total_viol = (
+        per_q.agg(F.sum("n_agree").alias("total"))
+        .filter(F.col("total") < 18)
+        .select(F.lit("total_agreement").alias("gate"), F.col("total").cast("long").alias("observed"))
+    )
+    return per_q_viol.unionByName(total_viol)
+
+
+@register(
     "c8_embedding_neardup_ivf",
     oracle=None,  # blocking cells come from IVF (xxhash-seeded k-means); rows-only.
     doc="C8: embedding near-dup with IVF-cluster blocking instead of a "

@@ -155,3 +155,38 @@ def test_console_sink_runs(spark, tmp_path, log_files):
     q = console_pipeline(spark, src_dir, str(tmp_path / "ckpt-console"), cfg)
     q.awaitTermination(120)
     assert not q.isActive  # drained and stopped (availableNow)
+
+
+def test_v0_layout_bytes_end_to_end(spark, tmp_path, log_files):
+    """A12 through the STREAMING path: the bytes a v0-configured pipeline
+    hands the sink are byte-identical to the batch transform's output (the
+    batch side is byte-compared against the reference layout by the
+    a12_serialize_json_v0 oracle and test_v0_layout)."""
+    from logspout_kinesis_tests_spark.operators.etl import logstash_message, serialize_json
+    from logspout_kinesis_tests_spark.plans.etl_queries import synthetic_log_input
+
+    src_dir, rows = log_files
+    out_dir = str(tmp_path / "puts")
+    cfg = EngineConfig(docker_host="dh-test", use_v0_layout=True)
+    q = produce_pipeline(
+        spark, src_dir, str(tmp_path / "ckpt"), cfg,
+        client_factory=lambda: FileRecordingClient(out_dir),
+        max_files_per_trigger=3,
+    )
+    q.awaitTermination(120)
+    sent = {r["data"] for c in _read_puts(out_dir) for r in c["records"]}
+    assert len(sent) == 30
+    # golden byte-compare: the batch plan over the same 30 input rows
+    batch_in = synthetic_log_input(spark, "/root/testdata/sf0.001").limit(30).drop("event_id")
+    expected = {
+        r["value"]
+        for r in serialize_json(
+            logstash_message(batch_in, docker_host="dh-test", use_v0=True)
+        ).collect()
+    }
+    assert sent == expected
+    # and the layout really is v0 (@fields/@message keys, logspoutkinesis.go:42-47)
+    for raw in list(sent)[:3]:
+        m = json.loads(raw)
+        assert set(m) == {"@timestamp", "@source_host", "@message", "@fields"}
+        assert "docker" in m["@fields"]

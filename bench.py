@@ -39,6 +39,9 @@ HEADLINE = (
     "c14_dataset_split",
     "c15_asof_join",
     "c16_hypertable_rollup",
+    "c8_dedup_clusters",
+    "c11_tfidf",
+    "c11_bm25",
 )
 
 

@@ -493,3 +493,82 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# C8+ — duplicate-cluster resolution: pairs → components → keep-one.
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, component) for every id in ``pairs``; component = min reachable id.
+
+    Near-dup pair lists are an edge set; dedup policy needs the *clusters*
+    (a~b, b~c ⇒ {a,b,c} keep one).  Min-label propagation to fixpoint:
+    each round every node adopts the smallest label among itself and its
+    neighbors — one equi-join + one map-side-combined groupBy per round,
+    converging in O(graph diameter) rounds.  Near-dup graphs are shallow
+    (dups of a doc are dups of each other), so rounds stay single-digit;
+    for adversarially deep graphs the large-star/small-star transform
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) halves
+    round counts — not needed at our diameters.
+
+    Per-round ``localCheckpoint`` truncates lineage (iterative plans
+    otherwise grow exponentially in the optimizer); the fixpoint probe is a
+    LIMIT-1 count of changed labels, not a data collect.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _round in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_one(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every clustered row except its cluster's min-id representative.
+
+    Rows never seen in ``pairs`` are kept (singleton clusters).  The policy
+    is deterministic (min id); swap in a quality-ranked choice by joining a
+    score and replacing the min with a row_number window if needed.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

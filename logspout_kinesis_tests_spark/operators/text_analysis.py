@@ -127,3 +127,100 @@ def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 20) -> 
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(top_n)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF / BM25 relevance scoring.
+# --------------------------------------------------------------------------
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc, term, tf, df_, tfidf) with smooth idf = ln((1+N)/(1+df)) + 1.
+
+    Plan shape: one tokenize+explode scan → (doc, term) counts (map-side
+    combined) → term document frequencies → two broadcast joins of the tiny
+    (term→df) and (scalar N) sides back onto the tf rows.  The shuffle
+    carries (term, id, count) — never text.  ``tfidf`` is rounded to 6
+    decimals: ln differs between runtimes in the last ulp, and 6dp is what
+    downstream ranking consumes (full-precision stays available as
+    tf × idf recomputed where needed).
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") >= min_df
+    )
+    n = df.agg(F.count("*").alias("n"))
+    idf = F.log((1 + F.col("n")) / (1 + F.col("df_"))) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 of every document against a bag of query terms.
+
+    Per-term contributions are rounded to 6 decimals and summed in
+    decimal(18,6): float addition is order-dependent and a distributed sum
+    has no stable order, so the decimal sum is what makes the score
+    deterministic across partitionings (and bit-comparable to any other
+    engine computing the same formula).  Documents matching no query term
+    score 0 and are kept (left join) — ranking needs the zeros.
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df_") + 0.5) / (F.col("df_") + 0.5) + F.lit(1.0)
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum(contrib.cast("decimal(18,6)")).cast("double").alias("bm25")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(F.col(id_col), F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
+    )

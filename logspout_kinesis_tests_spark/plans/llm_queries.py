@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logspout_kinesis_tests_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_one,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_near_duplicates,
@@ -493,6 +495,165 @@ def c11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c11_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C11+ — TF-IDF / BM25 relevance scoring.
+# --------------------------------------------------------------------------
+@register(
+    "c11_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_,
+           round(tf.tf * (ln((1 + n.n) / (1 + dfreq.df_)) + 1.0), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    """,
+    doc="C11+: per-(doc, term) TF-IDF with smooth idf — one tokenize scan, "
+    "map-combined counts, broadcast df/N joins; scores rounded to 6dp "
+    "(ln differs across runtimes in the last ulp).",
+)
+def c11_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.text_analysis import tfidf_terms
+
+    return tfidf_terms(load_table(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ("join", "filter", "scan")
+
+
+@register(
+    "c11_bm25",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_WORDS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('join', 'filter', 'scan') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(round(
+                   ln((stats.n - dfreq.df_ + 0.5) / (dfreq.df_ + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+    SELECT d.doc_id, coalesce(s.bm25, 0.0) AS bm25
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    doc="C11+: Okapi BM25 of every document vs a query bag — per-term "
+    "contributions rounded to 6dp and summed in decimal(18,6) so the "
+    "distributed sum is order-independent and cross-engine exact.",
+)
+def c11_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.text_analysis import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# --------------------------------------------------------------------------
+# C8+ — duplicate clusters (pairs → connected components → keep-one).
+# --------------------------------------------------------------------------
+
+#: corpus with two planted perturbations per source doc (suffix + prefix):
+#: originals pair with both copies, copies pair with each other → 3-member
+#: clusters, so cluster resolution exercises transitivity, not just pairs.
+_SQL_CLUSTER_CORPUS = """
+    SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, lang, text || ' zz9' FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, lang, 'zz9 ' || text FROM documents WHERE doc_id % 7 = 0
+"""
+
+_SQL_CLUSTER_WORDS = "string_split(lower(text), ' ')"
+_SQL_CLUSTER_SHINGLES = f"""
+    list_distinct(
+      CASE WHEN len({_SQL_CLUSTER_WORDS}) >= 3
+           THEN list_transform(range(1, len({_SQL_CLUSTER_WORDS}) - 1),
+                  i -> array_to_string(list_slice({_SQL_CLUSTER_WORDS}, i, i + 2), ' '))
+           ELSE [lower(text)] END)
+"""
+
+_SQL_CLUSTER_REACH = f"""
+    corpus AS ({_SQL_CLUSTER_CORPUS}),
+    sh AS (SELECT doc_id, lang, {_SQL_CLUSTER_SHINGLES} AS shingles FROM corpus),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+"""
+
+
+def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    src = docs.filter(F.col("doc_id") % 7 == 0)
+    suffix = src.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    prefix = src.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "lang",
+        F.concat(F.lit("zz9 "), F.col("text")).alias("text"),
+    )
+    return src.union(suffix).union(prefix)
+
+
+@register(
+    "c8_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CLUSTER_REACH}
+    SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+    """,
+    doc="C8+: near-dup pairs resolved to clusters — min-label propagation "
+    "connected components (operators/dedup.py::connected_components) vs a "
+    "DuckDB recursive-CTE reachability oracle; transitivity exercised by "
+    "3-member planted clusters.",
+)
+def c8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _cluster_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.3, block_cols=("lang",))
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@register(
+    "c8_dedup_keep_one",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CLUSTER_REACH},
+    losers AS (
+        SELECT id FROM reach GROUP BY id HAVING min(label) <> id
+    )
+    SELECT doc_id, lang FROM corpus WHERE doc_id NOT IN (SELECT id FROM losers)
+    """,
+    doc="C8+: cluster-aware keep-one dedup — every cluster keeps its min-id "
+    "representative, singletons survive untouched.",
+)
+def c8_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _cluster_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.3, block_cols=("lang",))
+    return dedup_keep_one(corpus, pairs).select("doc_id", "lang")
 
 
 # --------------------------------------------------------------------------

@@ -124,3 +124,26 @@ def test_embedding_neardup_refuses_unblocked_all_pairs(spark, sf_dir):
     tiny = emb.limit(20)
     rows = embedding_neardup_pairs(tiny, threshold=-1.0, allow_full_cross=True)
     assert rows.count() == 20 * 19 // 2
+
+
+def test_connected_components_transitivity(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_one,
+    )
+
+    # chain 1-2-3, star 10-{11,12,13}, pair 20-21 → components 1, 10, 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 12, 13, 20, 21, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_one(docs, pairs).collect())
+    # one representative per cluster + untouched singleton 99
+    assert kept == [1, 10, 20, 99]

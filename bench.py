@@ -42,6 +42,11 @@ HEADLINE = (
     "c8_dedup_clusters",
     "c11_tfidf",
     "c11_bm25",
+    "c11_lm_score",
+    "c11_repetition",
+    "c8_decontaminate",
+    "c14_sequence_packing",
+    "c8_semantic_dedup",
 )
 
 

@@ -1,6 +1,7 @@
 """Query plans — importing this package populates the registry."""
 
 from logspout_kinesis_tests_spark.plans import (  # noqa: F401
+    curation_queries,
     etl_queries,
     llm_queries,
     llm_sampling,

@@ -1,0 +1,194 @@
+"""Curation queries (C20+) — repetition quality, decontamination, domain
+mixture, sequence packing, semantic dedup — over the driver tables.
+
+Oracle-exactness policy (same as the rest of the registry):
+- ratios are int ÷ int in IEEE double → bit-exact, compared raw;
+- sqrt is correctly-rounded in both engines → bit-exact;
+- the one float sum (mixture normalizer) goes through 6dp decimal;
+- span arithmetic is all-integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.curation import (
+    contaminated_docs,
+    domain_mixture_weights,
+    repetition_stats,
+    sequence_packing,
+)
+from logspout_kinesis_tests_spark.operators.dedup import (
+    dedup_keep_one,
+    embedding_neardup_pairs,
+)
+from logspout_kinesis_tests_spark.plans.llm_queries import _sql_cos
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+_SQL_W = "string_split(lower(text), ' ')"
+
+
+@register(
+    "c11_repetition",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_W} AS ws FROM documents),
+    base AS (
+        SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(range(1, len(ws) - 1),
+                           i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                    ELSE []::VARCHAR[] END AS tri,
+               CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)),
+                           i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                    ELSE []::VARCHAR[] END AS bg
+        FROM w),
+    bgx AS (SELECT doc_id, bgram, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS bgram FROM base)
+            GROUP BY doc_id, bgram),
+    bgs AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgx GROUP BY doc_id)
+    SELECT b.doc_id, n_words,
+           CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_ratio,
+           CASE WHEN n_bg IS NULL OR n_bg = 0 THEN 0.0
+                ELSE CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE)
+           END AS top_bigram_frac,
+           CASE WHEN len(tri) = 0 THEN 0.0
+                ELSE CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                     / CAST(len(tri) AS DOUBLE)
+           END AS dup_trigram_frac
+    FROM base b LEFT JOIN bgs USING (doc_id)
+    """,
+    doc="C11+/C20: Gopher-style repetition quality metrics — distinct-word "
+    "ratio, top-bigram occupancy, duplicate-trigram fraction (exact "
+    "rationals, bit-exact oracle).",
+)
+def c11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c8_decontaminate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_W} AS ws FROM documents),
+    bench AS (
+        SELECT DISTINCT g AS ngram FROM (
+            SELECT unnest(CASE WHEN len(sw) >= 8
+                  THEN list_distinct(list_transform(range(1, len(sw) - 6),
+                         i -> array_to_string(list_slice(sw, i, i + 7), ' ')))
+                  ELSE []::VARCHAR[] END) AS g
+            FROM (SELECT list_slice(ws, 5, 20) AS sw FROM w WHERE doc_id % 101 = 0))),
+    dg AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+               THEN list_distinct(list_transform(range(1, len(ws) - 6),
+                      i -> array_to_string(list_slice(ws, i, i + 7), ' ')))
+               ELSE []::VARCHAR[] END) AS ngram
+        FROM w)
+    SELECT doc_id, count(*) AS n_hits
+    FROM dg JOIN bench USING (ngram) GROUP BY doc_id
+    """,
+    doc="C8+/C20: test-set decontamination — flag corpus docs sharing any "
+    "word-8-gram with a benchmark snippet set (words 5-20 of every "
+    "doc_id%101 doc); benchmark n-grams broadcast, corpus filtered "
+    "map-side.",
+)
+def c8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 5, 16)).alias("text")
+    )
+    return contaminated_docs(docs, bench)
+
+
+@register(
+    "c14_domain_mixture",
+    oracle="""
+    WITH pd AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_size
+                FROM documents GROUP BY source),
+    tot AS (SELECT sum(total_size) AS g FROM pd),
+    raw AS (SELECT source, n_docs, total_size,
+                   CAST(round(sqrt(CAST(total_size AS DOUBLE) / CAST(g AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS rw
+            FROM pd, tot),
+    z AS (SELECT sum(rw) AS z FROM raw)
+    SELECT source, n_docs, total_size,
+           CAST(rw AS DOUBLE) / CAST(z AS DOUBLE) AS weight
+    FROM raw, z
+    """,
+    doc="C14+/C20: temperature-smoothed (alpha=0.5) domain sampling weights "
+    "— sqrt-of-share normalized over 6dp decimals; the anti-dominance "
+    "mixture rule for multi-source corpora.",
+)
+def c14_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c14_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, substring(md5(text), 1, 1) AS shard,
+                      len({_SQL_W}) AS n_tokens, md5(text) AS h
+               FROM documents),
+    s AS (SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+          FROM t)
+    SELECT doc_id, shard, n_tokens,
+           end_tok - n_tokens AS start_tok,
+           (end_tok - n_tokens) // 256 AS first_chunk,
+           (end_tok - 1) // 256 AS last_chunk
+    FROM s
+    """,
+    doc="C14+/C20: concat-and-chunk sequence packing plan — content-stable "
+    "shard (md5 nibble), deterministic intra-shard order, 256-token "
+    "chunks; emits each doc's token span and chunk range (all-integer, "
+    "bit-exact).",
+)
+def c14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    dupes = [
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding", "label"
+        )
+        for off in (1000000, 2000000)
+    ]
+    return emb.union(dupes[0]).union(dupes[1])
+
+
+@register(
+    "c8_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE av AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 2000000, embedding, label FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM av a JOIN av b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.9),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    losers AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id)
+    SELECT vec_id, label FROM av WHERE vec_id NOT IN (SELECT id FROM losers)
+    """,
+    doc="C8+/C20: SemDeDup-style semantic dedup — label-blocked cosine≥0.9 "
+    "pairs → connected components → keep min-id per cluster; 3-member "
+    "planted clusters exercise transitivity through the embedding path.",
+)
+def c8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _semantic_corpus(spark, sf_dir)
+    pairs = embedding_neardup_pairs(corpus, threshold=0.9, block_cols=("label",)).select(
+        "id_a", "id_b"
+    )
+    return dedup_keep_one(corpus, pairs, id_col="vec_id").select("vec_id", "label")

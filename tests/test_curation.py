@@ -1,0 +1,102 @@
+"""Semantics tests for the curation operators (repetition quality,
+decontamination, domain mixture, sequence packing) on constructed corpora —
+the oracle parity suite covers cross-engine exactness; these pin behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.curation import (
+    contaminated_docs,
+    domain_mixture_weights,
+    repetition_stats,
+    sequence_packing,
+)
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and then the dog sat down"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # degenerate doc: one distinct word, every bigram identical, all
+    # trigrams duplicates of each other
+    assert rows[2]["distinct_word_ratio"] == pytest.approx(1 / 8)
+    assert rows[2]["top_bigram_frac"] == 1.0
+    assert rows[2]["dup_trigram_frac"] == pytest.approx(5 / 6)
+    # natural doc scores low on repetition
+    assert rows[1]["top_bigram_frac"] < 0.3
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    # single-word doc: no bigrams/trigrams -> defined zeros, not null
+    assert rows[3]["top_bigram_frac"] == 0.0
+    assert rows[3]["dup_trigram_frac"] == 0.0
+
+
+def test_decontamination_finds_planted_overlap(spark):
+    eight = "q1 q2 q3 q4 q5 q6 q7 q8"
+    df = spark.createDataFrame(
+        [
+            (1, f"clean words only here nothing shared at all {('x ' * 8).strip()}"),
+            (2, f"prefix words then {eight} then suffix words"),
+            (3, eight + " " + eight),  # two hits of the same gram count once? no:
+            # distinct grams per doc; overlapping repeats collapse
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(eight,)], ["text"])
+    hits = {r["doc_id"]: r["n_hits"] for r in contaminated_docs(df, bench).collect()}
+    assert 1 not in hits
+    assert hits[2] == 1
+    # doc 3 contains the benchmark gram (dedup'd per doc) exactly once
+    assert hits[3] == 1
+
+
+def test_domain_mixture_downweights_dominant_source(spark):
+    df = spark.createDataFrame(
+        [("big", 900)] * 9 + [("small", 100)],
+        ["source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in domain_mixture_weights(df).collect()}
+    assert rows["big"]["weight"] + rows["small"]["weight"] == pytest.approx(1.0)
+    # proportional share would be 0.9879/0.0121; sqrt smoothing pulls the
+    # tail up by ~3x
+    assert rows["small"]["weight"] > 100 / 8200 * 2
+    assert rows["big"]["weight"] < 0.95
+
+
+def test_sequence_packing_spans_are_contiguous_per_shard(spark, sf_dir):
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    packed = sequence_packing(load_table(spark, sf_dir, "documents")).collect()
+    by_shard: dict[str, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 16
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for r in rows:
+            # spans tile the shard's token stream with no gaps or overlaps
+            assert r["start_tok"] == pos
+            pos += r["n_tokens"]
+            assert r["first_chunk"] == r["start_tok"] // 256
+            assert r["last_chunk"] == (pos - 1) // 256
+            assert r["first_chunk"] <= r["last_chunk"]
+
+
+def test_sequence_packing_is_content_stable(spark, sf_dir):
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: (r["shard"], r["start_tok"]) for r in sequence_packing(docs).collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["start_tok"])
+        for r in sequence_packing(docs.repartition(13)).collect()
+    }
+    assert a == b

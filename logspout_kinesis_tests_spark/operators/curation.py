@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from logspout_kinesis_tests_spark.sources.tables import spread_for_compute
+
 
 def repetition_stats(
     df: DataFrame,
@@ -40,7 +42,7 @@ def repetition_stats(
     (id, bigram-hash-sized rows), never document text.
     """
     words = F.split(F.lower(F.col(text_col)), " ")
-    base = df.select(
+    base = spread_for_compute(df).select(
         F.col(id_col),
         words.alias("_w"),
         F.expr(
@@ -124,7 +126,8 @@ def contaminated_docs(
         .distinct()
     )
     doc_grams = (
-        df.select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_w"))
+        spread_for_compute(df)
+        .select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_w"))
         .select(F.col(id_col), F.explode(grams("_w")).alias("ngram"))
     )
     return (

@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
+from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+from logspout_kinesis_tests_spark.sources.tables import spread_for_compute
 
 # --------------------------------------------------------------------------
 # C8 — exact dedup by content hash.
@@ -124,7 +125,9 @@ def minhash_lsh_candidates(
     shuffle moves ids only.
     """
     exploded = with_word_shingles(
-        df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col))),
+        text_col,
+        shingle_n,
     ).select(F.col(id_col), F.explode("shingles").alias("shingle"))
     based = exploded.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     sig = based.groupBy(id_col).agg(
@@ -182,15 +185,25 @@ def ngram_jaccard_pairs(
     with document frequency above the cut (near-dup signal lives in rare
     shingles; this is the standard stop-shingle cut).  AQE's skew-join
     splitting handles residual hot shingles.
+
+    The join key is ``xxhash64(shingle)`` (8 bytes) rather than the shingle
+    string — smaller shuffle rows and long-vs-long join compares.  A 64-bit
+    collision between two distinct shingles of the same pair would perturb
+    one intersection count; at P ≈ (distinct shingles)²/2⁶⁵ this is ~1e-9
+    even at 10⁹ shingles, far below any meaningful threshold boundary.
     """
     base = with_word_shingles(
-        df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col)),
+        spread_for_compute(
+            df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
+        ),
         text_col,
         shingle_n,
     ).drop(text_col)
     sizes = base.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
     inv = base.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.explode("shingles").alias("shingle")
+    ).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.xxhash64("shingle").alias("shingle")
     )
     if max_shingle_df is not None:
         keep = (
@@ -242,7 +255,7 @@ def minhash_near_duplicates(
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     shing = with_word_shingles(
-        df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col))), text_col, shingle_n
     ).drop(text_col)
     a = shing.alias("sa")
     b = shing.alias("sb")
@@ -300,7 +313,7 @@ def winnowing_fingerprints(
     # 500 docs; ~1 s materialized).  The CollapseProject rule keeps multiply
     # -referenced non-cheap aliases un-inlined, so the two-step projection
     # is stable.
-    hashed = df.select(F.col(id_col), F.expr(hashes).alias("_hashes"))
+    hashed = spread_for_compute(df).select(F.col(id_col), F.expr(hashes).alias("_hashes"))
     # min of the window as a flat least() chain — array_min(slice(...))
     # allocates an array per window position; least() stays scalar codegen
     win_min = "least(" + ", ".join(
@@ -420,9 +433,9 @@ def simhash_near_duplicates(
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = with_simhash64(df.select(F.col(id_col), F.col(text_col)), text_col).drop(
-        text_col
-    )
+    sigs = with_simhash64(
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col))), text_col
+    ).drop(text_col)
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -462,6 +475,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     block_cols: tuple[str, ...] = (),
     allow_full_cross: bool = False,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold, blocked (e.g. by a coarse cluster/label
     key) to bound the pair space.
@@ -478,12 +492,39 @@ def embedding_neardup_pairs(
             "cross join (O(n^2)); pass block_cols (label / IVF cell / LSH "
             "bucket) or allow_full_cross=True for tiny corpora."
         )
-    base = df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in block_cols])
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # Per-row norms are folded ONCE at the scan; a row in a k-sized block
+    # otherwise re-folds its norm against every one of its k partners
+    # (higher-order folds are interpreted, not codegen — the dominant cost
+    # of this operator).  ``na * nb`` is bit-identical to the inline
+    # ``l2_norm(a) * l2_norm(b)``, so oracle parity is unaffected.
+    base = spread_for_compute(
+        df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in block_cols])
+    ).withColumn("_norm", l2_norm(F.col(vec_col)))
+    if salt_buckets > 1:
+        # Spread a block's k² pair work over ``salt_buckets`` partitions:
+        # the left row carries one salt, the right side is replicated once
+        # per salt value, so each (a, b) pair meets exactly once and the
+        # shuffle key becomes (block, salt) — parallelism no longer capped
+        # at the number of distinct block keys.  Right-side volume grows
+        # salt_buckets×; pair count (the real cost) is unchanged.
+        a = base.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        ).alias("a")
+        b = base.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        ).alias("b")
+        cond = (F.col("a._salt") == F.col("b._salt")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    denom = F.col("a._norm") * F.col("b._norm")
+    cos = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / denom
+    )
     return (
         a.join(b, cond)
         .select(

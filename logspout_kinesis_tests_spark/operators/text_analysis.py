@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logspout_kinesis_tests_spark.sources.tables import spread_for_compute
+
 #: Shared stopword list (ASCII, matches the synthetic corpus vocabulary).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -245,7 +247,7 @@ def lm_doc_logprob(
     decimal(18,6) (order-independent, cross-engine exact — same policy as
     BM25), then divided by the bigram count.
     """
-    words_df = df.select(
+    words_df = spread_for_compute(df).select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_w")
     ).filter(F.size("_w") >= 2)
     bigrams = words_df.select(

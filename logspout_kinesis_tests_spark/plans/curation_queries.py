@@ -188,7 +188,7 @@ def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _semantic_corpus(spark, sf_dir)
-    pairs = embedding_neardup_pairs(corpus, threshold=0.9, block_cols=("label",)).select(
-        "id_a", "id_b"
-    )
+    pairs = embedding_neardup_pairs(
+        corpus, threshold=0.9, block_cols=("label",), salt_buckets=16
+    ).select("id_a", "id_b")
     return dedup_keep_one(corpus, pairs, id_col="vec_id").select("vec_id", "label")

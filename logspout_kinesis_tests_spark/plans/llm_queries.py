@@ -187,6 +187,7 @@ def c8_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding", "label").union(planted),
         threshold=0.9,
         block_cols=("label",),
+        salt_buckets=16,
     )
 
 

@@ -91,3 +91,16 @@ def test_bucketed_join_runs_without_exchange(spark, sf_dir, tmp_path):
         assert with_bucketing.count() == raw.count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_spread_for_compute_is_split_aware(spark, sf_dir):
+    from logspout_kinesis_tests_spark.sources.tables import load_table, spread_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    # single-row-group parquet -> one split -> respread to core count
+    assert docs.rdd.getNumPartitions() < target
+    assert spread_for_compute(docs).rdd.getNumPartitions() == target
+    # already-parallel input is untouched (no extra Exchange)
+    wide = docs.repartition(target + 4)
+    assert spread_for_compute(wide) is wide

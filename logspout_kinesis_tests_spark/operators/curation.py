@@ -41,27 +41,37 @@ def repetition_stats(
     absorbs the per-doc fan-out map-side, and the shuffle carries
     (id, bigram-hash-sized rows), never document text.
     """
-    words = F.split(F.lower(F.col(text_col)), " ")
-    base = spread_for_compute(df).select(
-        F.col(id_col),
-        words.alias("_w"),
-        F.expr(
-            "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w) - 2), "
-            "i -> concat_ws(' ', slice(_w, i, 3))) ELSE array() END"
-        ).alias("_tri"),
-    ).select(
+    spread = spread_for_compute(df)
+    staged = spread.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_w")
+    )
+    base = staged.select(
         F.col(id_col),
         F.size("_w").alias("n_words"),
         F.size(F.array_distinct("_w")).alias("n_distinct_words"),
-        F.size("_tri").alias("_n_tri"),
-        F.size(F.array_distinct("_tri")).alias("_n_tri_distinct"),
+        # trigram stats stay array-level: sizes only, never exploded
         F.expr(
-            "CASE WHEN size(_w) >= 2 THEN transform(sequence(1, size(_w) - 1), "
-            "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END"
-        ).alias("_bg"),
+            "CASE WHEN size(_w) >= 3 THEN size(_w) - 2 ELSE 0 END"
+        ).alias("_n_tri"),
+        F.expr(
+            "CASE WHEN size(_w) >= 3 THEN size(array_distinct("
+            "transform(sequence(1, size(_w) - 2), "
+            "i -> concat_ws(' ', slice(_w, i, 3))))) ELSE 0 END"
+        ).alias("_n_tri_distinct"),
     )
+    # bigram transform inlined into the explode over the materialized word
+    # array — materializing the bigram array first makes Generate ~5×
+    # slower (SCALE.md scan notes)
     bg_stats = (
-        base.select(F.col(id_col), F.explode("_bg").alias("bigram"))
+        staged.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN transform(sequence(1, size(_w) - 1), "
+                    "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END"
+                )
+            ).alias("bigram"),
+        )
         .groupBy(id_col, "bigram")
         .agg(F.count("*").alias("_c"))
         .groupBy(id_col)

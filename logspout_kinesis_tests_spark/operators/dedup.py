@@ -86,6 +86,43 @@ def with_word_shingles(
     return shingled.drop("_words")
 
 
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One (id, shingle) row per distinct word n-gram — the inverted-index
+    feed, equivalent to ``with_word_shingles(...).select(explode(...))``.
+
+    The shingle transform is inlined INTO the explode over a materialized
+    word array: only ``_words`` is projected, never the shingle array
+    itself.  Materializing the derived array in its own projection before a
+    separate Generate measures ~5× slower (array built, copied, then
+    exploded; see SCALE.md); inlining the *split* instead would re-run it
+    per element (the lambda trap).  This is the fast middle shape.
+    """
+    words = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.split(F.lower(F.col(text_col)), " ").alias("_words"),
+    )
+    shingle_expr = f"""
+        array_distinct(
+          CASE WHEN size(_words) >= {n}
+               THEN transform(sequence(1, size(_words) - {n - 1}),
+                              i -> concat_ws(' ', slice(_words, i, {n})))
+               ELSE array(concat_ws(' ', _words))
+          END)
+    """
+    return words.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.expr(shingle_expr)).alias("shingle"),
+    )
+
+
 # --------------------------------------------------------------------------
 # C9 — MinHash signatures + LSH banding.
 # --------------------------------------------------------------------------
@@ -124,11 +161,12 @@ def minhash_lsh_candidates(
     distinct pairs.  The join key space is the bucket universe, so the
     shuffle moves ids only.
     """
-    exploded = with_word_shingles(
+    exploded = exploded_shingles(
         spread_for_compute(df.select(F.col(id_col), F.col(text_col))),
+        id_col,
         text_col,
         shingle_n,
-    ).select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    )
     based = exploded.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     sig = based.groupBy(id_col).agg(
         F.array(
@@ -192,17 +230,13 @@ def ngram_jaccard_pairs(
     one intersection count; at P ≈ (distinct shingles)²/2⁶⁵ this is ~1e-9
     even at 10⁹ shingles, far below any meaningful threshold boundary.
     """
-    base = with_word_shingles(
-        spread_for_compute(
-            df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
-        ),
-        text_col,
-        shingle_n,
-    ).drop(text_col)
-    sizes = base.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
-    inv = base.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("shingles").alias("shingle")
-    ).select(
+    spread = spread_for_compute(
+        df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
+    )
+    sizes = with_word_shingles(spread, text_col, shingle_n).select(
+        F.col(id_col), F.size("shingles").alias("n_shingles")
+    )
+    inv = exploded_shingles(spread, id_col, text_col, shingle_n, block_cols).select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.xxhash64("shingle").alias("shingle")
     )
     if max_shingle_df is not None:

@@ -235,3 +235,69 @@ def sequence_packing(
         ),
         F.floor((F.col("end_tok") - 1) / chunk_tokens).alias("last_chunk"),
     )
+
+
+def greedy_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bin_tokens: int = 256,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Next-fit bin packing without document splitting: walk each shard's
+    deterministic document order, close the current bin whenever the next
+    document would overflow ``bin_tokens``.  The no-truncation alternative
+    to concat-and-chunk (``sequence_packing``) — each example is whole
+    documents, padded to the context length.
+
+    The bin boundary is a running *stateful* decision (each break depends on
+    the previous break), not a cumsum — inexpressible as a window function,
+    so this is the canonical ``applyInPandas`` operator: one Arrow batch per
+    shard, a vectorized-enough numpy walk inside, output (id, shard, bin,
+    bin_fill).  Docs longer than ``bin_tokens`` get a bin of their own
+    (fill > bin_tokens, flagged ``oversize``).
+
+    Scale: same content-stable sharding as ``sequence_packing``; state
+    never leaves a shard, shards are independent Arrow batches, and the
+    per-shard walk is O(docs) with no Python-per-row boxing (numpy arrays
+    in, numpy arrays out).
+    """
+    import pandas as pd
+
+    toks = F.size(F.split(F.lower(F.col(text_col)), " "))
+    staged = df.select(
+        F.col(id_col),
+        F.substring(F.md5(F.col(text_col)), 1, 1).alias("shard"),
+        toks.alias("n_tokens"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", id_col], kind="mergesort").reset_index(drop=True)
+        sizes = pdf["n_tokens"].to_numpy()
+        bins = []
+        fills = []
+        cur_bin, cur_fill = 0, 0
+        for s in sizes:  # O(shard docs); numpy-typed scalars, no boxing
+            if cur_fill > 0 and cur_fill + s > bin_tokens:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += int(s)
+            bins.append(cur_bin)
+            fills.append(cur_fill)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["_fill"] = pd.Series(fills, dtype="int64")
+        out = pdf.merge(
+            pdf.groupby("bin", as_index=False)["_fill"].max().rename(
+                columns={"_fill": "bin_fill"}
+            ),
+            on="bin",
+        )
+        out["oversize"] = out["n_tokens"] > bin_tokens
+        return out[[id_col, "shard", "n_tokens", "bin", "bin_fill", "oversize"]]
+
+    schema = (
+        f"{id_col} long, shard string, n_tokens int, "
+        "bin long, bin_fill long, oversize boolean"
+    )
+    return staged.groupBy("shard").applyInPandas(pack, schema=schema)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from logspout_kinesis_tests_spark.operators.curation import (
     contaminated_docs,
     domain_mixture_weights,
+    greedy_packing,
     repetition_stats,
     sequence_packing,
 )
@@ -29,11 +30,8 @@ from logspout_kinesis_tests_spark.sources.tables import load_table
 
 _SQL_W = "string_split(lower(text), ' ')"
 
-
-@register(
-    "c11_repetition",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {_SQL_W} AS ws FROM documents),
+#: repetition-metrics SELECT (shared by c11_repetition and the pipeline)
+_SQL_REPETITION = """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
     base AS (
         SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
                CASE WHEN len(ws) >= 3
@@ -58,20 +56,10 @@ _SQL_W = "string_split(lower(text), ' ')"
                 ELSE CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
                      / CAST(len(tri) AS DOUBLE)
            END AS dup_trigram_frac
-    FROM base b LEFT JOIN bgs USING (doc_id)
-    """,
-    doc="C11+/C20: Gopher-style repetition quality metrics — distinct-word "
-    "ratio, top-bigram occupancy, duplicate-trigram fraction (exact "
-    "rationals, bit-exact oracle).",
-)
-def c11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_stats(load_table(spark, sf_dir, "documents"))
+    FROM base b LEFT JOIN bgs USING (doc_id)"""
 
-
-@register(
-    "c8_decontaminate",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {_SQL_W} AS ws FROM documents),
+#: decontamination-hits SELECT (shared by c8_decontaminate and the pipeline)
+_SQL_DECONTAM = """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
     bench AS (
         SELECT DISTINCT g AS ngram FROM (
             SELECT unnest(CASE WHEN len(sw) >= 8
@@ -86,8 +74,23 @@ def c11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE []::VARCHAR[] END) AS ngram
         FROM w)
     SELECT doc_id, count(*) AS n_hits
-    FROM dg JOIN bench USING (ngram) GROUP BY doc_id
-    """,
+    FROM dg JOIN bench USING (ngram) GROUP BY doc_id"""
+
+
+@register(
+    "c11_repetition",
+    oracle=_SQL_REPETITION,
+    doc="C11+/C20: Gopher-style repetition quality metrics — distinct-word "
+    "ratio, top-bigram occupancy, duplicate-trigram fraction (exact "
+    "rationals, bit-exact oracle).",
+)
+def c11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c8_decontaminate",
+    oracle=_SQL_DECONTAM,
     doc="C8+/C20: test-set decontamination — flag corpus docs sharing any "
     "word-8-gram with a benchmark snippet set (words 5-20 of every "
     "doc_id%101 doc); benchmark n-grams broadcast, corpus filtered "
@@ -149,6 +152,18 @@ def c14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "c14_greedy_packing",
+    oracle=None,  # stateful next-fit walk (each break depends on the last)
+    # is not window-expressible; invariants pinned in test_curation.py
+    doc="C14+/C20: next-fit whole-document bin packing via applyInPandas — "
+    "one Arrow batch per content-stable shard, stateful bin-boundary walk "
+    "inside; bins never exceed the budget except single oversize docs.",
+)
+def c14_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return greedy_packing(load_table(spark, sf_dir, "documents"))
+
+
 def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     dupes = [
@@ -192,3 +207,41 @@ def c8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=0.9, block_cols=("label",), salt_buckets=16
     ).select("id_a", "id_b")
     return dedup_keep_one(corpus, pairs, id_col="vec_id").select("vec_id", "label")
+
+
+@register(
+    "c20_curation_pipeline",
+    oracle=f"""
+    SELECT r.doc_id, r.n_words, r.distinct_word_ratio, r.top_bigram_frac
+    FROM ({_SQL_REPETITION}) r
+    LEFT JOIN ({_SQL_DECONTAM}) d ON r.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+      AND r.n_words BETWEEN 10 AND 1000
+      AND r.distinct_word_ratio >= 0.3
+      AND r.top_bigram_frac <= 0.2
+      AND r.dup_trigram_frac <= 0.5
+    """,
+    doc="C20: end-to-end curation pipeline — repetition gates + length gates "
+    "+ benchmark decontamination composed into one kept-documents plan; "
+    "the quality signals and the anti-join all reuse the individually "
+    "verified operators (thresholds compare exact rationals, so the "
+    "boundary carries no float risk).",
+)
+def c20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 5, 16)).alias("text")
+    )
+    rep = repetition_stats(docs)
+    hits = contaminated_docs(docs, bench)
+    return (
+        rep.join(hits, "doc_id", "left_anti")
+        .filter(
+            (F.col("n_words") >= 10)
+            & (F.col("n_words") <= 1000)
+            & (F.col("distinct_word_ratio") >= 0.3)
+            & (F.col("top_bigram_frac") <= 0.2)
+            & (F.col("dup_trigram_frac") <= 0.5)
+        )
+        .select("doc_id", "n_words", "distinct_word_ratio", "top_bigram_frac")
+    )

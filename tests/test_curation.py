@@ -100,3 +100,31 @@ def test_sequence_packing_is_content_stable(spark, sf_dir):
         for r in sequence_packing(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+def test_greedy_packing_invariants(spark, sf_dir):
+    from logspout_kinesis_tests_spark.operators.curation import greedy_packing
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = greedy_packing(docs, bin_tokens=64).collect()
+    assert len(rows) == docs.count()
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (_shard, _bin), members in by_bin.items():
+        fill = sum(r["n_tokens"] for r in members)
+        assert all(r["bin_fill"] == fill for r in members)
+        # a bin only exceeds the budget when it is a single oversize doc
+        if fill > 64:
+            assert len(members) == 1 and members[0]["oversize"]
+    # bins are contiguous 0..max within each shard
+    for shard in {r["shard"] for r in rows}:
+        bins = sorted({r["bin"] for r in rows if r["shard"] == shard})
+        assert bins == list(range(len(bins)))
+    # content-stable: identical layout under a different input partitioning
+    again = {
+        r["doc_id"]: (r["shard"], r["bin"])
+        for r in greedy_packing(docs.repartition(7), bin_tokens=64).collect()
+    }
+    assert again == {r["doc_id"]: (r["shard"], r["bin"]) for r in rows}

@@ -1,3 +1,4 @@
+from logspout_kinesis_tests_spark.streaming.batch_apply import apply_per_batch
 from logspout_kinesis_tests_spark.streaming.sink import (
     FileRecordingClient,
     make_batch_writer,
@@ -9,6 +10,7 @@ from logspout_kinesis_tests_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "apply_per_batch",
     "FileRecordingClient",
     "make_batch_writer",
     "attach_stats_listener",

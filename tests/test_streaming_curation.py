@@ -1,0 +1,68 @@
+"""Batch/stream parity for the curation operators: the SAME operator
+function runs per micro-batch via apply_per_batch, and the union of the
+streamed outputs equals the batch run over the full corpus (row-local
+gates are batch-size-invariant by construction)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.curation import repetition_stats
+from logspout_kinesis_tests_spark.sources.tables import load_table
+from logspout_kinesis_tests_spark.streaming.batch_apply import apply_per_batch
+
+
+def _quality_gate(df):
+    return repetition_stats(df).filter(
+        (F.col("distinct_word_ratio") >= 0.3) & (F.col("top_bigram_frac") <= 0.2)
+    )
+
+
+def test_streamed_curation_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    collected = docs.collect()
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i in range(3):  # 3 source files -> up to 3 micro-batches
+        with open(os.path.join(src_dir, f"docs-{i}.json"), "w") as f:
+            for r in collected[i::3]:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    out_dir = str(tmp_path / "out")
+    q = apply_per_batch(
+        spark,
+        src_dir,
+        str(tmp_path / "ckpt"),
+        "doc_id long, text string",
+        _quality_gate,
+        out_dir,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    streamed = {}
+    for path in glob.glob(os.path.join(out_dir, "epoch=*", "part-*.json")):
+        with open(path) as f:
+            for line in f:
+                row = json.loads(line)
+                streamed[row["doc_id"]] = (
+                    row["n_words"],
+                    round(row["distinct_word_ratio"], 12),
+                    round(row["top_bigram_frac"], 12),
+                )
+    assert len(streamed) > 0
+
+    batch = {
+        r["doc_id"]: (
+            r["n_words"],
+            round(r["distinct_word_ratio"], 12),
+            round(r["top_bigram_frac"], 12),
+        )
+        for r in _quality_gate(docs).collect()
+    }
+    assert streamed == batch

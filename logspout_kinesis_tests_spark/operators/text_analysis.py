@@ -284,3 +284,42 @@ def lm_doc_logprob(
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+def passage_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping word-window passages per document — the splitter feeding
+    context-bounded consumers (embedding models, rerankers, RAG indexes).
+    Windows of ``chunk_words`` start every ``stride`` words; the final
+    window may be short; ``chunk_words - stride`` words overlap.
+
+    All span arithmetic is integer (bit-exact oracle); the window transform
+    is inlined into the explode over the materialized word split (the fast
+    Generate shape, SCALE.md).  One row out per (doc, window): at 100 TB
+    this is a scan-side row multiplier with no shuffle at all.
+    """
+    extra = (
+        f"greatest(0, (size(_w) - {chunk_words} + {stride - 1}) DIV {stride})"
+    )
+    win = (
+        f"transform(sequence(0, {extra}), c -> struct("
+        f"c AS chunk_id, "
+        f"concat_ws(' ', slice(_w, c * {stride} + 1, {chunk_words})) AS chunk_text, "
+        f"least({chunk_words}, size(_w) - c * {stride}) AS n_words))"
+    )
+    return (
+        spread_for_compute(df)
+        .select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_w"))
+        .select(F.col(id_col), F.explode(F.expr(win)).alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_words").alias("n_words"),
+        )
+    )

@@ -245,3 +245,24 @@ def c20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_words", "distinct_word_ratio", "top_bigram_frac")
     )
+
+
+@register(
+    "c11_passage_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_W} AS ws FROM documents),
+    c AS (SELECT doc_id, ws,
+                 greatest(0, (len(ws) - 32 + 23) // 24) AS extra FROM w)
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+           least(32, len(ws) - i * 24) AS n_words
+    FROM c, unnest(range(0, extra + 1)) AS t(i)
+    """,
+    doc="C11+/C20: overlapping passage windows (32 words, stride 24) per "
+    "document — the context-bounded splitter for embedding/RAG consumers; "
+    "all-integer span arithmetic, explode-inlined window transform.",
+)
+def c11_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.text_analysis import passage_chunks
+
+    return passage_chunks(load_table(spark, sf_dir, "documents"))

@@ -128,3 +128,20 @@ def test_greedy_packing_invariants(spark, sf_dir):
         for r in greedy_packing(docs.repartition(7), bin_tokens=64).collect()
     }
     assert again == {r["doc_id"]: (r["shard"], r["bin"]) for r in rows}
+
+
+def test_passage_chunks_overlap_and_tail(spark):
+    from logspout_kinesis_tests_spark.operators.text_analysis import passage_chunks
+
+    words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame([(1, " ".join(words)), (2, "short doc only")], ["doc_id", "text"])
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in passage_chunks(df).collect()}
+    # 50 words, window 32 stride 24 -> chunks at 0 and 24
+    assert {c for (d, c) in rows if d == 1} == {0, 1}
+    assert rows[(1, 0)]["chunk_text"].split(" ") == words[:32]
+    assert rows[(1, 1)]["chunk_text"].split(" ") == words[24:50]
+    assert rows[(1, 1)]["n_words"] == 26  # short tail
+    # overlap: last 8 words of chunk 0 == first 8 of chunk 1
+    assert rows[(1, 0)]["chunk_text"].split(" ")[-8:] == rows[(1, 1)]["chunk_text"].split(" ")[:8]
+    # sub-window doc -> single short chunk
+    assert rows[(2, 0)]["n_words"] == 3 and (2, 1) not in rows

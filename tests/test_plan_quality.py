@@ -104,3 +104,29 @@ def test_spread_for_compute_is_split_aware(spark, sf_dir):
     # already-parallel input is untouched (no extra Exchange)
     wide = docs.repartition(target + 4)
     assert spread_for_compute(wide) is wide
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c8_decontaminate"].build(spark, sf_dir))
+    # eval-sized benchmark n-grams must broadcast; corpus side never SMJs
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    # column pruning: only doc_id/text leave the documents scan
+    assert "source" not in plan and "lang" not in plan
+
+
+def test_sequence_packing_single_shard_shuffle(spark, sf_dir):
+    df = REGISTRY["c14_sequence_packing"].build(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "Window" in plan
+    # per-shard cumsum: one hash exchange on the shard key, nothing else
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_curation_pipeline_stays_broadcast_and_pruned(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c20_curation_pipeline"].build(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "source" not in plan and "lang" not in plan

@@ -288,6 +288,99 @@ def c10_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c10_ivf_recall_gate",
+    # Same self-checking shape as c10_lsh_recall_gate: emits VIOLATION rows,
+    # oracle is the empty relation.  Margins under measurement: agreement
+    # with exact top-5 is 47-50/50 across sf0.001/0.01/0.1 (gate: ≥35);
+    # self-match is structural (a query's own cell is always probed).
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C10: driver-visible IVF recall regression gate — per-query "
+    "self-match (structural) and aggregate top-5 agreement vs the "
+    "oracle-matched exact ranking.",
+)
+def c10_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = cosine_topk(queries, corpus, k=5)
+    ivf = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4)
+    agree = (
+        exact.select("query_id", "vec_id")
+        .join(ivf.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_agree"))
+    )
+    selfmatch = ivf.filter(F.col("query_id") == F.col("vec_id")).select("query_id")
+    self_viol = (
+        queries.select("query_id")
+        .join(selfmatch, "query_id", "left_anti")
+        .select(
+            F.concat(F.lit("self_"), F.col("query_id").cast("string")).alias("gate"),
+            F.lit(0).cast("long").alias("observed"),
+        )
+    )
+    total_viol = (
+        queries.select("query_id")
+        .join(agree, "query_id", "left")
+        .agg(F.sum(F.coalesce("n_agree", F.lit(0))).alias("total"))
+        .filter(F.col("total") < 35)
+        .select(
+            F.lit("total_agreement").alias("gate"),
+            F.col("total").cast("long").alias("observed"),
+        )
+    )
+    return self_viol.unionByName(total_viol)
+
+
+@register(
+    "c9_minhash_recall_gate",
+    # Banding-recall gate: candidates from 16×4 LSH bands must cover ≥90%
+    # of the exact Jaccard≥0.5 pairs on the planted corpus (measured 100%
+    # at sf0.001/0.01/0.1; 1-(1-0.85⁴)¹⁶ ≈ 0.9998 analytically for the
+    # planted perturbation).  Emits the missed pairs when the gate trips.
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C9: driver-visible MinHash banding recall gate — LSH candidates "
+    "vs the oracle-matched exact Jaccard pair set on a planted corpus.",
+)
+def c9_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz9")).alias("text"),
+    )
+    corpus = docs.union(pert)
+    exact = ngram_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    cands = minhash_lsh_candidates(corpus).select("id_a", "id_b")
+    missed = exact.join(cands, ["id_a", "id_b"], "left_anti")
+    counts = exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+    return (
+        counts.filter(F.col("n_missed") * 10 > F.col("n_exact"))  # recall < 0.9
+        .select(
+            F.lit("banding_recall_pct").alias("gate"),
+            (
+                (F.col("n_exact") - F.col("n_missed")) * 100 / F.col("n_exact")
+            )
+            .cast("long")
+            .alias("observed"),
+        )
+    )
+
+
+@register(
     "c8_embedding_neardup_ivf",
     oracle=None,  # blocking cells come from IVF (xxhash-seeded k-means); rows-only.
     doc="C8: embedding near-dup with IVF-cluster blocking instead of a "

@@ -46,7 +46,10 @@ HEADLINE = (
     "c11_repetition",
     "c8_decontaminate",
     "c14_sequence_packing",
+    "c14_greedy_packing",
     "c8_semantic_dedup",
+    "c20_curation_pipeline",
+    "c11_passage_chunks",
 )
 
 

@@ -259,6 +259,10 @@ def lm_doc_logprob(
             )
         ).alias("bg"),
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # The exploded bigram table feeds the model counts, the vocab count AND
+    # the scoring join — materialize it once instead of re-running the
+    # scan+explode for each consumer (measured 1.97 s -> 1.54 s at sf0.1).
+    bigrams = bigrams.localCheckpoint(eager=True)
     bigram_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     prefix_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bigrams.select(F.col("w1").alias("w")).union(

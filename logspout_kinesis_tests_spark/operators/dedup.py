@@ -658,3 +658,36 @@ def dedup_keep_one(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep each cluster's highest-``score_col`` row (ties → lowest id);
+    singletons survive untouched.
+
+    The quality-policy sibling of ``dedup_keep_one``: real pipelines keep
+    the best duplicate (longest, highest LM score, least boilerplate), not
+    the first-seen one.  The window runs ONLY over clustered rows
+    (partition = cluster, tiny by construction); singletons bypass it via
+    an anti-join — routing them through the window would pile every
+    unclustered row into one NULL partition, a single-task sort of nearly
+    the whole corpus.
+    """
+    from pyspark.sql import Window as W
+
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed("id", id_col)
+    in_cluster = df.join(cc, id_col)
+    w = W.partitionBy("component").orderBy(F.col(score_col).desc(), F.col(id_col))
+    best = (
+        in_cluster.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "component")
+    )
+    singles = df.join(cc, id_col, "left_anti")
+    return singles.unionByName(best)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from logspout_kinesis_tests_spark.operators.dedup import (
     connected_components,
+    dedup_keep_best,
     dedup_keep_one,
     embedding_neardup_pairs,
     exact_dedup,
@@ -784,6 +785,36 @@ def c8_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _cluster_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, threshold=0.3, block_cols=("lang",))
     return dedup_keep_one(corpus, pairs).select("doc_id", "lang")
+
+
+@register(
+    "c8_dedup_keep_best",
+    # The planted suffix/prefix copies are 4 chars LONGER than their source,
+    # so the quality policy (longest text wins, ties -> lowest id) picks the
+    # +1000000 suffix copy over the original — observable difference from
+    # keep_one's min-id policy, verified against the windowed oracle.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CLUSTER_REACH},
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+    best AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY comp.component
+                                      ORDER BY length(c.text) DESC, c.doc_id) AS rn
+            FROM corpus c JOIN comp ON c.doc_id = comp.id)
+        WHERE rn = 1)
+    SELECT doc_id, lang FROM corpus
+    WHERE doc_id IN (SELECT doc_id FROM best)
+       OR doc_id NOT IN (SELECT id FROM comp)
+    """,
+    doc="C8+: quality-ranked keep-best dedup — every cluster keeps its "
+    "highest-score (longest-text) member instead of the min id; the window "
+    "runs only over clustered rows, singletons bypass via anti-join.",
+)
+def c8_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _cluster_corpus(spark, sf_dir).withColumn("score", F.length("text"))
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.3, block_cols=("lang",))
+    return dedup_keep_best(corpus, pairs, "score").select("doc_id", "lang")
 
 
 # --------------------------------------------------------------------------

@@ -439,3 +439,84 @@ def tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "c2_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    doc="C2+: explicit GROUPING SETS (asymmetric set list — neither ROLLUP "
+    "nor CUBE) through the native DataFrame.groupingSets API.",
+)
+def c2_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+
+
+@register(
+    "c5_range_frame_window",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS near_sum
+    FROM events
+    """,
+    doc="C5+: value-RANGE window frame (peers included on ties — the frame "
+    "rows are a deterministic set, and the decimal sum is order-free, so "
+    "the oracle matches bit-for-bit).",
+)
+def c5_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("value").rangeBetween(-10, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("near_sum"),
+    )
+
+
+@register(
+    "c6_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT event_type FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT event_type FROM events WHERE event_id % 3 = 0)
+    SELECT 'except_all' AS op, event_type, COUNT(*) AS n
+    FROM (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'intersect_all', event_type, COUNT(*)
+    FROM (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)
+    GROUP BY event_type
+    """,
+    doc="C6+: multiset EXCEPT ALL / INTERSECT ALL (duplicate-preserving set "
+    "ops), compared as per-type multiplicity counts.",
+)
+def c6_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_type")
+    b = ev.filter(F.col("event_id") % 3 == 0).select("event_type")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "event_type", "n")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "event_type", "n")
+    )
+    return ex.unionByName(inter)

@@ -660,6 +660,89 @@ def dedup_keep_one(
     return df.join(losers, id_col, "left_anti")
 
 
+def build_content_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content-hash index of a corpus — the persisted fingerprint
+    table an incremental ingestion pipeline deduplicates against.
+
+    At 100 TB this is the table you keep between crawl refreshes: 32 bytes
+    per distinct document, written bucketed on the hash so the next batch's
+    anti-join is exchange-free on the index side.
+    """
+    return with_content_hash(df, text_col).select("content_sha256").distinct()
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deduplicate an incoming batch against an existing corpus index, then
+    within itself — the crawl-refresh pattern: only genuinely new documents
+    (lowest id per duplicate group) survive.
+
+    Two hash-key shuffles, both carrying (hash, id) only: a left-anti join
+    against the index (AQE broadcasts the index when it fits; bucketing
+    makes it exchange-free otherwise) and a min-id groupBy for batch-
+    internal duplicates.  Document bodies never move — survivors are
+    recovered by a semi-join on ``id_col``.
+    """
+    hashed = with_content_hash(incoming, text_col).select(id_col, "content_sha256")
+    fresh = hashed.join(index.select("content_sha256"), "content_sha256", "left_anti")
+    keep = fresh.groupBy("content_sha256").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return incoming.join(keep, id_col, "left_semi")
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """CCNet-style duplicated-line removal: drop every line whose corpus
+    document frequency exceeds ``max_df`` (boilerplate — headers, cookie
+    banners, navigation), and rebuild each document from its surviving
+    lines in original order.
+
+    Plan shape (100 TB): lines are keyed by md5 so the frequency groupBy
+    shuffles a 32-hex key with map-side combine, never line text; the
+    over-frequent key set (only the duplicated lines) joins back by key —
+    AQE broadcasts it when small; the rebuild groupBy carries each kept
+    line exactly once.  ``collect_list`` skips NULLs, so dropped lines
+    vanish from the rebuild without a second filter pass.
+
+    Returns (id_col, text, n_kept, n_dropped); a fully-boilerplate document
+    comes back with empty text and n_kept = 0 rather than disappearing.
+    """
+    lines = spread_for_compute(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("_k", F.md5(F.col("line")))
+    dup = (
+        lines.groupBy("_k")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_k", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.join(dup, "_k", "left")
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x.getField("line"),
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

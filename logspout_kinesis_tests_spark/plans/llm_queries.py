@@ -20,11 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logspout_kinesis_tests_spark.operators.dedup import (
+    build_content_index,
     connected_components,
     dedup_keep_best,
     dedup_keep_one,
     embedding_neardup_pairs,
     exact_dedup,
+    incremental_dedup,
+    line_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
@@ -815,6 +818,113 @@ def c8_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _cluster_corpus(spark, sf_dir).withColumn("score", F.length("text"))
     pairs = ngram_jaccard_pairs(corpus, threshold=0.3, block_cols=("lang",))
     return dedup_keep_best(corpus, pairs, "score").select("doc_id", "lang")
+
+
+@register(
+    "c8_incremental_dedup",
+    # Crawl-refresh shape: docs with doc_id % 3 = 0 are the already-ingested
+    # corpus (only their hash index participates); the incoming batch is the
+    # rest PLUS planted cross-batch copies (of existing docs, +1000000) that
+    # the index anti-join must drop, PLUS planted within-batch copies
+    # (+2000000) that the min-id groupBy must drop.
+    oracle="""
+    WITH existing AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+    incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+    ),
+    idx AS (SELECT DISTINCT sha256(text) AS h FROM existing),
+    fresh AS (
+        SELECT doc_id, sha256(text) AS h FROM incoming
+        WHERE sha256(text) NOT IN (SELECT h FROM idx)
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY h)
+    SELECT doc_id FROM incoming WHERE doc_id IN (SELECT doc_id FROM keep)
+    """,
+    doc="C8+: incremental ingestion dedup — an incoming batch is"
+    " deduplicated against the persisted content-hash index of the existing"
+    " corpus (left-anti join), then within itself (min-id per hash); only"
+    " genuinely new documents survive.",
+)
+def c8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    incoming = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .union(
+            existing.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .union(
+            docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 1)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    index = build_content_index(existing)
+    return incremental_dedup(incoming, index).select("doc_id")
+
+
+@register(
+    "c8_line_dedup",
+    # "Lines" are 8-word chunks of the planted-duplicate cluster corpus: a
+    # document and its suffix/prefix copies share every interior chunk, so
+    # those lines exceed max_df=1 and are dropped from ALL copies (CCNet
+    # semantics); only the chunks shifted or extended by the planted edit
+    # survive.  string_agg(ORDER BY pos) mirrors the order-preserving
+    # rebuild.
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz9' FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 'zz9 ' || text FROM documents WHERE doc_id % 7 = 0
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    line_rows AS (
+        SELECT doc_id, unnest(generate_series(0, (len(w) + 7) // 8 - 1)) AS pos, w
+        FROM words
+    ),
+    lines AS (
+        SELECT doc_id, pos,
+               array_to_string(w[pos * 8 + 1 : pos * 8 + 8], ' ') AS line
+        FROM line_rows
+    ),
+    dupk AS (SELECT md5(line) AS k FROM lines GROUP BY 1 HAVING COUNT(*) > 1),
+    kept AS (SELECT * FROM lines WHERE md5(line) NOT IN (SELECT k FROM dupk)),
+    agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(a.text, '') AS text,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           t.n_lines - COALESCE(a.n_kept, 0) AS n_dropped
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="C8+: CCNet-style duplicated-line removal — lines occurring in more"
+    " than max_df documents are dropped from every document and the text is"
+    " rebuilt from surviving lines in original order; fully-boilerplate"
+    " documents come back empty rather than disappearing.",
+)
+def c8_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _cluster_corpus(spark, sf_dir)
+    words = corpus.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    lined = words.select(
+        "doc_id",
+        F.expr(
+            "concat_ws('\\n', transform(sequence(0, (size(_w) + 7) DIV 8 - 1),"
+            " c -> concat_ws(' ', slice(_w, c * 8 + 1, 8))))"
+        ).alias("text"),
+    )
+    return line_dedup(lined).select("doc_id", "text", "n_kept", "n_dropped")
 
 
 # --------------------------------------------------------------------------

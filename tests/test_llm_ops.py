@@ -147,3 +147,48 @@ def test_connected_components_transitivity(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_one(docs, pairs).collect())
     # one representative per cluster + untouched singleton 99
     assert kept == [1, 10, 20, 99]
+
+
+def test_line_dedup_drops_boilerplate_preserving_order(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nalpha one\nbeta two"),
+            (2, "COOKIE BANNER\ngamma three\ndelta four"),
+            (3, "COOKIE BANNER"),  # fully boilerplate
+            (4, "epsilon five\nzeta six"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["text"] == "alpha one\nbeta two"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[2]["text"] == "gamma three\ndelta four"
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0  # survives, emptied
+    assert out[4]["text"] == "epsilon five\nzeta six"
+    # max_df=3: the 3x banner is now under threshold and survives everywhere
+    relaxed = {r["doc_id"]: r["text"] for r in line_dedup(docs, max_df=3).collect()}
+    assert relaxed[3] == "COOKIE BANNER"
+
+
+def test_incremental_dedup_batch_vs_index(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        build_content_index,
+        incremental_dedup,
+    )
+
+    index = build_content_index(
+        spark.createDataFrame([(1, "already ingested")], "doc_id long, text string")
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "already ingested"),  # cross-batch dup -> dropped by index
+            (11, "brand new"),
+            (12, "brand new"),  # within-batch dup -> min-id 11 wins
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(incoming, index).collect())
+    assert kept == [11, 13]

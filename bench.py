@@ -50,6 +50,9 @@ HEADLINE = (
     "c8_semantic_dedup",
     "c20_curation_pipeline",
     "c11_passage_chunks",
+    "c8_substring_dedup",
+    "c8_line_dedup",
+    "c8_incremental_dedup",
 )
 
 

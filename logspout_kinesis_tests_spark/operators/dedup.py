@@ -743,6 +743,95 @@ def line_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 16,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): excise every word span of >= ``min_words``
+    words that occurs more than once corpus-wide, from ALL its occurrences,
+    and rebuild the surrounding text.
+
+    Seed-gram reduction instead of suffix arrays (which don't distribute):
+    any duplicated span of >= k words implies every one of its k-word grams
+    is duplicated, so duplicated k-grams mark exactly the duplicated spans.
+    Plan shape (100 TB): overlapping k-grams explode scan-side keyed by md5;
+    the duplicate-key set comes from one map-combined count groupBy and
+    joins back by key (AQE-broadcast when small); per-doc span merging is a
+    window over marked positions only (running max-end), NOT over all words;
+    excision filters the word array in place via a positional lambda — the
+    only per-word work after the gram explode, no second explode.
+
+    Returns (id_col, text, n_words_removed).
+    """
+    k = min_words
+    words = spread_for_compute(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    grams = words.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_w) >= {k} THEN sequence(0, size(_w) - {k}) "
+                "ELSE array() END"
+            )
+        ).alias("pos"),
+    ).withColumn(
+        "_key", F.md5(F.expr(f"concat_ws(' ', slice(_w, pos + 1, {k}))"))
+    ).select(id_col, "pos", "_key")
+    dupk = (
+        grams.groupBy("_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_key")
+    )
+    marks = grams.join(dupk, "_key").select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + k).alias("e")
+    )
+    from pyspark.sql import Window as W
+
+    mw = W.partitionBy(id_col).orderBy("s")
+    spans = (
+        marks.withColumn(
+            "_prev_max", F.max("e").over(mw.rowsBetween(W.unboundedPreceding, -1))
+        )
+        .withColumn(
+            "_grp",
+            F.sum(
+                F.when(
+                    F.col("_prev_max").isNull() | (F.col("s") > F.col("_prev_max")), 1
+                ).otherwise(0)
+            ).over(mw),
+        )
+        .groupBy(id_col, "_grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    return (
+        words.join(spans, id_col, "left")
+        .withColumn("_spans", F.coalesce(F.col("_spans"), F.array()))
+        .withColumn(
+            "_kept",
+            F.filter(
+                "_w",
+                lambda w, i: ~F.exists(
+                    F.col("_spans"),
+                    lambda sp: (i >= sp.getField("s")) & (i < sp.getField("e")),
+                ),
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "_kept").alias(text_col),
+            (F.size("_w") - F.size("_kept")).alias("n_words_removed"),
+        )
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

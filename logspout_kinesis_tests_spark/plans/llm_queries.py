@@ -28,6 +28,7 @@ from logspout_kinesis_tests_spark.operators.dedup import (
     exact_dedup,
     incremental_dedup,
     line_dedup,
+    substring_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
@@ -925,6 +926,84 @@ def c8_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return line_dedup(lined).select("doc_id", "text", "n_kept", "n_dropped")
+
+
+@register(
+    "c8_substring_dedup",
+    # Corpus = all documents + a suffix copy (text + ' zz9') of every 7th:
+    # the copied span is excised from BOTH the original (full coverage ->
+    # empty text) and the copy (everything but the boundary-crossing grams'
+    # word 'zz9'), while untouched documents pass through verbatim.  The
+    # oracle mirrors the seed-gram construction: duplicated 16-gram marks ->
+    # running-max interval merge -> positional NOT EXISTS excision.
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz9' FROM documents WHERE doc_id % 7 = 0
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    grams AS (
+        SELECT doc_id, unnest(generate_series(0, len(w) - 16)) AS pos, w
+        FROM words WHERE len(w) >= 16
+    ),
+    keyed AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos + 1 : pos + 16], ' ')) AS k
+        FROM grams
+    ),
+    dupk AS (SELECT k FROM keyed GROUP BY k HAVING COUNT(*) > 1),
+    marks AS (
+        SELECT doc_id, pos AS s, pos + 16 AS e FROM keyed
+        WHERE k IN (SELECT k FROM dupk)
+    ),
+    m AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM marks
+    ),
+    g AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        FROM m
+    ),
+    merged AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
+    wordrows AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i
+        FROM words
+    ),
+    kept AS (
+        SELECT wr.doc_id, wr.word, wr.i FROM wordrows wr
+        WHERE NOT EXISTS (
+            SELECT 1 FROM merged m2
+            WHERE m2.doc_id = wr.doc_id AND wr.i >= m2.s AND wr.i < m2.e)
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, len(w) AS n_words FROM words)
+    SELECT t.doc_id, COALESCE(r.text, '') AS text,
+           t.n_words - COALESCE(r.n_kept, 0) AS n_words_removed
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="C8+: exact-substring dedup (Lee et al. 2022) — every word span of"
+    " >= 16 words occurring more than once corpus-wide is excised from all"
+    " occurrences via duplicated-16-gram seeds, per-doc running-max interval"
+    " merging, and positional excision; no suffix array needed.",
+)
+def c8_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.union(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+    )
+    return substring_dedup(corpus, min_words=16)
 
 
 # --------------------------------------------------------------------------

@@ -192,3 +192,24 @@ def test_incremental_dedup_batch_vs_index(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_dedup(incoming, index).collect())
     assert kept == [11, 13]
+
+
+def test_substring_dedup_merges_overlapping_spans(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import substring_dedup
+
+    # Docs 1 and 2 share two OVERLAPPING 6-word spans ("c1..c8" via 4-grams
+    # at several seed positions) that must merge into one excised interval;
+    # doc 3 is shorter than k and must pass through untouched.
+    shared = "c1 c2 c3 c4 c5 c6 c7 c8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} u3 u4"),
+            (2, f"v1 {shared} v2 v3 v4"),
+            (3, "w1 w2 w3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, min_words=4).collect()}
+    assert out[1]["text"] == "u1 u2 u3 u4" and out[1]["n_words_removed"] == 8
+    assert out[2]["text"] == "v1 v2 v3 v4" and out[2]["n_words_removed"] == 8
+    assert out[3]["text"] == "w1 w2 w3" and out[3]["n_words_removed"] == 0

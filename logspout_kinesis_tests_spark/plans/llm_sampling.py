@@ -174,3 +174,81 @@ def c11_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", normalized.alias("normalized"))
+
+
+@register(
+    "c14_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+    FROM documents
+    """,
+    doc="C14+: deterministic corpus shuffle for training order — an "
+    "epoch-seeded hash assigns every document a (shard, pos); readers "
+    "consume shards in order for a reproducible global permutation with "
+    "NO global sort: 256 independent shard-local window sorts, each a "
+    "separate partition at 100 TB.",
+)
+def c14_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("shard").orderBy("_k", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("_k"))
+        .withColumn("shard", F.substring("_k", 1, 2))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@register(
+    "c14_token_budget",
+    oracle="""
+    SELECT doc_id, tokens, cum_tokens FROM (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               SUM(len(string_split(text, ' '))) OVER (
+                   ORDER BY md5('bud:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS cum_tokens
+        FROM documents)
+    WHERE cum_tokens <= 12000
+    """,
+    doc="C14+: token-budget truncation — take documents in deterministic "
+    "hash order until the cumulative token count reaches the budget.  The "
+    "global cumsum is computed WITHOUT a global sort: per-shard window "
+    "cumsums plus broadcast exclusive shard-offset prefix sums (the offset "
+    "table is one row per shard — 256 rows at any corpus size); shard "
+    "prefix of the hash key makes shard order align with global key order.",
+)
+def c14_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 12000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+        F.md5(F.concat(F.lit("bud:"), F.col("doc_id").cast("string"))).alias("_k"),
+    ).withColumn("_shard", F.substring("_k", 1, 2))
+    # exclusive prefix sum over the tiny per-shard totals table; the
+    # unpartitioned window is deliberate — it never exceeds 256 rows
+    offs = (
+        docs.groupBy("_shard")
+        .agg(F.sum("tokens").alias("_tot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_tot").over(
+                    W.orderBy("_shard").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_off")
+    )
+    iw = W.partitionBy("_shard").orderBy("_k", "doc_id")
+    return (
+        docs.join(F.broadcast(offs), "_shard")
+        .withColumn("cum_tokens", F.col("_off") + F.sum("tokens").over(iw))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "tokens", "cum_tokens")
+    )

@@ -17,6 +17,7 @@ Oracle notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from logspout_kinesis_tests_spark.operators.dedup import (
@@ -526,6 +527,45 @@ def c11_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c11_quality_percentile_filter",
+    # percent_rank is exact rational arithmetic ((rank-1)/(n-1)) over an
+    # already-bit-exact score with a doc_id tiebreak, so the filter boundary
+    # is deterministic and engine-independent.
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               0.4 * least(1.0, CAST(len({SQL_WORDS}) AS DOUBLE) / 50.0)
+             + 0.3 * (CAST(len(list_intersect(list_distinct({SQL_WORDS}), {SQL_STOP})) AS DOUBLE) / 8.0)
+             + 0.3 * (CAST(len(list_distinct({SQL_WORDS})) AS DOUBLE)
+                        / CAST(len({SQL_WORDS}) AS DOUBLE))
+               AS quality
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, lang, quality,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY quality, doc_id) AS pr
+        FROM scored)
+    SELECT doc_id, lang, quality FROM ranked WHERE pr >= 0.5
+    """,
+    doc="C11+: per-language relative quality filter — keep each language's"
+    " top half by composite quality score via percent_rank, so thresholds"
+    " adapt per stratum instead of one global cutoff.  At 100 TB the exact"
+    " window sort over a dominant language is the cost ceiling; the approx"
+    " path swaps in approx_percentile thresholds + a broadcast join with"
+    " the same filter shape.",
+)
+def c11_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "quality")
+    )
 
 
 @register(

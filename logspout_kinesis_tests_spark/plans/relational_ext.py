@@ -520,3 +520,67 @@ def c6_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "event_type", "n")
     )
     return ex.unionByName(inter)
+
+
+@register(
+    "c3_full_outer_join",
+    # Asymmetric sides (purchases by even users vs errors by users % 3 = 0)
+    # so BOTH null-extended directions actually occur in the result.
+    oracle="""
+    WITH a AS (
+        SELECT user_id, COUNT(*) AS n_purchase FROM events
+        WHERE event_type = 'purchase' AND user_id % 2 = 0 GROUP BY user_id),
+    b AS (
+        SELECT user_id, COUNT(*) AS n_error FROM events
+        WHERE event_type = 'error' AND user_id % 3 = 0 GROUP BY user_id)
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.n_purchase, b.n_error
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    doc="C3: full outer join with both null-extended sides exercised; "
+    "completes the join-type matrix (inner/left/semi/anti/full).",
+)
+def c3_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 0))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchase"))
+    )
+    b = (
+        ev.filter((F.col("event_type") == "error") & (F.col("user_id") % 3 == 0))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_error"))
+        .withColumnRenamed("user_id", "user_id_b")
+    )
+    return a.join(b, F.col("user_id") == F.col("user_id_b"), "full").select(
+        F.coalesce(F.col("user_id"), F.col("user_id_b")).alias("user_id"),
+        "n_purchase",
+        "n_error",
+    )
+
+
+@register(
+    "c2_stat_aggregates",
+    # Second-moment aggregates are accumulation-order-sensitive in the last
+    # few ULPs; 6dp rounding (the TF-IDF trick) absorbs that while still
+    # pinning the statistics.  Verified stable at sf0.01 and sf0.1.
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="C2+: statistical aggregates (sample stddev/variance, correlation, "
+    "covariance) — one map-combined groupBy; partials merge exactly like "
+    "sums at 100 TB.",
+)
+def c2_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+    )

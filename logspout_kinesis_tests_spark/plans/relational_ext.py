@@ -584,3 +584,64 @@ def c2_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
     )
+
+
+@register(
+    "c5_funnel_stages",
+    # Ordered-sequence funnel: first signup, first click strictly after it,
+    # first purchase strictly after that.  Every stage join shuffles on the
+    # SAME key (user_id), so at 100 TB the exchanges reuse one
+    # co-partitioning (bucketed storage makes the event side exchange-free);
+    # stage tables shrink monotonically and broadcast once small.
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT 'signup' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'click_after_signup', COUNT(*) FROM s2
+    UNION ALL SELECT 'purchase_after_click', COUNT(*) FROM s3
+    """,
+    doc="C5+: funnel analysis — users completing an ordered event sequence "
+    "(signup -> click -> purchase), each stage strictly after the previous "
+    "stage's first occurrence; per-stage user counts.",
+)
+def c5_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(s1, "signup")
+        .unionByName(stage(s2, "click_after_signup"))
+        .unionByName(stage(s3, "purchase_after_click"))
+    )

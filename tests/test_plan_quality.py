@@ -130,3 +130,26 @@ def test_curation_pipeline_stays_broadcast_and_pruned(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Cartesian" not in plan
     assert "source" not in plan and "lang" not in plan
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c8_substring_dedup"].build(spark, sf_dir))
+    # dup-key detection must partial-aggregate map-side before its shuffle
+    assert "partial_count" in plan
+    # marks and spans attach via broadcast joins at this scale, never BNLJ
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_broadcasts_shard_offsets(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c14_token_budget"].build(spark, sf_dir))
+    # the 256-row offset table must broadcast; the corpus must not SMJ on it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_partial_aggregates_line_counts(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c8_line_dedup"].build(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

@@ -1,4 +1,7 @@
-from logspout_kinesis_tests_spark.streaming.batch_apply import apply_per_batch
+from logspout_kinesis_tests_spark.streaming.batch_apply import (
+    apply_per_batch,
+    streaming_incremental_dedup,
+)
 from logspout_kinesis_tests_spark.streaming.sink import (
     FileRecordingClient,
     make_batch_writer,
@@ -11,6 +14,7 @@ from logspout_kinesis_tests_spark.streaming.pipeline import (
 
 __all__ = [
     "apply_per_batch",
+    "streaming_incremental_dedup",
     "FileRecordingClient",
     "make_batch_writer",
     "attach_stats_listener",

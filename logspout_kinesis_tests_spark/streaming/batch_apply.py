@@ -61,3 +61,61 @@ def apply_per_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Cross-batch exact dedup for a streamed corpus: each micro-batch is
+    deduplicated against the persisted content-hash index (then within
+    itself), survivors land under ``out_dir/epoch=N/`` and their hashes are
+    appended to ``index_dir`` — the crawl-refresh loop as one flow.
+
+    The surviving SET is batching-invariant when later copies carry higher
+    ids (availableNow may coalesce drip files into one batch; min-id then
+    makes the same choice the index would have).  At 100 TB the index is a
+    bucketed table and the append is a partitioned write; parquet-append
+    per epoch keeps the local flow simple and restart-safe (at-least-once:
+    a replayed epoch re-appends hashes already present, which the distinct
+    read absorbs).
+    """
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        incremental_dedup,
+        with_content_hash,
+    )
+
+    ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        try:
+            index = spark.read.parquet(index_dir).select("content_sha256").distinct()
+        except Exception:  # first epoch: no index yet
+            index = (
+                with_content_hash(bdf.limit(0), text_col).select("content_sha256")
+            )
+        survivors = incremental_dedup(bdf, index, id_col, text_col)
+        survivors.coalesce(1).write.mode("overwrite").json(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        with_content_hash(survivors, text_col).select("content_sha256").write.mode(
+            "append"
+        ).parquet(index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -77,3 +77,38 @@ def test_passage_chunks_reconstruct_document(spark, rows):
             words.extend(got[c].split(" ")[:5])
         words.extend(got[len(got) - 1].split(" "))
         assert words == text.lower().split(" ")
+
+
+@_settings
+@given(rows=corpus)
+def test_line_dedup_identity_under_relaxed_threshold(spark, rows):
+    from logspout_kinesis_tests_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # with max_df >= corpus size nothing is over-frequent: exact identity
+    out = {r["doc_id"]: r for r in line_dedup(df, sep=" ", max_df=10**6).collect()}
+    originals = dict(rows)
+    assert set(out) == set(originals)
+    for doc_id, text in originals.items():
+        assert out[doc_id]["text"] == text
+        assert out[doc_id]["n_dropped"] == 0
+
+
+@_settings
+@given(rows=corpus)
+def test_substring_dedup_word_count_conservation(spark, rows):
+    from logspout_kinesis_tests_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in substring_dedup(df, min_words=4).collect()}
+    originals = dict(rows)
+    assert set(out) == set(originals)
+    for doc_id, text in originals.items():
+        n = len(text.split(" "))
+        kept = out[doc_id]["text"]
+        n_kept = len(kept.split(" ")) if kept else 0
+        # kept + removed always reconstructs the original word count
+        assert n_kept + out[doc_id]["n_words_removed"] == n
+        # removal only happens when a duplicated 4-gram exists somewhere
+        if out[doc_id]["n_words_removed"] > 0:
+            assert n >= 4

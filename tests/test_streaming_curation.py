@@ -66,3 +66,55 @@ def test_streamed_curation_matches_batch(spark, sf_dir, tmp_path):
         for r in _quality_gate(docs).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_incremental_dedup_drops_cross_batch_copies(spark, sf_dir, tmp_path):
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    rows = docs.collect()
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    # batch 0: first 10 docs; batch 1: next 10 + copies of batch 0 under
+    # higher ids; batch 2: last 10 + copies of batch 1 + an intra-batch dup
+    batches = [
+        [(r["doc_id"], r["text"]) for r in rows[:10]],
+        [(r["doc_id"], r["text"]) for r in rows[10:20]]
+        + [(r["doc_id"] + 1_000_000, r["text"]) for r in rows[:5]],
+        [(r["doc_id"], r["text"]) for r in rows[20:30]]
+        + [(r["doc_id"] + 2_000_000, r["text"]) for r in rows[10:15]]
+        + [(rows[20]["doc_id"] + 3_000_000, rows[20]["text"])],
+    ]
+    for i, batch in enumerate(batches):
+        path = os.path.join(src_dir, f"docs-{i}.json")
+        with open(path, "w") as f:
+            for doc_id, text in batch:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        # FileStreamSource orders by modification time; distinct mtimes pin
+        # the arrival order the cross-batch assertions depend on
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    q = streaming_incremental_dedup(
+        spark,
+        src_dir,
+        str(tmp_path / "ckpt"),
+        "doc_id long, text string",
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    survived = set()
+    for path in glob.glob(os.path.join(str(tmp_path / "out"), "epoch=*", "part-*.json")):
+        with open(path) as f:
+            for line in f:
+                survived.add(json.loads(line)["doc_id"])
+    # exactly the 30 originals survive; every planted copy is dropped
+    assert survived == {r["doc_id"] for r in rows}
+    # the index holds one hash per distinct document
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.distinct().count() == 30

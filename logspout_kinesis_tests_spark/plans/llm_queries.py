@@ -197,6 +197,62 @@ def c8_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c8_semantic_decontaminate",
+    # Embedding-space sibling of the n-gram decontamination: the benchmark
+    # embedding set (every 50th vector) is eval-sized -> broadcast; a corpus
+    # row is contaminated when cosine vs ANY benchmark vector >= 0.9.
+    # Contamination planted by re-inserting every 100th benchmark vector
+    # under a shifted id (cosine exactly 1.0); the natural cross-pair
+    # ceiling in this corpus is 0.47, so only planted rows drop.
+    oracle=f"""
+    WITH bench AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 <> 0
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, label FROM embeddings
+        WHERE vec_id % 100 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.vec_id
+        FROM corpus c JOIN bench b
+          ON {_sql_cos('c.embedding', 'b.embedding')} >= 0.9)
+    SELECT vec_id, label FROM corpus
+    WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+    """,
+    doc="C8+: semantic (embedding-space) test-set decontamination — drop"
+    " corpus rows whose embedding is cosine->=0.9 to any benchmark vector;"
+    " broadcast benchmark x one corpus scan (the n-gram decontamination"
+    " shape with vectors), corpus never shuffles.",
+)
+def c8_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("embedding").alias("b_embedding")
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 50 != 0)
+        .select("vec_id", "embedding", "label")
+        .union(
+            emb.filter(F.col("vec_id") % 100 == 0).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+            )
+        )
+    )
+    contaminated = (
+        corpus.crossJoin(F.broadcast(bench))
+        .filter(
+            cosine_similarity(F.col("embedding"), F.col("b_embedding")) >= 0.9
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return corpus.join(contaminated, "vec_id", "left_anti").select("vec_id", "label")
+
+
 # --------------------------------------------------------------------------
 # C10 — similarity search: exact brute-force top-k (oracle-matched) and the
 # LSH-bucketed scale path (rows-only).

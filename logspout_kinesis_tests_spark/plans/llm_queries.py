@@ -198,6 +198,53 @@ def c8_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c11_quality_approx_gate",
+    # The 100 TB path for the percentile filter: approx_percentile per-lang
+    # thresholds + a broadcast join replace the exact per-stratum window
+    # sort.  Self-checking gate shape (violations vs empty oracle): a lang
+    # row appears only when the approx-threshold kept count strays >15%+2
+    # from the exact percent_rank kept count.
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C11+: driver-visible agreement gate between the exact percent_rank"
+    " quality filter and its scale path (approx_percentile thresholds +"
+    " broadcast join, no per-stratum global sort).",
+)
+def c11_quality_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("lang").orderBy("quality", "doc_id")
+    exact_kept = (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    thr = scored.groupBy("lang").agg(
+        F.percentile_approx("quality", 0.5, 1000).alias("thr")
+    )
+    approx_kept = (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_approx"))
+    )
+    return (
+        exact_kept.join(approx_kept, "lang")
+        .filter(
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            > F.lit(0.15) * F.col("n_exact") + F.lit(2)
+        )
+        .select(
+            F.concat(F.lit("lang_"), F.col("lang")).alias("gate"),
+            F.col("n_approx").cast("long").alias("observed"),
+        )
+    )
+
+
+@register(
     "c8_semantic_decontaminate",
     # Embedding-space sibling of the n-gram decontamination: the benchmark
     # embedding set (every 50th vector) is eval-sized -> broadcast; a corpus

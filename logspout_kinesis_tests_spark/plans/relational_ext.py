@@ -726,3 +726,28 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "c2_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY event_type, CAST(FLOOR(value / 10) AS BIGINT)
+    """,
+    doc="C2+: fixed-width value histogram per event type — binning is a "
+    "scan-side expression, so the groupBy shuffles (type, bucket) pairs "
+    "with map-side combine; the canonical distribution profiler at scale.",
+)
+def c2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )

@@ -9,6 +9,7 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
     relational_ext,
     temporal_queries,
     timeseries_queries,
+    tpch_suite,
 )
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

@@ -327,3 +327,51 @@ def passage_chunks(
             F.col("_c.n_words").alias("n_words"),
         )
     )
+
+
+def hashed_linear_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    steepness: float = 8.0,
+) -> DataFrame:
+    """FastText-shaped linear text classifier over hashed bag-of-words.
+
+    The production shape (a fastText/logistic quality filter: hash tokens
+    into a fixed bucket space, average the buckets' learned weights, squash
+    through a sigmoid) with a deterministic stand-in weight table: bucket
+    ``b``'s weight is the Knuth multiplicative hash ``(b * 2654435761) %
+    2**20``, kept in the INTEGER domain until one final division so the
+    doc score is exact under any partitioning / aggregation order.  A real
+    model swaps the arithmetic weight for a broadcast ``bucket -> weight``
+    lookup join — same plan shape, same cost.
+
+    Scale shape: tokenize + hash happen inside the scan projection
+    (explode is a scan-side row multiplier, no shuffle); the only shuffle
+    is the map-combined ``groupBy(id)`` carrying ``(id, int sum, count)``
+    — never text.  Output: ``n_tokens``, ``quality_prob`` (6dp-rounded
+    sigmoid), ``keep`` (prob > 0.5).
+    """
+    tok = spread_for_compute(df).select(
+        F.col(id_col), F.explode(words(text_col)).alias("_w")
+    )
+    bucket = F.conv(F.substring(F.md5("_w"), 1, 4), 16, 10).cast("long") % F.lit(
+        n_buckets
+    )
+    m = (bucket * F.lit(2654435761)) % F.lit(1048576)
+    agg = tok.groupBy(id_col).agg(
+        F.sum(m).alias("_raw"), F.count("*").alias("n_tokens")
+    )
+    mean = F.col("_raw").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(1048576.0)
+    ) - F.lit(0.5)
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-steepness) * mean)), 6
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        prob.alias("quality_prob"),
+        (prob > 0.5).alias("keep"),
+    )

@@ -42,6 +42,7 @@ from logspout_kinesis_tests_spark.operators.similarity import cosine_topk, cosin
 from logspout_kinesis_tests_spark.operators.text_analysis import (
     STOPWORDS,
     fingerprint,
+    hashed_linear_classifier,
     language_id,
     quality_score,
     term_frequencies,
@@ -1232,3 +1233,45 @@ def c13_pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score_udf(F.col("text")).alias("quality"))
+
+
+#: hex-nibble value via instr arithmetic — DuckDB has no hex->int cast, so
+#: the oracle reconstructs the first 4 md5 nibbles positionally (Spark uses
+#: builtin conv(,16,10); identical integers).
+_SQL_NIBBLE = "(instr('0123456789abcdef', substring(md5(w), {i}, 1)) - 1)"
+_SQL_BUCKET = (
+    f"({_SQL_NIBBLE.format(i=1)} * 4096 + {_SQL_NIBBLE.format(i=2)} * 256 + "
+    f"{_SQL_NIBBLE.format(i=3)} * 16 + {_SQL_NIBBLE.format(i=4)})"
+)
+_SQL_PROB = (
+    "round(1.0 / (1.0 + exp(-8.0 * ("
+    "CAST(raw AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1048576.0) - 0.5))), 6)"
+)
+
+
+@register(
+    "c11_linear_classifier",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+    ht AS (
+        SELECT doc_id, ({_SQL_BUCKET} * 2654435761) % 1048576 AS m FROM tok),
+    agg AS (
+        SELECT doc_id, SUM(m) AS raw, COUNT(*) AS n_tokens
+        FROM ht GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           {_SQL_PROB} AS quality_prob,
+           {_SQL_PROB} > 0.5 AS keep
+    FROM agg
+    """,
+    doc="C11+: fastText-shaped hashed bag-of-words linear classifier — "
+    "tokens hash into a 64k bucket space scan-side, per-doc score stays in "
+    "the integer domain through the one map-combined groupBy, final "
+    "sigmoid is a single double op (6dp-rounded for libm parity).  The "
+    "standard learned quality filter applied to pretraining corpora, with "
+    "a deterministic weight table standing in for trained weights.",
+)
+def c11_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_linear_classifier(docs)

@@ -153,3 +153,31 @@ def test_line_dedup_partial_aggregates_line_counts(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["c8_line_dedup"].build(spark, sf_dir))
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_linear_classifier_partial_aggregates_int_domain(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["c11_linear_classifier"].build(spark, sf_dir))
+    # token weights partial-agg map-side; the shuffle carries (id, sum, count)
+    assert "partial_sum" in plan
+    assert "partial_count" in plan
+    # pure codegen: no Python evaluation anywhere in the plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q19_pushes_disjunct_prefixes_to_scans(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["tpch_q19_disjunctive_join"].build(spark, sf_dir))
+    # cross-side OR can't fully push, but single-side implications must:
+    # quantity BETWEEN 1 AND 30 reaches the lineitem scan, the brand/size
+    # OR reaches the part scan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "Or(And(EqualTo(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_shuffle_family_on_orderkey(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["tpch_q21_waiting_suppliers"].build(spark, sf_dir))
+    # supplier + nation broadcast; the fact-side work shuffles on l_orderkey
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

@@ -131,3 +131,58 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+#: Output schema of the segment sampler (video frames / audio chunks).
+SEGMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seg_idx", LongType()),
+        StructField("seg_payload", StringType()),  # decoded for testability
+        StructField("seg_len", LongType()),
+    ]
+)
+
+
+def sample_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    segment_bytes: int = 64,
+    stride_segments: int = 1,
+) -> DataFrame:
+    """Fixed-size segment split + stride sampling over multimodal payloads.
+
+    The video-frame-sampling / audio-chunking plumbing: one payload row in,
+    one row out per kept segment.  A real video decoder replaces the
+    byte-slicer with keyframe extraction (decord/ffmpeg) inside the same
+    ``mapInPandas`` body — the Spark-side shape (Arrow batch in, exploded
+    Arrow batch out, binary pruned upstream unless selected) is identical.
+    ``stride_segments=1`` is contiguous chunking (audio); ``k>1`` keeps
+    every k-th segment (frame sampling).
+
+    Scale shape: a scan-side row multiplier — no shuffle, no state; output
+    row count is bounded by payload_bytes / segment_bytes / stride.
+    Segments decode as ASCII/UTF-8 strings here so the DuckDB oracle can
+    byte-compare them (the corpus is ASCII; a real modality would emit
+    binary).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            segs: list[str] = []
+            lens: list[int] = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                for s in range(0, len(raw), segment_bytes * stride_segments):
+                    seg = raw[s : s + segment_bytes]
+                    ids.append(i)
+                    idxs.append(s // segment_bytes)
+                    segs.append(seg.decode("utf-8", errors="replace"))
+                    lens.append(len(seg))
+            yield pd.DataFrame(
+                {"doc_id": ids, "seg_idx": idxs, "seg_payload": segs, "seg_len": lens}
+            )
+
+    return df.mapInPandas(run, SEGMENTS_SCHEMA)

@@ -37,6 +37,7 @@ from logspout_kinesis_tests_spark.operators.dedup import (
 from logspout_kinesis_tests_spark.operators.multimodal import (
     attach_text_payload,
     extract_features,
+    sample_segments,
 )
 from logspout_kinesis_tests_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from logspout_kinesis_tests_spark.operators.text_analysis import (
@@ -1208,6 +1209,37 @@ def c12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features").getItem(1).alias("f1"),
         F.col("features").getItem(2).alias("f2"),
         F.col("features").getItem(3).alias("f3"),
+    )
+
+
+
+@register(
+    "c12_frame_sample",
+    # Stride-sampled fixed-size segments; ASCII corpus makes the byte slicer
+    # equal to a substring slicer, so the mapInPandas output is exactly
+    # SQL-expressible.
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+                   AS seg_idx
+        FROM documents)
+    SELECT doc_id, seg_idx,
+           substring(text, CAST(seg_idx * 64 + 1 AS INTEGER), 64) AS seg_payload,
+           CAST(length(substring(text, CAST(seg_idx * 64 + 1 AS INTEGER), 64))
+                AS BIGINT) AS seg_len
+    FROM f
+    WHERE seg_idx % 4 = 0
+    """,
+    doc="C12: video-frame-sampling / audio-chunking plumbing — Arrow-batched "
+    "mapInPandas splits each payload into 64-byte segments and keeps every "
+    "4th (a keyframe sampler's plan shape; decord/ffmpeg replaces the "
+    "slicer body in production).  Scan-side row multiplier, zero shuffles.",
+)
+def c12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_segments(
+        attach_text_payload(docs), segment_bytes=64, stride_segments=4
     )
 
 

@@ -536,9 +536,17 @@ def embedding_neardup_pairs(
     # (higher-order folds are interpreted, not codegen — the dominant cost
     # of this operator).  ``na * nb`` is bit-identical to the inline
     # ``l2_norm(a) * l2_norm(b)``, so oracle parity is unaffected.
-    base = spread_for_compute(
-        df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in block_cols])
-    ).withColumn("_norm", l2_norm(F.col(vec_col)))
+    # Cast float→double ONCE per row.  dot_product/l2_norm cast their inputs
+    # defensively; leaving that to the pair join re-allocates a casted copy
+    # of each 64-float array per PARTNER instead of per row (k× the work in
+    # a k-sized block).  Catalyst elides the now-redundant inner cast.
+    base = (
+        spread_for_compute(
+            df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in block_cols])
+        )
+        .withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+        .withColumn("_norm", l2_norm(F.col(vec_col)))
+    )
     if salt_buckets > 1:
         # Spread a block's k² pair work over ``salt_buckets`` partitions:
         # the left row carries one salt, the right side is replicated once

@@ -10,6 +10,7 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
     temporal_queries,
     timeseries_queries,
     tpch_suite,
+    tpch_suite2,
 )
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

@@ -181,3 +181,38 @@ def test_q21_single_shuffle_family_on_orderkey(spark, sf_dir):
     # supplier + nation broadcast; the fact-side work shuffles on l_orderkey
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_tpch2_suite_never_sort_merge_joins(spark, sf_dir):
+    """Q2/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20: every dimension side fits in a
+    broadcast at any scale (part/supplier/nation/region grow sub-linearly
+    in TPC-H), so a SortMergeJoin or an unintended cartesian product in
+    these plans is a regression.  The only non-equi joins allowed are the
+    single-row scalar broadcasts (Q11 total, Q15 max, Q17 avg)."""
+    for name in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_parts",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q20_promotion_suppliers",
+    ):
+        plan = _formatted_plan(REGISTRY[name].build(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q2_decorrelates_to_one_window_shuffle(spark, sf_dir):
+    # the correlated MIN subquery must NOT re-scan the join tree: exactly
+    # one lineitem scan feeds both the candidate rows and the per-part min
+    plan = _formatted_plan(
+        REGISTRY["tpch_q2_min_cost_supplier"].build(spark, sf_dir)
+    )
+    # 5 table scans (li/part/sup/nation/region); formatted explain prints
+    # each node twice (tree + detail), so a re-scanned subquery would push
+    # this past 10
+    assert plan.count("Scan parquet") <= 10
+    assert "Window" in plan

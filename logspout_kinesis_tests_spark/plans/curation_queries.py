@@ -266,3 +266,53 @@ def c11_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.text_analysis import passage_chunks
 
     return passage_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c14_packing_gate",
+    # Violation-rows / empty-oracle shape (see c10_lsh_recall_gate): the
+    # greedy next-fit invariants become driver-checkable without exposing
+    # the applyInPandas walk itself to SQL.
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C14+: driver-visible bin-packing validity gate — every document "
+    "packed exactly once, multi-doc bins never exceed the 256-token budget, "
+    "and bin_fill equals the sum of member token counts; violation rows "
+    "name the broken invariant.",
+)
+def c14_packing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packed = greedy_packing(docs)
+    dup = (
+        packed.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select(
+            F.concat(F.lit("packed_twice_d"), F.col("doc_id").cast("string")).alias("gate"),
+            F.col("n").cast("long").alias("observed"),
+        )
+    )
+    missing = (
+        docs.select("doc_id")
+        .join(packed.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            F.concat(F.lit("missing_d"), F.col("doc_id").cast("string")).alias("gate"),
+            F.lit(0).cast("long").alias("observed"),
+        )
+    )
+    bins = packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.max("bin_fill").alias("fill"),
+        F.sum("n_tokens").alias("tok_sum"),
+    )
+    over = bins.filter((F.col("n_docs") > 1) & (F.col("fill") > 256)).select(
+        F.concat(F.lit("overfull_"), F.col("shard"), F.lit("_b"), F.col("bin").cast("string")).alias("gate"),
+        F.col("fill").cast("long").alias("observed"),
+    )
+    inconsistent = bins.filter(F.col("fill") != F.col("tok_sum")).select(
+        F.concat(F.lit("fill_mismatch_"), F.col("shard"), F.lit("_b"), F.col("bin").cast("string")).alias("gate"),
+        F.col("tok_sum").cast("long").alias("observed"),
+    )
+    return dup.unionByName(missing).unionByName(over).unionByName(inconsistent)

@@ -1307,3 +1307,136 @@ _SQL_PROB = (
 def c11_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return hashed_linear_classifier(docs)
+
+
+# --------------------------------------------------------------------------
+# Driver-visible gates for the remaining hash-family (no-oracle) operators.
+# Shape shared with c10_lsh_recall_gate: the query emits VIOLATION rows
+# (empty when healthy) and the oracle is the empty relation — the driver
+# row goes red iff the property regresses, making the rows-only operators'
+# semantics driver-checkable instead of pytest-only.
+# --------------------------------------------------------------------------
+_EMPTY_GATE_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+"""
+
+
+def _planted_pair_gate(
+    docs: DataFrame, pairs: DataFrame, min_recall_pct: int
+) -> DataFrame:
+    """Violation rows when planted (d, d+2000000) pair coverage drops below
+    ``min_recall_pct`` — the shared scaffold for the SimHash / winnowing
+    recall gates (thresholds carry margin under the per-SF measurements)."""
+    expected = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2000000).alias("id_b"),
+    )
+    found = expected.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "leftsemi")
+    counts = expected.agg(F.count("*").alias("n_expected")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    )
+    return counts.filter(
+        F.col("n_found") * 100 < F.col("n_expected") * min_recall_pct
+    ).select(
+        F.lit("planted_pair_recall_pct").alias("gate"),
+        F.floor(F.col("n_found") * 100 / F.col("n_expected"))
+        .cast("long")
+        .alias("observed"),
+    )
+
+
+@register(
+    "c9_simhash_recall_gate",
+    oracle=_EMPTY_GATE_ORACLE,
+    doc="C9: driver-visible SimHash completeness gate — pigeonhole banding "
+    "GUARANTEES every pair with Hamming≤6 < bands(8) agrees on ≥1 chunk, so "
+    "any planted pair whose directly-computed signature distance is ≤6 but "
+    "absent from the operator output is a violation (theorem, not a "
+    "probabilistic recall); plus a 50% aggregate coverage floor (measured "
+    "65-73% across sf0.001/0.01/0.1 — a 4-char suffix flips >6 bits on "
+    "roughly a third of short docs, which is correct SimHash behavior).",
+)
+def c9_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import with_simhash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz9")).alias("text"),
+    )
+    corpus = docs.union(pert)
+    pairs = simhash_near_duplicates(corpus, max_hamming=6)
+    sigs = with_simhash64(corpus).select("doc_id", "simhash")
+    expected = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 2000000).alias("id_b"),
+        )
+        .join(sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+    )
+    must_find = expected.filter(F.col("hamming") <= 6)
+    completeness_viol = must_find.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).select(
+        F.concat(F.lit("banding_missed_d"), F.col("id_a").cast("string")).alias("gate"),
+        F.col("hamming").cast("long").alias("observed"),
+    )
+    found = expected.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "leftsemi")
+    floor_viol = (
+        expected.agg(F.count("*").alias("n_expected"))
+        .crossJoin(found.agg(F.count("*").alias("n_found")))
+        .filter(F.col("n_found") * 100 < F.col("n_expected") * 50)
+        .select(
+            F.lit("planted_pair_recall_pct").alias("gate"),
+            F.floor(F.col("n_found") * 100 / F.col("n_expected"))
+            .cast("long")
+            .alias("observed"),
+        )
+    )
+    return completeness_viol.unionByName(floor_viol)
+
+
+@register(
+    "c9_winnowing_recall_gate",
+    oracle=_EMPTY_GATE_ORACLE,
+    doc="C9: driver-visible winnowing recall gate — planted 'zz9 '-prefixed "
+    "copies must share ≥5 fingerprints with their originals; violation rows "
+    "when planted-pair coverage < 85%.",
+)
+def c9_winnowing_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        winnowing_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("zz9 "), F.col("text")).alias("text"),
+    )
+    pairs = winnowing_near_duplicates(docs.union(pert))
+    return _planted_pair_gate(docs, pairs, min_recall_pct=85)
+
+
+@register(
+    "c2_hll_error_gate",
+    oracle=_EMPTY_GATE_ORACLE,
+    doc="C2+: driver-visible HyperLogLog error gate — approx_count_distinct"
+    "(user_id, rsd=0.02) per event_type vs the exact distinct count; "
+    "violation rows when relative error exceeds 10% (5×rsd margin).",
+)
+def c2_hll_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    return both.filter(
+        F.abs(F.col("approx") - F.col("exact")) * 10 > F.col("exact")
+    ).select(
+        F.concat(F.lit("hll_"), F.col("event_type")).alias("gate"),
+        F.col("approx").cast("long").alias("observed"),
+    )

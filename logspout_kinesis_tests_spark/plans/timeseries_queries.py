@@ -64,3 +64,37 @@ def c16_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, keys, "user_id", depth=4, width=1024).orderBy(
         "user_id"
     )
+
+
+@register(
+    "c16_cms_error_gate",
+    # Same self-checking shape as the C9/C10 recall gates: violation rows,
+    # empty-relation oracle — red iff a CMS guarantee breaks.
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C16: driver-visible Count-Min guarantee gate — for every user_id, "
+    "estimate >= true count (structural: min over depth rows each >= true) "
+    "and estimate <= true + 3N/width (epsilon = e/width Markov bound with "
+    "margin); violation rows name the offending key.",
+)
+def c16_cms_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    depth, width = 4, 1024
+    sketch = count_min_sketch(ev, "user_id", depth=depth, width=width)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id", depth=depth, width=width)
+    total = ev.agg(F.count("*").alias("n_total"))
+    joined = exact.join(est, "user_id").crossJoin(F.broadcast(total))
+    under = joined.filter(F.col("estimate") < F.col("true_cnt")).select(
+        F.concat(F.lit("underestimate_u"), F.col("user_id").cast("string")).alias("gate"),
+        F.col("estimate").cast("long").alias("observed"),
+    )
+    over = joined.filter(
+        (F.col("estimate") - F.col("true_cnt")) * width > 3 * F.col("n_total")
+    ).select(
+        F.concat(F.lit("overshoot_u"), F.col("user_id").cast("string")).alias("gate"),
+        F.col("estimate").cast("long").alias("observed"),
+    )
+    return under.unionByName(over)

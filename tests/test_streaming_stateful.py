@@ -117,3 +117,77 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
         ("doc-A", 1),
         ("doc-B", 0),
     ]
+
+
+def test_streaming_first_seen_ttl(spark, tmp_path):
+    """transformWithStateInPandas variant: dedup across batches while the
+    TTL is live; a key idle past the TTL is evicted and re-emits.
+
+    The transformWithState state-server protocol needs google.protobuf at
+    runtime (standard on real clusters; absent in this container, where
+    installs are off-limits) — skip rather than fail when it is missing.
+    """
+    import time
+
+    pytest.importorskip("google.protobuf")
+
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_first_seen_ttl,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir)
+
+        def drain() -> None:
+            stream = spark.readStream.schema("v string").json(src)
+            out = streaming_first_seen_ttl(stream, value_col="v", ttl_ms=3000)
+
+            def collect(df, batch_id):
+                emitted = [
+                    (r["value"], r["n_duplicates_dropped"]) for r in df.collect()
+                ]
+                if emitted:
+                    with open(
+                        os.path.join(out_dir, f"emit-{batch_id}.json"), "w"
+                    ) as f:
+                        json.dump(emitted, f)
+
+            q = (
+                out.writeStream.foreachBatch(collect)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        _write_events(os.path.join(src, "b1.json"), [{"v": "doc-A"}, {"v": "doc-A"}])
+        drain()
+        # within TTL: re-delivery is dropped, new key emits
+        _write_events(os.path.join(src, "b2.json"), [{"v": "doc-A"}, {"v": "doc-B"}])
+        drain()
+        # past TTL: doc-A's marker was evicted → re-emits
+        time.sleep(5)
+        _write_events(os.path.join(src, "b3.json"), [{"v": "doc-A"}])
+        drain()
+
+        import glob
+
+        emitted: list[tuple[str, int]] = []
+        for path in sorted(glob.glob(os.path.join(out_dir, "emit-*.json"))):
+            with open(path) as f:
+                emitted.extend((v, n) for v, n in json.load(f))
+        assert emitted == [("doc-A", 1), ("doc-B", 0), ("doc-A", 0)], emitted
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

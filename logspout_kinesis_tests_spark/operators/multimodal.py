@@ -186,3 +186,134 @@ def sample_segments(
             )
 
     return df.mapInPandas(run, SEGMENTS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Header-level binary decode — real format parsing, pure JVM expressions.
+# --------------------------------------------------------------------------
+def _hex_be(col, n_bytes: int):
+    """Big-endian fixed-width uppercase hex of a non-negative integer col."""
+    return F.lpad(F.hex(col), 2 * n_bytes, "0")
+
+
+def _hex_le(col, n_bytes: int):
+    """Little-endian fixed-width hex: per-byte slices of the BE hex,
+    reversed — stays a flat concat of substrings (codegen-friendly)."""
+    be = _hex_be(col, n_bytes)
+    return F.concat(*[F.substring(be, 2 * (n_bytes - 1 - i) + 1, 2) for i in range(n_bytes)])
+
+
+def _le_int(hexstr, first_hex_pos: int, n_bytes: int):
+    """Parse an n-byte little-endian unsigned int from a hex-string column
+    (1-based hex position of the first byte)."""
+    total = F.lit(0)
+    for i in range(n_bytes):
+        byte = F.conv(F.substring(hexstr, first_hex_pos + 2 * i, 2), 16, 10).cast("long")
+        total = total + byte * F.lit(256**i)
+    return total
+
+
+def synth_png_payload(
+    df: DataFrame, width_col: str = "width", height_col: str = "height"
+) -> DataFrame:
+    """Attach a structurally-valid PNG signature + IHDR chunk as ``payload``
+    (binary).  CRC is a zero placeholder — header-level synthesis for
+    decode testing, documented as such; everything else is bytewise real
+    (8-byte signature, big-endian 13-byte IHDR with the given dims, 8-bit
+    RGBA).  Pure ``unhex(concat(...))`` — no Python in the loop.
+    """
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A"),        # PNG signature
+        F.lit("0000000D"),                # IHDR length = 13
+        F.lit("49484452"),                # "IHDR"
+        _hex_be(F.col(width_col), 4),
+        _hex_be(F.col(height_col), 4),
+        F.lit("08"),                      # bit depth
+        F.lit("06"),                      # color type RGBA
+        F.lit("000000"),                  # compression/filter/interlace
+        F.lit("00000000"),                # CRC placeholder (not verified)
+    )
+    return df.withColumn("payload", F.unhex(hexstr))
+
+
+def parse_png_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode PNG IHDR metadata from the binary payload — signature check,
+    big-endian dims, bit depth, color type — as scan-side expressions.
+
+    This is the real first pass of any 100 TB image-corpus job (dimension /
+    format filters BEFORE handing surviving bytes to a decoder): hex slicing
+    + conv stay inside whole-stage codegen, the binary column is read once,
+    and no bytes cross into Python.  Malformed payloads yield
+    ``png_valid=false`` with NULL dims (PERMISSIVE-style, same policy as
+    the A19 quarantine path).
+    """
+    h = F.hex(F.col(payload_col))
+    valid = (F.substring(h, 1, 16) == "89504E470D0A1A0A") & (
+        F.substring(h, 25, 8) == "49484452"
+    )
+    return (
+        df.withColumn("png_valid", valid)
+        .withColumn(
+            "png_width",
+            F.when(valid, F.conv(F.substring(h, 33, 8), 16, 10).cast("long")),
+        )
+        .withColumn(
+            "png_height",
+            F.when(valid, F.conv(F.substring(h, 41, 8), 16, 10).cast("long")),
+        )
+        .withColumn(
+            "bit_depth",
+            F.when(valid, F.conv(F.substring(h, 49, 2), 16, 10).cast("long")),
+        )
+        .withColumn(
+            "color_type",
+            F.when(valid, F.conv(F.substring(h, 51, 2), 16, 10).cast("long")),
+        )
+    )
+
+
+def synth_wav_payload(
+    df: DataFrame, rate_col: str = "sample_rate", channels_col: str = "channels"
+) -> DataFrame:
+    """Attach a structurally-valid RIFF/WAVE header (44-byte canonical PCM
+    layout, zero data bytes) as ``payload``.  All multi-byte fields are
+    little-endian, 16-bit PCM; byte rate and block align derived from the
+    given rate/channels.  Pure expression synthesis, like the PNG path.
+    """
+    ch = F.col(channels_col).cast("long")
+    sr = F.col(rate_col).cast("long")
+    hexstr = F.concat(
+        F.lit("52494646"),                # "RIFF"
+        _hex_le(F.lit(36), 4),            # chunk size (36 + 0 data)
+        F.lit("57415645"),                # "WAVE"
+        F.lit("666D7420"),                # "fmt "
+        _hex_le(F.lit(16), 4),            # fmt chunk size
+        _hex_le(F.lit(1), 2),             # PCM
+        _hex_le(ch, 2),
+        _hex_le(sr, 4),
+        _hex_le(sr * ch * 2, 4),          # byte rate (16-bit samples)
+        _hex_le(ch * 2, 2),               # block align
+        _hex_le(F.lit(16), 2),            # bits per sample
+        F.lit("64617461"),                # "data"
+        _hex_le(F.lit(0), 4),             # data size
+    )
+    return df.withColumn("payload", F.unhex(hexstr))
+
+
+def parse_wav_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode RIFF/WAVE fmt metadata (audio format, channels, sample rate,
+    bits per sample) from the binary payload — little-endian parsing as
+    scan-side expressions, same scale rationale as ``parse_png_header``."""
+    h = F.hex(F.col(payload_col))
+    valid = (
+        (F.substring(h, 1, 8) == "52494646")
+        & (F.substring(h, 17, 8) == "57415645")
+        & (F.substring(h, 25, 8) == "666D7420")
+    )
+    return (
+        df.withColumn("wav_valid", valid)
+        .withColumn("audio_format", F.when(valid, _le_int(h, 41, 2)))
+        .withColumn("channels", F.when(valid, _le_int(h, 45, 2)))
+        .withColumn("sample_rate", F.when(valid, _le_int(h, 49, 4)))
+        .withColumn("bits_per_sample", F.when(valid, _le_int(h, 69, 2)))
+    )

@@ -1440,3 +1440,131 @@ def c2_hll_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("hll_"), F.col("event_type")).alias("gate"),
         F.col("approx").cast("long").alias("observed"),
     )
+
+
+# --------------------------------------------------------------------------
+# C12 — header-level binary decode (real format parsing, zero UDFs).
+# --------------------------------------------------------------------------
+@register(
+    "c12_png_header_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + doc_id % 1904 AS w, 16 + doc_id % 1064 AS h
+        FROM documents),
+    pay AS (
+        SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN from_hex('DEADBEEF')
+            ELSE from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
+                          || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0')
+                          || '08' || '06' || '000000' || '00000000') END AS payload
+        FROM dims),
+    hx AS (SELECT doc_id, hex(payload) AS hh FROM pay),
+    chk AS (
+        SELECT doc_id, hh,
+               substring(hh, 1, 16) = '89504E470D0A1A0A'
+               AND substring(hh, 25, 8) = '49484452' AS png_valid
+        FROM hx)
+    SELECT doc_id, png_valid,
+           CASE WHEN png_valid THEN ('0x' || substring(hh, 33, 8))::BIGINT END AS png_width,
+           CASE WHEN png_valid THEN ('0x' || substring(hh, 41, 8))::BIGINT END AS png_height,
+           CASE WHEN png_valid THEN ('0x' || substring(hh, 49, 2))::BIGINT END AS bit_depth,
+           CASE WHEN png_valid THEN ('0x' || substring(hh, 51, 2))::BIGINT END AS color_type
+    FROM chk
+    """,
+    doc="C12: real PNG IHDR decode — synthesize structurally-valid PNG "
+    "headers (planted corrupt payloads every 50th doc), then parse "
+    "signature/dims/depth/color entirely in scan-side JVM expressions "
+    "(hex slicing + conv; no UDF, binary never crosses to Python).  The "
+    "dimension-filter first pass of a 100 TB image-corpus job.",
+)
+def c12_png_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        parse_png_header,
+        synth_png_payload,
+    )
+
+    dims = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 1904).alias("width"),
+        (F.lit(16) + F.col("doc_id") % 1064).alias("height"),
+    )
+    payloads = synth_png_payload(dims).withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 50 == 0, F.unhex(F.lit("DEADBEEF"))).otherwise(
+            F.col("payload")
+        ),
+    )
+    return parse_png_header(payloads).select(
+        "doc_id", "png_valid", "png_width", "png_height", "bit_depth", "color_type"
+    )
+
+
+@register(
+    "c12_wav_header_decode",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+               1 + doc_id % 2 AS ch
+        FROM documents),
+    pay AS (
+        SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN from_hex('00') ELSE from_hex(
+            '52494646' || '24000000' || '57415645' || '666D7420' || '10000000'
+            || '0100'
+            || substring(lpad(hex(ch), 4, '0'), 3, 2) || substring(lpad(hex(ch), 4, '0'), 1, 2)
+            || substring(lpad(hex(sr), 8, '0'), 7, 2) || substring(lpad(hex(sr), 8, '0'), 5, 2)
+            || substring(lpad(hex(sr), 8, '0'), 3, 2) || substring(lpad(hex(sr), 8, '0'), 1, 2)
+            || substring(lpad(hex(sr * ch * 2), 8, '0'), 7, 2) || substring(lpad(hex(sr * ch * 2), 8, '0'), 5, 2)
+            || substring(lpad(hex(sr * ch * 2), 8, '0'), 3, 2) || substring(lpad(hex(sr * ch * 2), 8, '0'), 1, 2)
+            || substring(lpad(hex(ch * 2), 4, '0'), 3, 2) || substring(lpad(hex(ch * 2), 4, '0'), 1, 2)
+            || '1000' || '64617461' || '00000000') END AS payload
+        FROM src),
+    hx AS (SELECT doc_id, hex(payload) AS hh FROM pay),
+    chk AS (
+        SELECT doc_id, hh,
+               substring(hh, 1, 8) = '52494646'
+               AND substring(hh, 17, 8) = '57415645'
+               AND substring(hh, 25, 8) = '666D7420' AS wav_valid
+        FROM hx)
+    SELECT doc_id, wav_valid,
+           CASE WHEN wav_valid THEN ('0x' || substring(hh, 41, 2))::BIGINT
+                + 256 * ('0x' || substring(hh, 43, 2))::BIGINT END AS audio_format,
+           CASE WHEN wav_valid THEN ('0x' || substring(hh, 45, 2))::BIGINT
+                + 256 * ('0x' || substring(hh, 47, 2))::BIGINT END AS channels,
+           CASE WHEN wav_valid THEN ('0x' || substring(hh, 49, 2))::BIGINT
+                + 256 * ('0x' || substring(hh, 51, 2))::BIGINT
+                + 65536 * ('0x' || substring(hh, 53, 2))::BIGINT
+                + 16777216 * ('0x' || substring(hh, 55, 2))::BIGINT END AS sample_rate,
+           CASE WHEN wav_valid THEN ('0x' || substring(hh, 69, 2))::BIGINT
+                + 256 * ('0x' || substring(hh, 71, 2))::BIGINT END AS bits_per_sample
+    FROM chk
+    """,
+    doc="C12: real RIFF/WAVE fmt decode — synthesize canonical 44-byte PCM "
+    "headers (planted truncated payloads every 37th doc), then parse the "
+    "little-endian fmt fields scan-side (per-byte hex slices + positional "
+    "arithmetic; no UDF).  The audio-metadata first pass before any "
+    "sample-level decode.",
+)
+def c12_wav_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        parse_wav_header,
+        synth_wav_payload,
+    )
+
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END"
+        ).alias("sample_rate"),
+        (F.lit(1) + F.col("doc_id") % 2).alias("channels"),
+    )
+    payloads = synth_wav_payload(src).withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 37 == 0, F.unhex(F.lit("00"))).otherwise(
+            F.col("payload")
+        ),
+    )
+    return parse_wav_header(payloads.drop("sample_rate", "channels")).select(
+        "doc_id", "wav_valid", "audio_format", "channels", "sample_rate", "bits_per_sample"
+    )

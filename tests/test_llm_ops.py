@@ -213,3 +213,52 @@ def test_substring_dedup_merges_overlapping_spans(spark):
     assert out[1]["text"] == "u1 u2 u3 u4" and out[1]["n_words_removed"] == 8
     assert out[2]["text"] == "v1 v2 v3 v4" and out[2]["n_words_removed"] == 8
     assert out[3]["text"] == "w1 w2 w3" and out[3]["n_words_removed"] == 0
+
+
+def test_png_wav_header_roundtrip(spark):
+    """Planted dims/rates survive the synth → binary → parse round trip;
+    corrupt payloads come back invalid with NULL fields."""
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        parse_png_header,
+        parse_wav_header,
+        synth_png_payload,
+        synth_wav_payload,
+    )
+
+    src = spark.range(3).select(
+        F.col("id"),
+        (F.lit(100) + F.col("id")).alias("width"),
+        (F.lit(200) + F.col("id")).alias("height"),
+    )
+    png = {r["id"]: r for r in parse_png_header(synth_png_payload(src)).collect()}
+    assert png[2]["png_valid"] and png[2]["png_width"] == 102 and png[2]["png_height"] == 202
+    assert all(r["bit_depth"] == 8 and r["color_type"] == 6 for r in png.values())
+
+    # a real PNG header parses too (not just our own synthesis): 1x1 RGBA
+    real = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    )
+    row = parse_png_header(
+        spark.createDataFrame([(real,)], "payload binary")
+    ).collect()[0]
+    assert row["png_valid"] and row["png_width"] == 1 and row["png_height"] == 1
+
+    wav_src = spark.range(2).select(
+        F.col("id"),
+        F.lit(44100).alias("sample_rate"),
+        (F.lit(1) + F.col("id")).alias("channels"),
+    )
+    parsed = parse_wav_header(
+        synth_wav_payload(wav_src).drop("sample_rate", "channels")
+    ).collect()
+    by_id = {r["id"]: r for r in parsed}
+    assert by_id[1]["wav_valid"] and by_id[1]["sample_rate"] == 44100
+    assert by_id[1]["channels"] == 2 and by_id[1]["bits_per_sample"] == 16
+    assert by_id[1]["audio_format"] == 1
+
+    bad = parse_wav_header(
+        spark.createDataFrame([(b"\x00",)], "payload binary")
+    ).collect()[0]
+    assert not bad["wav_valid"] and bad["sample_rate"] is None

@@ -216,3 +216,15 @@ def test_q2_decorrelates_to_one_window_shuffle(spark, sf_dir):
     # this past 10
     assert plan.count("Scan parquet") <= 10
     assert "Window" in plan
+
+
+def test_header_decode_stays_jvm_side(spark, sf_dir):
+    """C12 header decode: the whole synth+parse pipeline is scan-side
+    expressions — no Python evaluation node, no shuffle, single codegen
+    stage over the scan."""
+    for name in ("c12_png_header_decode", "c12_wav_header_decode"):
+        plan = _formatted_plan(REGISTRY[name].build(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Exchange" not in plan, name
+        # formatted mode marks codegen stages with a '*' node prefix
+        assert "* Project" in plan, name

@@ -142,3 +142,72 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization — the ANN memory lever (float32 → int8 is 4× less
+# shuffle/cache footprint; at 100 TB the corpus-side vectors dominate both).
+# --------------------------------------------------------------------------
+def with_quantized_embedding(
+    df: DataFrame, vec_col: str = "embedding", out: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(127·x_i/max|x|).
+
+    The scale factor cancels inside cosine, so ranking needs no dequantize
+    step and no side table of scales.  Pure array expressions (transform +
+    aggregate) — runs scan-side, codegen, deterministic: identical
+    arithmetic is expressible in the DuckDB oracle, so the quantizer itself
+    is hash-verified, not just recall-gated.
+    """
+    maxabs = (
+        f"greatest(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), CAST(1e-30 AS DOUBLE))"
+    )
+    return df.withColumn(
+        out,
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(127.0 * CAST(x AS DOUBLE) "
+            f"/ {maxabs}) AS INT))"
+        ),
+    )
+
+
+def _int_cosine(a: str, b: str):
+    """Cosine over two int8-quantized arrays: integer dot and norms (127²·64
+    ≈ 10⁶ per term — far inside long range), one double division at the end."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS LONG) * y), 0L, (p, q) -> p + q)"
+    na = f"sqrt(CAST(aggregate({a}, 0L, (p, x) -> p + CAST(x AS LONG) * x) AS DOUBLE))"
+    nb = f"sqrt(CAST(aggregate({b}, 0L, (p, x) -> p + CAST(x AS LONG) * x) AS DOUBLE))"
+    return F.expr(f"CAST({dot} AS DOUBLE) / ({na} * {nb})")
+
+
+def cosine_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-shape top-k over int8-quantized vectors — same broadcast-
+    queries / one-corpus-scan plan as ``cosine_topk``, but the corpus-side
+    payload carried through the scan and ranking is 64 bytes/vector instead
+    of 256 (plus the text of the float array in memory).  Ranking quality
+    vs full-precision is pinned by ``c10_quantization_gate``."""
+    q = with_quantized_embedding(
+        queries.select(F.col(query_id), F.col(vec_col)), vec_col, "q_q"
+    ).drop(vec_col)
+    c = with_quantized_embedding(
+        corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col, "q_c"
+    ).drop(vec_col)
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        _int_cosine("q_q", "q_c").alias("qcosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("qcosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "qcosine", "rank")
+    )

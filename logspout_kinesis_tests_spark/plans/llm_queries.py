@@ -1568,3 +1568,112 @@ def c12_wav_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_wav_header(payloads.drop("sample_rate", "channels")).select(
         "doc_id", "wav_valid", "audio_format", "channels", "sample_rate", "bits_per_sample"
     )
+
+
+# --------------------------------------------------------------------------
+# C10 — int8 scalar quantization (hash-verified quantizer + recall gate).
+# --------------------------------------------------------------------------
+#: DuckDB mirror of operators.similarity.with_quantized_embedding + integer
+#: cosine — identical arithmetic, so values hash-match bit-exactly.
+_SQL_QUANT = (
+    "list_transform({v}, x -> CAST(round(127.0 * CAST(x AS DOUBLE) / "
+    "greatest(list_reduce(list_transform({v}, y -> abs(CAST(y AS DOUBLE))), "
+    "(a, b) -> greatest(a, b)), CAST(1e-30 AS DOUBLE))) AS INT))"
+)
+
+
+def _sql_int_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS BIGINT) * x[2]), (p, q) -> p + q)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(CAST(list_reduce(list_transform({v}, "
+            f"x -> CAST(x AS BIGINT) * x), (p, q) -> p + q) AS DOUBLE))"
+        )
+
+    return f"CAST({dot} AS DOUBLE) / ({norm(a)} * {norm(b)})"
+
+
+@register(
+    "c10_quantized_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {_SQL_QUANT.format(v="embedding")} AS qv
+        FROM embeddings WHERE vec_id < 10),
+    c AS (
+        SELECT vec_id, {_SQL_QUANT.format(v="embedding")} AS qv
+        FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_sql_int_cos('q.qv', 'c.qv')} AS qcosine
+        FROM q CROSS JOIN c),
+    ranked AS (
+        SELECT query_id, vec_id, qcosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcosine DESC, vec_id) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, qcosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="C10: int8-quantized cosine top-5 — the quantizer (symmetric "
+    "per-vector round(127·x/max|x|)) and the integer-dot cosine are both "
+    "mirrored in DuckDB arithmetic, so the whole quantized ranking is "
+    "hash-verified bit-exactly, not just recall-gated.  4× smaller "
+    "corpus-side payload at scale.",
+)
+def c10_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_quantized(queries, emb.select("vec_id", "embedding"), k=5)
+
+
+@register(
+    "c10_quantization_gate",
+    oracle=_EMPTY_GATE_ORACLE,
+    doc="C10: driver-visible quantization-quality gate — int8 top-5 must "
+    "keep every query's structural self-match and agree with the "
+    "full-precision exact top-5 on ≥40/50 neighbors (measured 49-50/50 "
+    "across sf0.001/0.01/0.1).",
+)
+def c10_quantization_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = cosine_topk(queries, corpus, k=5)
+    quant = cosine_topk_quantized(queries, corpus, k=5)
+    self_viol = (
+        queries.select("query_id")
+        .join(
+            quant.filter(F.col("query_id") == F.col("vec_id")).select("query_id"),
+            "query_id",
+            "left_anti",
+        )
+        .select(
+            F.concat(F.lit("self_"), F.col("query_id").cast("string")).alias("gate"),
+            F.lit(0).cast("long").alias("observed"),
+        )
+    )
+    agree = (
+        exact.select("query_id", "vec_id")
+        .join(quant.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi")
+        .agg(F.count("*").alias("total"))
+    )
+    total_viol = agree.filter(F.col("total") < 40).select(
+        F.lit("total_agreement").alias("gate"),
+        F.col("total").cast("long").alias("observed"),
+    )
+    return self_viol.unionByName(total_viol)

@@ -262,3 +262,26 @@ def test_png_wav_header_roundtrip(spark):
         spark.createDataFrame([(b"\x00",)], "payload binary")
     ).collect()[0]
     assert not bad["wav_valid"] and bad["sample_rate"] is None
+
+
+def test_int8_quantization_semantics(spark):
+    """Quantized values are round(127·x/max|x|) with the max element hitting
+    ±127 exactly; quantized cosine of a vector with itself is 1.0."""
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.similarity import (
+        cosine_topk_quantized,
+        with_quantized_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    rows = {r["id"]: r["qvec"] for r in with_quantized_embedding(df).collect()}
+    assert rows[1] == [64, -127, 32, 0]  # round(127/2)=64, round(127*0.25)=32
+    assert rows[2] == [0, 0, 0, 0]  # zero vector survives (1e-30 floor)
+
+    q = df.filter("id = 1").selectExpr("id AS query_id", "embedding")
+    top = cosine_topk_quantized(q, df.filter("id = 1").selectExpr("id AS vec_id", "embedding"), k=1).collect()
+    assert top[0]["vec_id"] == 1 and abs(top[0]["qcosine"] - 1.0) < 1e-12

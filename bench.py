@@ -53,6 +53,8 @@ HEADLINE = (
     "c8_substring_dedup",
     "c8_line_dedup",
     "c8_incremental_dedup",
+    "c10_quantized_topk",
+    "c12_png_header_decode",
 )
 
 

@@ -301,3 +301,31 @@ def greedy_packing(
         "bin long, bin_fill long, oversize boolean"
     )
     return staged.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def weighted_sample(
+    df: DataFrame, n: int, weight_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): rank by ``-ln(u)/w`` with ``u`` a per-row uniform
+    derived from ``md5(id)`` — no RNG state, so the sample is reproducible
+    across reruns, executors, and engines, and composable the same way as
+    the hash sample.
+
+    The 52-bit md5 prefix is exactly representable in a double; ``(v+1)/
+    (2^52+2)`` keeps u in (0,1) so ln never sees 0.  The key is rounded to
+    9dp before ranking (libm-parity precedent: ties then break on id), and
+    selection is ``orderBy().limit(n)`` — Spark plans a TakeOrdered, i.e.
+    per-partition top-n then a driver merge of n·partitions candidate rows,
+    never a global sort of the corpus.
+    """
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float((1 << 52) + 2))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy("sample_key", id_col)
+        .limit(n)
+    )

@@ -132,3 +132,59 @@ def cms_estimate(
         F.col(key_col), F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("estimate"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — the other mergeable membership sketch (CMS counts, Bloom
+# membership).  Sparse representation: a DataFrame of set bit positions.
+# --------------------------------------------------------------------------
+def bloom_build(
+    df: DataFrame, key_col: str, k: int = 5, m: int = 1 << 20
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as the distinct set of bit
+    positions — ``k`` positions per key via ``xxhash64(key, seed)``.
+
+    Sparse (bucket) rows instead of a packed bitset keep the build one
+    map-side-combined distinct (no driver materialization, no 2^m array on
+    any single node) and make merging a plain ``union``+``distinct`` —
+    the same mergeability story as the CMS partials.  At most n·k rows,
+    8 bytes each, spread over the cluster.
+    """
+    return (
+        df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_seed"),
+            F.col(key_col).alias("_k"),
+        )
+        .select(F.pmod(F.xxhash64(F.col("_k"), F.col("_seed")), F.lit(m)).alias("bucket"))
+        .distinct()
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of set bits — Bloom filters over the same (k, m) merge
+    losslessly, exactly like OR-ing the bitsets."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_probe(
+    sketch: DataFrame, keys: DataFrame, key_col: str, k: int = 5, m: int = 1 << 20
+) -> DataFrame:
+    """Membership probe: a key is ``present`` iff all ``k`` of its bit
+    positions are set.  Plan: explode the probe side to (key, bucket),
+    equi-join the sparse sketch on ``bucket`` (one shuffle, no broadcast of
+    a giant bitset), count hits per key.  No false negatives by
+    construction; false-positive rate is the standard (1-e^{-kn/m})^k.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_seed"),
+    ).select(
+        F.col(key_col),
+        F.pmod(F.xxhash64(F.col(key_col), F.col("_seed")), F.lit(m)).alias("bucket"),
+    )
+    hits = probes.join(sketch.withColumn("_set", F.lit(1)), "bucket", "left")
+    return (
+        hits.groupBy(key_col)
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("_nset"))
+        .select(F.col(key_col), (F.col("_nset") == k).alias("present"))
+    )

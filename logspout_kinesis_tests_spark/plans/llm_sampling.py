@@ -252,3 +252,26 @@ def c14_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "tokens", "cum_tokens")
     )
+
+
+@register(
+    "c14_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(-ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                         / 4503599627370498.0) / n_chars, 9) AS sample_key
+        FROM documents)
+    SELECT doc_id, lang, n_chars, sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT 100
+    """,
+    doc="C14+: deterministic weighted sample (Efraimidis-Spirakis A-ES, "
+    "p ∝ n_chars) — md5-derived uniforms, -ln(u)/w keys rounded 9dp, "
+    "TakeOrdered top-100.  The quality-weighted corpus subset selection "
+    "primitive, RNG-free and rerun-stable.",
+)
+def c14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, n=100, weight_col="n_chars")

@@ -98,3 +98,59 @@ def c16_cms_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("estimate").cast("long").alias("observed"),
     )
     return under.unionByName(over)
+
+
+@register(
+    "c16_bloom_filter_gate",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C16: driver-visible Bloom filter gate — membership sketch built "
+    "over the even user_ids, probed with ALL user_ids: a false negative "
+    "(inserted key probing absent) is a theorem violation; the "
+    "false-positive count over the uninserted half must stay under 3× the "
+    "analytic (1-e^{-kn/m})^k expectation.  Also exercises bloom_merge: "
+    "the sketch is built as two half-sketches merged.",
+)
+def c16_bloom_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.timeseries import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    k, m = 5, 1 << 17
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    inserted = users.filter(F.col("user_id") % 2 == 0)
+    # merge path: build over two disjoint halves, then OR them together
+    s1 = bloom_build(inserted.filter(F.col("user_id") % 4 == 0), "user_id", k, m)
+    s2 = bloom_build(inserted.filter(F.col("user_id") % 4 != 0), "user_id", k, m)
+    sketch = bloom_merge(s1, s2)
+    probed = bloom_probe(sketch, users, "user_id", k, m)
+    false_neg = (
+        probed.filter((F.col("user_id") % 2 == 0) & ~F.col("present"))
+        .select(
+            F.concat(F.lit("false_negative_u"), F.col("user_id").cast("string")).alias("gate"),
+            F.lit(0).cast("long").alias("observed"),
+        )
+    )
+    # fp bound: n_inserted bits over m, k probes → p = (1-exp(-k*n/m))^k;
+    # gate at 3x the expectation over the uninserted population
+    counts = probed.agg(
+        F.sum(F.when((F.col("user_id") % 2 != 0) & F.col("present"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0)).alias("n_out"),
+    ).crossJoin(inserted.agg(F.count("*").alias("n_in")))
+    fp_viol = counts.filter(
+        F.col("fp").cast("double")
+        > 3.0
+        * F.pow(F.lit(1.0) - F.exp(-F.lit(float(k)) * F.col("n_in") / F.lit(float(m))), F.lit(float(k)))
+        * F.col("n_out")
+        + F.lit(1.0)  # absolute slack so tiny SFs don't trip on 1 collision
+    ).select(
+        F.lit("false_positive_count").alias("gate"),
+        F.col("fp").cast("long").alias("observed"),
+    )
+    return false_neg.unionByName(fp_viol)

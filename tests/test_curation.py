@@ -145,3 +145,26 @@ def test_passage_chunks_overlap_and_tail(spark):
     assert rows[(1, 0)]["chunk_text"].split(" ")[-8:] == rows[(1, 1)]["chunk_text"].split(" ")[:8]
     # sub-window doc -> single short chunk
     assert rows[(2, 0)]["n_words"] == 3 and (2, 1) not in rows
+
+
+def test_weighted_sample_bias_and_determinism(spark, sf_correct):
+    """A-ES sampling: p ∝ n_chars, so the sample's mean length must exceed
+    the corpus mean; two runs are identical (RNG-free)."""
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.curation import weighted_sample
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "n_chars")
+    s1 = weighted_sample(docs, n=100, weight_col="n_chars")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = s1.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean * 1.1, (sample_mean, corpus_mean)
+    ids1 = [r["doc_id"] for r in s1.orderBy("doc_id").collect()]
+    ids2 = [
+        r["doc_id"]
+        for r in weighted_sample(docs, n=100, weight_col="n_chars")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert ids1 == ids2

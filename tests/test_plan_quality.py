@@ -228,3 +228,10 @@ def test_header_decode_stays_jvm_side(spark, sf_dir):
         assert "Exchange" not in plan, name
         # formatted mode marks codegen stages with a '*' node prefix
         assert "* Project" in plan, name
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_dir):
+    """A-ES selection must plan as TakeOrdered (per-partition top-n + driver
+    merge), never a global sort of the corpus."""
+    plan = _formatted_plan(REGISTRY["c14_weighted_sample"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

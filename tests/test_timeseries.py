@@ -73,3 +73,33 @@ def test_cms_absent_key_estimates_zero_or_collision(spark, sf_dir):
     # absent keys: 0 unless all four hash rows collide (bounded overshoot)
     for v in est.values():
         assert v <= 0.01 * ev.count() + 1
+
+
+def test_bloom_filter_merge_and_bounds(spark):
+    """Merging half-sketches equals building over the union (bitset OR);
+    inserted keys always probe present; false positives stay near the
+    analytic rate."""
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.timeseries import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    k, m = 5, 1 << 14
+    keys = spark.range(2000).select(F.col("id").alias("key"))
+    ins = keys.filter("key < 1000")
+    merged = bloom_merge(
+        bloom_build(ins.filter("key % 2 = 0"), "key", k, m),
+        bloom_build(ins.filter("key % 2 = 1"), "key", k, m),
+    )
+    direct = bloom_build(ins, "key", k, m)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    probed = {r["key"]: r["present"] for r in bloom_probe(merged, keys, "key", k, m).collect()}
+    assert all(probed[i] for i in range(1000))  # no false negatives, ever
+    fp = sum(probed[i] for i in range(1000, 2000))
+    # p = (1 - e^{-kn/m})^k ≈ 0.0086 at n=1000 → expect ~9, gate generously
+    assert fp <= 40, fp

@@ -871,3 +871,31 @@ def dedup_keep_best(
     )
     singles = df.join(cc, id_col, "left_anti")
     return singles.unionByName(best)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: ``added`` / ``removed`` /
+    ``changed`` rows by content hash (unchanged rows are dropped — at scale
+    they are the overwhelming majority and carrying them defeats the point).
+
+    The shuffle carries only (id, 32-byte hash) per side — never document
+    bodies — so diffing two 100 TB snapshots moves ~O(rows·40 B).  This is
+    the dataset-versioning primitive: what changed between crawl N and
+    N+1, feeding incremental re-processing instead of full recompute.
+    """
+    o = with_content_hash(old.select(F.col(id_col), F.col(text_col)), text_col, "_h_old").drop(text_col)
+    n = with_content_hash(new.select(F.col(id_col), F.col(text_col)), text_col, "_h_new").drop(text_col)
+    joined = o.join(n, id_col, "full_outer")
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") != F.col("_h_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    ).filter(F.col("status") != "unchanged")

@@ -375,3 +375,35 @@ def hashed_linear_classifier(
         prob.alias("quality_prob"),
         (prob > 0.5).alias("keep"),
     )
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document — the cheap statistical
+    quality signal (gibberish and boilerplate sit at the entropy extremes).
+
+    Stays entirely scan-side: per-doc distinct chars (≤ alphabet size) are
+    counted with array expressions instead of exploding every character
+    through a shuffle — at 100 TB an explode here would shuffle the whole
+    corpus character-by-character.  Cross-engine exactness: terms are
+    c·log2(c) rounded to 6dp (libm parity), folded in sorted-character
+    order so both engines sum in the same sequence, giving bit-identical
+    doubles without a decimal detour.
+    """
+    chars = f"split({text_col}, '')"
+    counts = (
+        f"transform(array_sort(array_distinct({chars})), "
+        f"c -> size(filter({chars}, x -> x = c)))"
+    )
+    fold = (
+        f"aggregate({counts}, CAST(0.0 AS DOUBLE), "
+        f"(acc, c) -> acc + round(c * log2(c), 6))"
+    )
+    n = f"length({text_col})"
+    return df.select(
+        F.col(id_col),
+        F.expr(n).alias("n_chars_text"),
+        F.expr(
+            f"CASE WHEN {n} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE round(log2({n}) - {fold} / {n}, 6) END"
+        ).alias("entropy_bits"),
+    )

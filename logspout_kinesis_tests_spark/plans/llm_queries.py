@@ -1677,3 +1677,123 @@ def c10_quantization_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("observed"),
     )
     return self_viol.unionByName(total_viol)
+
+
+@register(
+    "c11_char_entropy",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_text,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE round(log2(length(text)) -
+                     list_reduce(
+                         list_transform(
+                             list_sort(list_distinct(string_split(text, ''))),
+                             c -> round(len(list_filter(string_split(text, ''),
+                                                        x -> x = c))
+                                        * log2(len(list_filter(string_split(text, ''),
+                                                               x -> x = c))), 6)),
+                         (a, b) -> a + b) / length(text), 6)
+           END AS entropy_bits
+    FROM documents
+    """,
+    doc="C11+: Shannon character entropy per doc — scan-side array "
+    "expressions (no per-character explode/shuffle); 6dp-rounded "
+    "c·log2(c) terms folded in sorted-char order for cross-engine "
+    "bit-exactness.  The gibberish/boilerplate cheap filter.",
+)
+def c11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.text_analysis import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@register(
+    "c14_corpus_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    new AS (
+        SELECT doc_id, sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                                   ELSE text END) AS h
+        FROM documents WHERE doc_id % 13 != 0
+        UNION ALL
+        SELECT doc_id + 3000000, sha256('added doc ' || CAST(doc_id AS VARCHAR))
+        FROM documents WHERE doc_id % 11 = 0),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               o.h AS ho, n.h AS hn
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT doc_id,
+           CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho != hn THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j
+    WHERE (CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed'
+                WHEN ho != hn THEN 'changed' ELSE 'unchanged' END) != 'unchanged'
+    """,
+    doc="C14+: corpus snapshot diff — crawl N vs N+1 by content hash "
+    "(planted: every 13th doc removed, every 7th modified, every 11th "
+    "spawns an addition); the shuffle carries (id, hash) only, never "
+    "bodies.  Feeds incremental re-processing instead of full recompute.",
+)
+def c14_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.lit("added doc "), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    return corpus_diff(docs, new)
+
+
+@register(
+    "c2_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_disc(d, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value, d.med, ma.mad
+    FROM dev d JOIN mad ma USING (event_type)
+    WHERE d.d > 3 * 1.4826 * ma.mad
+    """,
+    doc="C2+: robust outlier detection — per-type median and MAD via "
+    "exact-regime discrete quantiles (accuracy >= group size, same parity "
+    "argument as c2_percentile_sketch), flag |x-med| > 3·1.4826·MAD.  "
+    "Medians broadcast back; two grouped aggs, no window over raw rows.",
+)
+def c2_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000000).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("d", 0.5, 1000000).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("d") > 3 * 1.4826 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )

@@ -751,3 +751,69 @@ def c2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("lo"),
         F.max("value").cast("double").alias("hi"),
     )
+
+
+@register(
+    "c19_zorder_key",
+    oracle="""
+    SELECT event_id,
+           list_sum(list_transform(range(0, 21),
+               i -> (((user_id // (1 << i)) & 1) * (1 << (2 * i)))
+                  + ((((event_id % 1024) // (1 << i)) & 1) * (1 << (2 * i + 1)))
+           )) AS zkey
+    FROM events
+    """,
+    doc="C19+: Z-curve (Morton) interleave of (user_id, event_id%1024) — "
+    "the two-dimensional locality key for write-time clustering: sorting "
+    "by it keeps both range predicates file-prunable.  Pure bit "
+    "arithmetic, oracle-verified, codegen.",
+)
+def c19_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.sources.dataset import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("event_id") % 1024).alias("_eb")
+    )
+    return ev.select("event_id", zorder_key("user_id", "_eb").alias("zkey"))
+
+
+@register(
+    "c5_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events),
+    pairs AS (
+        SELECT event_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type),
+    tot AS (SELECT event_type, SUM(n) AS n_from FROM pairs GROUP BY event_type)
+    SELECT p.event_type AS from_type, p.next_type AS to_type, p.n,
+           round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS prob
+    FROM pairs p JOIN tot t USING (event_type)
+    """,
+    doc="C5+: user-journey Markov transition matrix — per-user event "
+    "sequences via lead() (one shuffle on user_id), pair counts "
+    "map-combined, probabilities as exact rational n/total rounded 6dp.  "
+    "The next-event model behind funnel/session analytics.",
+)
+def c5_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("prob"),
+    )

@@ -81,3 +81,28 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def zorder_key(col_a, col_b, bits: int = 21):
+    """Interleave the low ``bits`` of two non-negative integer columns into
+    a Z-curve (Morton) key — the multi-dimensional locality layout lever:
+    sorting/range-partitioning by the key keeps rows close in BOTH
+    dimensions close on disk, so two-sided range predicates prune files the
+    way one-dimensional sorting can only do for one column.
+
+    Pure bit arithmetic (one aggregate over bit positions, codegen) —
+    deterministic and engine-portable, which is what lets the layout be
+    oracle-verified rather than trusted.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, {bits - 1}),
+          0L,
+          (acc, i) -> acc
+            + shiftleft(shiftright(CAST({col_a} AS LONG), i) & 1L, 2 * i)
+            + shiftleft(shiftright(CAST({col_b} AS LONG), i) & 1L, 2 * i + 1))
+        """
+    )

@@ -73,3 +73,12 @@ def spread_for_compute(df: DataFrame, partitions: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the driver tables as temp views so the whole relational
+    surface is reachable through ``spark.sql`` — the same table names the
+    DuckDB oracle uses, making any oracle string in the registry directly
+    runnable against Spark too."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

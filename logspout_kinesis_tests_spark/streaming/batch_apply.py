@@ -119,3 +119,78 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_bloom_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    m: int = 1 << 20,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Cross-batch dedup against a persisted BLOOM index instead of the
+    exact hash index — the bounded-memory end of the trade-off:
+
+    - exact index (``streaming_incremental_dedup``): no wrong drops, index
+      grows with distinct-document count (32 B/doc);
+    - Bloom index (here): index is ≤ n·k set-bit rows capped by ``m``
+      regardless of corpus size, but a false positive silently drops a
+      unique document at the analytic (1-e^{-kn/m})^k rate — acceptable
+      for crawl dedup (a dropped unique ≈ a sampling event), never for
+      billing-grade exactness.  No false negatives: a true duplicate is
+      always dropped.
+
+    Content keyed by sha256(text); probe/insert are the Bloom bucket
+    equi-joins from ``operators.timeseries`` — no driver-side state.
+    """
+    from logspout_kinesis_tests_spark.operators.dedup import with_content_hash
+    from logspout_kinesis_tests_spark.operators.timeseries import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        hashed = with_content_hash(bdf, text_col)
+        try:
+            bits = spark.read.parquet(index_dir).distinct()
+        except Exception:  # first epoch: empty filter
+            bits = hashed.limit(0).select(F.lit(0).cast("long").alias("bucket"))
+        probed = bloom_probe(
+            bits, hashed.select("content_sha256").distinct(), "content_sha256", k, m
+        )
+        fresh = probed.filter(~F.col("present")).select("content_sha256")
+        # min-id per fresh hash keeps the survivor choice batching-invariant
+        survivors = (
+            hashed.join(fresh, "content_sha256", "left_semi")
+            .groupBy("content_sha256")
+            .agg(F.min(F.col(id_col)).alias("_keep"))
+            .join(hashed, "content_sha256")
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_keep", "content_sha256")
+        )
+        survivors.coalesce(1).write.mode("overwrite").json(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        bloom_build(
+            with_content_hash(survivors, text_col), "content_sha256", k, m
+        ).write.mode("append").parquet(index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -118,3 +118,51 @@ def test_streaming_incremental_dedup_drops_cross_batch_copies(spark, sf_dir, tmp
     # the index holds one hash per distinct document
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert idx.distinct().count() == 30
+
+
+def test_streaming_bloom_dedup_drops_cross_batch_copies(spark, sf_dir, tmp_path):
+    """Bloom-index variant: true duplicates are always dropped across
+    batches (no false negatives); at this tiny n vs m=2^20 the fp
+    probability is ~0, so all originals survive."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_bloom_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    rows = docs.collect()
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    batches = [
+        [(r["doc_id"], r["text"]) for r in rows[:10]],
+        [(r["doc_id"], r["text"]) for r in rows[10:20]]
+        + [(r["doc_id"] + 1_000_000, r["text"]) for r in rows[:5]]
+        + [(rows[10]["doc_id"] + 2_000_000, rows[10]["text"])],
+    ]
+    for i, batch in enumerate(batches):
+        path = os.path.join(src_dir, f"docs-{i}.json")
+        with open(path, "w") as f:
+            for doc_id, text in batch:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    q = streaming_bloom_dedup(
+        spark,
+        src_dir,
+        str(tmp_path / "ckpt"),
+        "doc_id long, text string",
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    survived = set()
+    for path in glob.glob(os.path.join(str(tmp_path / "out"), "epoch=*", "part-*.json")):
+        with open(path) as f:
+            for line in f:
+                survived.add(json.loads(line)["doc_id"])
+    assert survived == {r["doc_id"] for r in rows}
+    # the persisted filter stays capped: set-bit rows <= n*k
+    bits = spark.read.parquet(str(tmp_path / "index")).distinct()
+    assert bits.count() <= 20 * 5

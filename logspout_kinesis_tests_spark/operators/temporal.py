@@ -33,14 +33,18 @@ def asof_join(
     right_cols: tuple[str, ...] = (),
     suffix: str = "_right",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same key with
-    ``right_ts <= left_ts`` (left-outer semantics: no match → NULLs).
+    ``right_ts <= left_ts`` (``direction="backward"``, the default) or the
+    EARLIEST right row with ``right_ts >= left_ts`` (``"forward"`` — the
+    next-reading/next-quote lookup).  Left-outer semantics: no match →
+    NULLs.
 
-    Ties at equal timestamps resolve right-before-left (inclusive ``<=``,
-    matching DuckDB's ASOF JOIN).  ``tolerance`` (an INTERVAL string like
-    ``'30 minutes'``) additionally requires ``left_ts - right_ts <=
-    tolerance`` — matches older than the window are nulled out, the left
+    Ties at equal timestamps match in both directions (inclusive bound,
+    same as DuckDB's ASOF JOIN with ``>=``/``<=``).  ``tolerance`` (an
+    INTERVAL string like ``'30 minutes'``) additionally bounds the match
+    window on the matching side — stale matches are nulled out, the left
     row is kept (pandas ``merge_asof`` semantics).
 
     All right columns are carried as ONE struct through a single
@@ -50,42 +54,62 @@ def asof_join(
     the carried row is the field-wise maximum: deterministic across runs and
     partitionings.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     carried = [f"{c}{suffix}" for c in (*right_cols, right_ts)]
     rstruct = F.struct(
         *[F.col(c).alias(f"{c}{suffix}") for c in (*right_cols, right_ts)]
     )
     rstruct_type = right.select(rstruct.alias("_r")).schema["_r"].dataType
+    # sort side order so the matching-direction window frame INCLUDES a
+    # right row at the exact left timestamp (inclusive-tie contract)
+    lside, rside = (1, 0) if backward else (0, 1)
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(lside).alias("_side"),
         *[F.col(c) for c in left.columns if c not in (on,)],
         F.lit(None).cast(rstruct_type).alias("_rstruct"),
     )
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(rside).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c != on],
         rstruct.alias("_rstruct"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_ts", "_side", "_rstruct")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if backward:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_ts", "_side", "_rstruct")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("_rstruct", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_ts", "_side", "_rstruct")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("_rstruct", ignorenulls=True).over(w)
     out = unioned.select(
         F.col(on),
         "_ts",
         "_side",
         *[F.col(c) for c in left.columns if c != on],
-        F.last("_rstruct", ignorenulls=True).over(w).alias("_r"),
-    ).filter(F.col("_side") == 1)
+        carry.alias("_r"),
+    ).filter(F.col("_side") == lside)
     if tolerance is not None:
-        stale = F.col(f"_r.{right_ts}{suffix}") < F.col("_ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if backward:
+            stale = F.col(f"_r.{right_ts}{suffix}") < F.col("_ts") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            stale = F.col(f"_r.{right_ts}{suffix}") > F.col("_ts") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         out = out.withColumn(
             "_r", F.when(stale, F.lit(None).cast(rstruct_type)).otherwise(F.col("_r"))
         )
@@ -132,4 +156,36 @@ def range_join_bucketized(
             (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
         )
         .drop("_bucket")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign a per-key session sequence number to every row: a new session
+    starts when the gap since the previous event is >= ``gap`` (end-
+    exclusive, matching ``F.session_window``'s merge semantics).
+
+    This is the row-level generalization of ``session_window`` (which only
+    yields per-session aggregates): downstream operators get each event
+    tagged with (key, session_seq) — the classic gaps-and-islands
+    lag+cumsum, costing exactly one shuffle on the key.
+    """
+    # tie-break columns make the walk order (hence session numbering)
+    # deterministic when a key has several rows at one timestamp
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreak_cols)
+    # timestamp - timestamp is a day-time interval; compare intervals
+    # directly (a cast-to-long detour silently compares mismatched units)
+    new_session = (F.col(ts_col) - F.lag(ts_col).over(w)) >= F.expr(
+        f"INTERVAL {gap}"
+    )
+    return df.withColumn(
+        "session_seq",
+        F.sum(F.when(new_session, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )

@@ -80,3 +80,69 @@ def c15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = range_join_bucketized(ev, tiers, value_col="value", bucket_width=25.0)
     return out.select("event_id", "tier_id", "value")
+
+
+@register(
+    "c15_asof_join_forward",
+    oracle=f"""
+    SELECT l.event_id,
+           l.user_id,
+           {sql_ts_str('l.ts')} AS view_ts,
+           r.event_id AS purchase_event_id,
+           {sql_ts_str('r.ts')} AS purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') l
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND r.ts >= l.ts
+    """,
+    doc="C15: FORWARD as-of join — each view matched to the user's next "
+    "at-or-after purchase (the time-to-convert primitive); same "
+    "union-and-carry plan as backward with the window frame flipped, vs "
+    "DuckDB's native forward ASOF (ts >= bound).",
+)
+def c15_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        views, purchases, on="user_id", right_cols=("event_id",), direction="forward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("view_ts"),
+        F.col("event_id_right").alias("purchase_event_id"),
+        ts_str("ts_right").alias("purchase_ts"),
+    )
+
+
+@register(
+    "c7_sessionize",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events)
+    SELECT event_id, user_id,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM s
+    """,
+    doc="C7+: row-level sessionization (gaps-and-islands lag+cumsum) — "
+    "every event tagged with its per-user session number, >= 30min gap "
+    "starts a session (end-exclusive, matching F.session_window merge); "
+    "one shuffle on the key, event_id tie-break for determinism.",
+)
+def c7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, tiebreak_cols=("event_id",)).select(
+        "event_id", "user_id", "session_seq"
+    )

@@ -31,3 +31,59 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         for r in asof_join(L, R, on="k", right_cols=("tag",)).collect()
     }
     assert full["L-stale"] == "R2"
+
+
+def test_asof_forward_semantics(spark):
+    """Forward direction: next right row at-or-after, inclusive ties,
+    forward tolerance nulls matches beyond the window."""
+    from logspout_kinesis_tests_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00"), (1, "2026-01-01 12:00:00"), (2, "2026-01-01 10:00:00")],
+        "k long, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [
+            (1, "2026-01-01 09:00:00", "old"),
+            (1, "2026-01-01 10:00:00", "tie"),
+            (1, "2026-01-01 11:30:00", "later"),
+        ],
+        "k long, ts string, v string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+
+    out = {
+        (r["k"], str(r["ts"])): r["v_right"]
+        for r in asof_join(
+            left, right, on="k", right_cols=("v",), direction="forward"
+        ).collect()
+    }
+    assert out[(1, "2026-01-01 10:00:00")] == "tie"  # inclusive >= tie
+    assert out[(1, "2026-01-01 12:00:00")] is None  # nothing after
+    assert out[(2, "2026-01-01 10:00:00")] is None  # no key → left kept
+
+    tol = {
+        (r["k"], str(r["ts"])): r["v_right"]
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            right_cols=("v",),
+            direction="forward",
+            tolerance="1 HOUR",
+        ).collect()
+    }
+    assert tol[(1, "2026-01-01 10:00:00")] == "tie"
+    # 10:00 → 11:30 is outside a 1h forward window only for the 10:00 row's
+    # next-after-tie case; construct: drop the tie row to force 11:30
+    out2 = {
+        str(r["ts"]): r["v_right"]
+        for r in asof_join(
+            left.filter("k = 1"),
+            right.filter("v != 'tie'"),
+            on="k",
+            right_cols=("v",),
+            direction="forward",
+            tolerance="1 HOUR",
+        ).collect()
+    }
+    assert out2["2026-01-01 10:00:00"] is None  # 11:30 beyond +1h → nulled

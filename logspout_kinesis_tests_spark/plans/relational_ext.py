@@ -817,3 +817,151 @@ def c5_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("prob"),
     )
+
+
+@register(
+    "c2_unpivot",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
+               SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS view
+        FROM events GROUP BY user_id)
+    SELECT user_id, kind, total FROM (
+        SELECT user_id, 'click' AS kind, click AS total FROM p
+        UNION ALL
+        SELECT user_id, 'view', view FROM p) u
+    WHERE total IS NOT NULL
+    """,
+    doc="C2+: unpivot/melt — the inverse of pivot via DataFrame.unpivot "
+    "(STACK under the hood): wide per-type totals back to long "
+    "(user, kind, total) rows, NULL cells dropped.  Scan-side expression "
+    "fan-out, no shuffle beyond the originating aggregate.",
+)
+def c2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(dec_sum("value"))
+    )
+    return (
+        wide.unpivot("user_id", ["click", "view"], "kind", "total")
+        .withColumn("total", F.col("total").cast("decimal(28,2)"))
+        .filter(F.col("total").isNotNull())
+    )
+
+
+@register(
+    "c16_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events),
+    seg AS (
+        SELECT user_id, value,
+               epoch_us(next_ts) - epoch_us(ts) AS dt_us
+        FROM seq WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+                 / SUM(dt_us), 6) AS twap,
+           SUM(dt_us) AS span_us
+    FROM seg GROUP BY user_id
+    HAVING SUM(dt_us) > 0
+    """,
+    doc="C16+: time-weighted average (TWAP) per user — each reading "
+    "weighted by its holding interval to the next event (lead(), one "
+    "shuffle), exact integer second weights, 6dp-rounded ratio.  The "
+    "irregular-sampling mean that a plain AVG gets wrong.",
+)
+def c16_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dt_us",
+            # exact integer microseconds (sub-second parts truncate
+            # DIFFERENTLY under per-side second casts — measured off-by-2s)
+            F.unix_micros(F.col("next_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us"),
+                6,
+            ).alias("twap"),
+            F.sum("dt_us").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "c5_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f USING (user_id)),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM firsts GROUP BY cohort_week)
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort,
+           a.week_offset,
+           COUNT(*) AS active_users,
+           s.cohort_size
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY 1, 2, s.cohort_size
+    """,
+    doc="C5+: cohort retention matrix — users bucketed by first-seen week, "
+    "activity counted per (cohort, week-offset); two map-combined "
+    "aggregates plus a broadcast of the cohort-size table.  The classic "
+    "retention triangle.",
+)
+def c5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.date_trunc("week", F.col("ts")).cast("long")
+                        - F.col("cohort_week").cast("long")
+                    )
+                    / (7 * 86400)
+                )
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            "active_users",
+            "cohort_size",
+        )
+    )

@@ -12,10 +12,21 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
     tpch_suite,
     tpch_suite2,
 )
+from logspout_kinesis_tests_spark.plans import registry as _registry_mod
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,
     all_oracles,
     all_queries,
 )
+from logspout_kinesis_tests_spark.plans.rotation import rotated as _rotated
+
+# Reorder the registry in place so never-driver-verified queries occupy the
+# driver's ~50-entry correctness window (see rotation.py).  In-place so every
+# consumer — all_queries(), all_oracles(), direct REGISTRY iteration — sees
+# the rotated order.
+_ordered = _rotated(dict(REGISTRY))
+REGISTRY.clear()
+REGISTRY.update(_ordered)
+assert REGISTRY is _registry_mod.REGISTRY
 
 __all__ = ["REGISTRY", "all_oracles", "all_queries"]

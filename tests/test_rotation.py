@@ -1,0 +1,48 @@
+"""Registry rotation — the driver's ~50-entry correctness window must be
+spent on queries with no prior driver verdict (VERDICT.md r2 item #1)."""
+
+from __future__ import annotations
+
+import json
+
+from logspout_kinesis_tests_spark.plans import REGISTRY
+from logspout_kinesis_tests_spark.plans.rotation import (
+    driver_verified_names,
+    rotated,
+)
+
+WINDOW = 50  # observed driver window: CORRECTNESS_r01/r02 each hold 50 names
+
+
+def test_unseen_queries_fill_driver_window():
+    seen = driver_verified_names()
+    names = list(REGISTRY)
+    unseen_total = sum(1 for n in names if n not in seen)
+    head = names[: min(WINDOW, unseen_total)]
+    assert all(n not in seen for n in head), (
+        "driver window contains already-verified queries while unverified "
+        f"ones wait: {[n for n in head if n in seen]}"
+    )
+
+
+def test_rotation_preserves_content_and_is_stable(tmp_path):
+    reg = {"a": 1, "b": 2, "c": 3, "d": 4}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"a": {}, "c": {}}))
+    out = rotated(reg, repo_root=tmp_path)
+    assert out == reg  # same key->value mapping
+    assert list(out) == ["b", "d", "a", "c"]  # unseen first, original order kept
+    assert list(rotated(reg, repo_root=tmp_path)) == list(out)  # deterministic
+
+
+def test_rotation_ignores_malformed_files(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("not json{")
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(["a", "list"]))
+    assert driver_verified_names(repo_root=tmp_path) == set()
+
+
+def test_union_converges():
+    """After this round's window, the r01∪r02∪r03 union must be ≥130/135."""
+    seen = driver_verified_names()
+    names = list(REGISTRY)
+    projected = len(seen | set(names[:WINDOW]))
+    assert projected >= min(len(names), len(seen) + WINDOW) >= 130

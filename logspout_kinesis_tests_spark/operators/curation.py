@@ -318,12 +318,30 @@ def weighted_sample(
     selection is ``orderBy().limit(n)`` — Spark plans a TakeOrdered, i.e.
     per-partition top-n then a driver merge of n·partitions candidate rows,
     never a global sort of the corpus.
+
+    A-ES is defined only for strictly positive weights: w=0 would give an
+    Inf key and w<0 flips the key's sign, silently sorting such rows
+    first/last differently per engine.  Any row with ``weight_col`` NULL or
+    <= 0 raises at execution time instead (per-row guard, no extra action).
     """
     v = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
     ).cast("double")
     u = (v + F.lit(1.0)) / F.lit(float((1 << 52) + 2))
-    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.round(-F.log(u) / w, 9)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_sample requires strictly positive weights; "
+                    f"got {weight_col}="
+                ),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+                F.lit(f" at {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("double")
+    )
     return (
         df.withColumn("sample_key", key)
         .orderBy("sample_key", id_col)

@@ -51,8 +51,10 @@ def asof_join(
     ``last(ignorenulls)`` — never per-column — so the attached values always
     come from the same right row even when some of them are NULL.  Among
     right rows sharing (key, ts) the struct itself is the final sort key, so
-    the carried row is the field-wise maximum: deterministic across runs and
-    partitionings.
+    the carried row is the field-wise MAXIMUM for ``backward`` (descending
+    struct reaches the left row last) and the field-wise MINIMUM for
+    ``forward`` (ascending struct, ``first`` match): deterministic across
+    runs and partitionings either way.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

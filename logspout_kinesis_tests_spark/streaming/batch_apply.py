@@ -26,6 +26,28 @@ from pyspark.sql.types import StructType
 from logspout_kinesis_tests_spark.session import ensure_runtime_confs
 
 
+def _index_before_epoch(
+    spark: SparkSession, index_dir: str, epoch_id: int, *cols: str
+) -> DataFrame | None:
+    """Read the epoch-partitioned dedup index, restricted to state committed
+    BEFORE ``epoch_id``; ``None`` when the index doesn't exist yet.
+
+    The ``epoch < epoch_id`` filter is the replay-safety core: foreachBatch
+    epoch ids are stable across restarts, so a replayed batch never sees its
+    own (possibly partial) index write — it re-derives from exactly the
+    pre-batch state and its overwrite is idempotent.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        idx = spark.read.parquet(index_dir)
+    except Exception:
+        return None
+    if "epoch" not in idx.columns:  # pre-partitioned legacy index: trust it
+        return idx.select(*cols).distinct()
+    return idx.filter(F.col("epoch") < epoch_id).select(*cols).distinct()
+
+
 def apply_per_batch(
     spark: SparkSession,
     src_dir: str,
@@ -81,11 +103,17 @@ def streaming_incremental_dedup(
 
     The surviving SET is batching-invariant when later copies carry higher
     ids (availableNow may coalesce drip files into one batch; min-id then
-    makes the same choice the index would have).  At 100 TB the index is a
-    bucketed table and the append is a partitioned write; parquet-append
-    per epoch keeps the local flow simple and restart-safe (at-least-once:
-    a replayed epoch re-appends hashes already present, which the distinct
-    read absorbs).
+    makes the same choice the index would have).
+
+    Restart safety: the index is PARTITIONED BY EPOCH — each epoch's hashes
+    land under ``index_dir/epoch=N/`` with mode=overwrite, and the probe
+    reads only partitions with ``epoch < N``.  A batch replayed after its
+    index write but before the checkpoint commit therefore probes exactly
+    the pre-batch state (its own partial write is excluded by the epoch
+    filter and then overwritten), regenerating identical output instead of
+    self-shadowing the batch into an empty epoch.  At 100 TB the index is
+    the same layout as a date-partitioned bucketed table; a periodic
+    compaction job can fold old epochs into one partition.
     """
     from logspout_kinesis_tests_spark.operators.dedup import (
         incremental_dedup,
@@ -99,9 +127,8 @@ def streaming_incremental_dedup(
     stream = reader.json(src_dir)
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
-        try:
-            index = spark.read.parquet(index_dir).select("content_sha256").distinct()
-        except Exception:  # first epoch: no index yet
+        index = _index_before_epoch(spark, index_dir, epoch_id, "content_sha256")
+        if index is None:  # first epoch: no index yet
             index = (
                 with_content_hash(bdf.limit(0), text_col).select("content_sha256")
             )
@@ -110,8 +137,8 @@ def streaming_incremental_dedup(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )
         with_content_hash(survivors, text_col).select("content_sha256").write.mode(
-            "append"
-        ).parquet(index_dir)
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -148,6 +175,12 @@ def streaming_bloom_dedup(
 
     Content keyed by sha256(text); probe/insert are the Bloom bucket
     equi-joins from ``operators.timeseries`` — no driver-side state.
+
+    Restart safety mirrors ``streaming_incremental_dedup``: bits are written
+    to ``index_dir/epoch=N/`` with mode=overwrite and the probe reads only
+    ``epoch < N``, so a batch replayed between index write and checkpoint
+    commit probes the pre-batch filter (its own bits excluded), keeping the
+    'no false negatives, fp-rate-bounded drops' contract under replay too.
     """
     from logspout_kinesis_tests_spark.operators.dedup import with_content_hash
     from logspout_kinesis_tests_spark.operators.timeseries import (
@@ -164,9 +197,8 @@ def streaming_bloom_dedup(
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
         hashed = with_content_hash(bdf, text_col)
-        try:
-            bits = spark.read.parquet(index_dir).distinct()
-        except Exception:  # first epoch: empty filter
+        bits = _index_before_epoch(spark, index_dir, epoch_id, "bucket")
+        if bits is None:  # first epoch: empty filter
             bits = hashed.limit(0).select(F.lit(0).cast("long").alias("bucket"))
         probed = bloom_probe(
             bits, hashed.select("content_sha256").distinct(), "content_sha256", k, m
@@ -186,7 +218,7 @@ def streaming_bloom_dedup(
         )
         bloom_build(
             with_content_hash(survivors, text_col), "content_sha256", k, m
-        ).write.mode("append").parquet(index_dir)
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
 
     return (
         stream.writeStream.foreachBatch(_sink)

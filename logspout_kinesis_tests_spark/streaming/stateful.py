@@ -133,6 +133,10 @@ def streaming_first_seen_ttl(
                     first = pdf["value"].iloc[0]
                 n += len(pdf)
             if self._seen.exists():
+                # refresh the idle clock: TTL evicts keys IDLE for ttl_ms,
+                # not keys merely older than ttl_ms — a continuously-hot key
+                # must not re-emit every window (ADVICE r2)
+                self._seen.update((True,))
                 return iter(())
             self._seen.update((True,))
             return iter(

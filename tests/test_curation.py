@@ -168,3 +168,23 @@ def test_weighted_sample_bias_and_determinism(spark, sf_correct):
         .collect()
     ]
     assert ids1 == ids2
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """A-ES precondition w>0 is enforced loudly at execution time
+    (ADVICE r2): zero, negative, and NULL weights all raise instead of
+    silently sorting first/last."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from logspout_kinesis_tests_spark.operators.curation import weighted_sample
+
+    for bad in (0.0, -2.5, None):
+        df = spark.createDataFrame(
+            [(1, 3.0), (2, bad), (3, 1.0)], "doc_id long, w double"
+        )
+        with pytest.raises(SparkRuntimeException, match="strictly positive"):
+            weighted_sample(df, n=2, weight_col="w").collect()
+    # valid weights still sample fine
+    ok = spark.createDataFrame([(1, 3.0), (2, 1.0)], "doc_id long, w double")
+    assert weighted_sample(ok, n=1, weight_col="w").count() == 1

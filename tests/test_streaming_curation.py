@@ -115,9 +115,12 @@ def test_streaming_incremental_dedup_drops_cross_batch_copies(spark, sf_dir, tmp
                 survived.add(json.loads(line)["doc_id"])
     # exactly the 30 originals survive; every planted copy is dropped
     assert survived == {r["doc_id"] for r in rows}
-    # the index holds one hash per distinct document
+    # the index holds one hash per distinct document, each in exactly the
+    # epoch partition where it first survived
     idx = spark.read.parquet(str(tmp_path / "index"))
-    assert idx.distinct().count() == 30
+    assert idx.select("content_sha256").distinct().count() == 30
+    assert idx.count() == 30
+    assert "epoch" in idx.columns
 
 
 def test_streaming_bloom_dedup_drops_cross_batch_copies(spark, sf_dir, tmp_path):

@@ -49,6 +49,7 @@ def ivf_index(
     iters: int = 2,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    driver_materialize_cells: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Build (assignment, centroids): the inverted file.
 
@@ -57,15 +58,23 @@ def ivf_index(
     """
     spark = corpus.sparkSession
     c = corpus.select(F.col(corpus_id), F.col(vec_col))
+    head = c.select(F.size(F.col(vec_col)).alias("d")).head()
+    dim = head["d"] if head else 0
+    # Each k-means round must materialize its centroids — without cutting
+    # the lineage, round N re-executes ALL previous rounds (lazy-plan
+    # chaining: measured 5 min → 30 s at 500 vectors; fatal at scale).
+    # Small centroid tables (nlist × dim cells) come back to the driver and
+    # re-enter as a literal broadcast table; above ``driver_materialize_cells``
+    # (default 1M cells ≈ 8 MB; nlist=65k × dim=1k would be a multi-GB
+    # driver object) they stay on the executors via an eager
+    # ``localCheckpoint`` instead — same lineage cut, no driver transfer.
+    driver_side = dim * nlist <= driver_materialize_cells
 
     def _materialize(cents: DataFrame) -> DataFrame:
-        # centroids are tiny (nlist × dim); collecting them breaks the
-        # iteration lineage — without this, every k-means round re-executes
-        # ALL previous rounds (lazy-plan chaining: measured 5 min → 30 s at
-        # 500 vectors; fatal at scale).  The cluster-size equivalent is
-        # persist() + count(), but nlist rows are cheaper on the driver.
-        rows = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
-        return spark.createDataFrame(rows, "cell int, centroid array<double>")
+        if driver_side:
+            rows = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
+            return spark.createDataFrame(rows, "cell int, centroid array<double>")
+        return cents.localCheckpoint(eager=True)
 
     seeds = (
         c.orderBy(corpus_id)

@@ -6,13 +6,18 @@ Contract (driver): run the headline queries at ``$SPARK_GRAFT_SF_DIR``
 
 Execution forces full materialization through the noop sink (no driver-side
 collect, no result-size bias).  One warmup query amortizes JVM/codegen
-startup out of the timings.
+startup out of the timings; each query reports the MEDIAN of
+``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) timed runs, so a single
+GC/scheduling hiccup can't fake a regression — VERDICT r2 flagged a +26%
+n=1 drift on ``c10_cosine_topk`` as unfalsifiable; medians make drift real
+or gone.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -55,6 +60,13 @@ HEADLINE = (
     "c8_incremental_dedup",
     "c10_quantized_topk",
     "c12_png_header_decode",
+    # heavy paths added r3 (VERDICT r2 #4): multi-join TPC-H shapes, global
+    # cumsum budget, interval-weighted TWAP, semantic decontamination
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "c14_token_budget",
+    "c16_twap",
+    "c8_semantic_decontaminate",
 )
 
 
@@ -72,15 +84,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         build = REGISTRY[name].build
-        best = float("inf")
-        for _run in range(2):  # min of 2: steady-state, codegen compiled
+        runs = []
+        for _run in range(repeats):
             t0 = time.perf_counter()
             build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

@@ -1,0 +1,123 @@
+"""sf1-scale probe for the pair-space trio (VERDICT r2 #7).
+
+Builds a 10×-bench corpus (sf0.1 documents × REPLICAS near-dup copies,
+deterministically perturbed, written as a 32-file parquet under /tmp) and
+times the three operators whose cost is driven by the candidate-PAIR space,
+at their default levers and with the levers loosened — so SCALE.md can
+record where each lever stops holding, not just that it holds.
+
+Worst-case by construction: EVERY document has REPLICAS-1 planted
+near-copies, so the pair space is the densest these operators would ever
+see in a real crawl (real corpora are ~30-50% dup, not 90%).
+
+Usage: python scripts/scale_probe.py [replicas]   (default 10 → 50k docs)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from logspout_kinesis_tests_spark.operators.dedup import (  # noqa: E402
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    substring_dedup,
+)
+from logspout_kinesis_tests_spark.session import get_spark  # noqa: E402
+from logspout_kinesis_tests_spark.sources.tables import load_table  # noqa: E402
+
+CORPUS_DIR = "/tmp/scale_probe_docs"
+
+
+def build_corpus(spark, replicas: int) -> str:
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    rep = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        "doc_id",
+        "text",
+    ).select(
+        (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
+        # replica r>0: prepend a replica-specific token and drop the last
+        # word — a near-dup (high Jaccard / low Hamming), not an exact copy
+        F.when(F.col("r") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.lit("replica"),
+                F.col("r").cast("string"),
+                F.lit(" "),
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("text"), " "),
+                        1,
+                        F.greatest(F.size(F.split(F.col("text"), " ")) - 1, F.lit(1)),
+                    ),
+                    " ",
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    rep.repartition(32).write.mode("overwrite").parquet(CORPUS_DIR)
+    print(f"corpus: {n} docs x {replicas} replicas -> {CORPUS_DIR}", file=sys.stderr)
+    return CORPUS_DIR
+
+
+def timed(label: str, df) -> dict:
+    # noop sink, not count(): count() lets Catalyst prune every projection
+    # (the excision lambdas, the rebuilt text) and fakes a 100× speedup
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    rows = df.count()
+    return {"probe": label, "wall_s": round(wall, 2), "out_rows": rows}
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_corpus(spark, replicas)
+    corpus = spark.read.parquet(CORPUS_DIR)
+
+    results = []
+    # n-gram Jaccard: df-cut lever on / loosened
+    results.append(
+        timed(
+            "ngram_jaccard df<=100",
+            ngram_jaccard_pairs(corpus, max_shingle_df=100, threshold=0.5),
+        )
+    )
+    results.append(
+        timed(
+            "ngram_jaccard df<=1000",
+            ngram_jaccard_pairs(corpus, max_shingle_df=1000, threshold=0.5),
+        )
+    )
+    # SimHash: default 8 bands, then 16 (wider buckets -> more candidates)
+    results.append(
+        timed("simhash bands=8 h<=6", simhash_near_duplicates(corpus, max_hamming=6))
+    )
+    results.append(
+        timed(
+            "simhash bands=16 h<=6",
+            simhash_near_duplicates(corpus, max_hamming=6, bands=16),
+        )
+    )
+    # exact-substring: default 16-word grams, then 8 (denser dup-gram set)
+    results.append(timed("substring min_words=16", substring_dedup(corpus)))
+    results.append(timed("substring min_words=8", substring_dedup(corpus, min_words=8)))
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

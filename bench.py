@@ -67,6 +67,8 @@ HEADLINE = (
     "c14_token_budget",
     "c16_twap",
     "c8_semantic_decontaminate",
+    "c10_hybrid_rrf",
+    "c8_containment_decontaminate",
 )
 
 

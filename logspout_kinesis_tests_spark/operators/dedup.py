@@ -899,3 +899,59 @@ def corpus_diff(
         .otherwise("unchanged")
         .alias("status"),
     ).filter(F.col("status") != "unchanged")
+
+
+def ngram_containment(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Benchmark-containment pairs: fraction of a benchmark example's
+    distinct word-n-gram shingles that appear in a corpus document,
+    ``C(bench ⊂ doc) = |S(bench) ∩ S(doc)| / |S(bench)|`` — the
+    decontamination metric of Lee et al. 2022 / GPT-3 appendix C, asymmetric
+    where Jaccard is symmetric: a 10-line eval example fully embedded in a
+    10-page document has tiny Jaccard but containment 1.0, which is exactly
+    the leak being hunted.
+
+    Returns (corpus_id, bench_id, containment) for pairs with containment
+    >= ``threshold`` (rounded to 6dp — cross-engine exact: the value is a
+    small-integer rational).
+
+    Plan shape (100 TB corpus, eval-sized benchmark): the benchmark's
+    exploded shingles are BROADCAST; the corpus streams through one
+    scan-side explode + broadcast hash join keyed by ``xxhash64(shingle)``
+    (8-byte compares, same collision analysis as ``ngram_jaccard_pairs``),
+    then a map-combined count per (doc, bench) pair.  The corpus never
+    shuffles document bodies — only (doc_id, bench_id) count rows.
+    """
+    spread = spread_for_compute(corpus.select(F.col(corpus_id), F.col(text_col)))
+    corpus_inv = exploded_shingles(spread, corpus_id, text_col, shingle_n).select(
+        F.col(corpus_id), F.xxhash64("shingle").alias("shingle")
+    )
+    bench_inv = exploded_shingles(bench, bench_id, text_col, shingle_n).select(
+        F.col(bench_id), F.xxhash64("shingle").alias("shingle")
+    )
+    bench_sizes = with_word_shingles(bench, text_col, shingle_n).select(
+        F.col(bench_id), F.size("shingles").alias("_n_bench")
+    )
+    inter = (
+        corpus_inv.join(F.broadcast(bench_inv), "shingle")
+        .groupBy(corpus_id, bench_id)
+        .agg(F.count("*").alias("_n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(bench_sizes), bench_id)
+        .select(
+            F.col(corpus_id),
+            F.col(bench_id),
+            F.round(
+                F.col("_n_inter").cast("double") / F.col("_n_bench").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -211,3 +211,50 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "qcosine", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked candidate
+    lists: ``rrf = Σ_systems 1/(k + rank)``, items missing from a system
+    contribute 0.  The standard hybrid-retrieval combiner — it needs only
+    ranks, so BM25 scores and cosine similarities never have to be
+    calibrated against each other.
+
+    Each input must carry (id_col, rank_col) with dense 1-based ranks over
+    its own TOP-N candidates (callers cut to top-N via orderBy().limit(),
+    which Spark plans as TakeOrdered — never rank the full corpus through
+    one unpartitioned window).  The fuse itself therefore runs on
+    N_systems × top rows: outer-join-by-id via a union + groupBy (one
+    small shuffle), sum the reciprocal ranks in fixed system order.
+
+    Determinism: per-term reciprocals are rounded to 9dp and summed as
+    decimal(18,9) — order-independent exact addition, so the fused score is
+    bit-identical across partitionings and engines; final ties break on id.
+    """
+    tagged = []
+    for i, r in enumerate(rankings):
+        tagged.append(
+            r.select(
+                F.col(id_col),
+                F.lit(i).alias("_sys"),
+                F.round(F.lit(1.0) / (F.lit(k) + F.col(rank_col)), 9).alias("_rr"),
+            )
+        )
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    fused = (
+        allr.groupBy(id_col)
+        .agg(
+            F.sum(F.col("_rr").cast("decimal(18,9)")).cast("double").alias("rrf"),
+            F.count("*").alias("n_systems"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+    )
+    return fused.limit(top) if top else fused

@@ -291,15 +291,17 @@ def c8_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    contaminated = (
-        corpus.crossJoin(F.broadcast(bench))
-        .filter(
-            cosine_similarity(F.col("embedding"), F.col("b_embedding")) >= 0.9
-        )
-        .select("vec_id")
-        .distinct()
-    )
-    return corpus.join(contaminated, "vec_id", "left_anti").select("vec_id", "label")
+    # one non-equi broadcast ANTI join: keep a corpus row iff NO benchmark
+    # vector reaches the cosine bar.  One corpus pass, zero shuffles, and
+    # the anti join short-circuits at the first contaminated match per row
+    # — vs the materialize-contaminated-ids-then-anti-join shape, which
+    # Catalyst pushes into each union branch, running the cosine cross
+    # join twice and SMJ-shuffling the corpus
+    return corpus.join(
+        F.broadcast(bench),
+        cosine_similarity(F.col("embedding"), F.col("b_embedding")) >= 0.9,
+        "left_anti",
+    ).select("vec_id", "label")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Hybrid retrieval + containment decontamination queries (round 3).
+
+Registered AFTER every pre-existing module (see plans/__init__) so the
+rotation keeps longer-waiting queries ahead of these in the driver's
+correctness window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.plans.llm_queries import (
+    SQL_SHINGLES,
+    _BM25_TERMS,
+    _sql_cos,
+)
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+#: DuckDB mirror of c11_bm25's scoring CTE (same terms, same decimal sum)
+_SQL_BM25_SCORED = """
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('join', 'filter', 'scan') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    bm AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(round(
+                   ln((stats.n - dfreq.df_ + 0.5) / (dfreq.df_ + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY tf.doc_id),
+    lex_scored AS (
+        SELECT d.doc_id, coalesce(bm.bm25, 0.0) AS bm25
+        FROM documents d LEFT JOIN bm USING (doc_id))
+"""
+
+
+@register(
+    "c10_hybrid_rrf",
+    oracle=f"""
+    WITH {_SQL_BM25_SCORED},
+    lex AS (
+        SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM lex_scored) WHERE r <= 200),
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    den_scored AS (
+        SELECT e.vec_id AS doc_id,
+               {_sql_cos('e.embedding', 'qv.q_vec')} AS cosine
+        FROM embeddings e CROSS JOIN qv),
+    den AS (
+        SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+            FROM den_scored) WHERE r <= 200),
+    u AS (SELECT doc_id, round(1.0 / (60 + r), 9) AS rr FROM lex
+          UNION ALL
+          SELECT doc_id, round(1.0 / (60 + r), 9) AS rr FROM den)
+    SELECT doc_id,
+           CAST(sum(CAST(rr AS DECIMAL(18,9))) AS DOUBLE) AS rrf,
+           count(*) AS n_systems
+    FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 50
+    """,
+    doc="C10+: hybrid retrieval — BM25 top-200 (lexical) and cosine top-200"
+    " vs a query vector (dense) fused by reciprocal-rank fusion"
+    " (1/(60+rank), decimal-summed).  Each system cuts to top-N via"
+    " TakeOrdered before fusion, so no full-corpus unpartitioned window"
+    " exists anywhere in the plan.",
+)
+def c10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
+    from logspout_kinesis_tests_spark.operators.similarity import rrf_fuse
+    from logspout_kinesis_tests_spark.operators.text_analysis import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _ranked(scored: DataFrame, score_col: str) -> DataFrame:
+        # TakeOrdered top-200, then rank the 200-row candidate list (the
+        # window is over the cut list, never the corpus)
+        top = scored.orderBy(F.col(score_col).desc(), "doc_id").limit(200)
+        w = Window.orderBy(F.col(score_col).desc(), "doc_id")
+        return top.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    lex = _ranked(bm25_scores(docs, _BM25_TERMS), "bm25")
+    q_vec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    den = _ranked(
+        emb.crossJoin(F.broadcast(q_vec)).select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("q_vec")).alias("cosine"),
+        ),
+        "cosine",
+    )
+    return rrf_fuse([lex, den], id_col="doc_id", top=50)
+
+
+@register(
+    "c8_containment_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id AS bench_id,
+               array_to_string(list_slice(string_split(lower(text), ' '), 5, 20),
+                               ' ') AS text
+        FROM documents WHERE doc_id % 101 = 0),
+    bsh AS (SELECT bench_id, {SQL_SHINGLES} AS shingles FROM bench),
+    csh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents),
+    pairs AS (
+        SELECT c.doc_id, b.bench_id,
+               round(CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE)
+                     / CAST(len(b.shingles) AS DOUBLE), 6) AS containment
+        FROM csh c CROSS JOIN bsh b)
+    SELECT doc_id, max(containment) AS max_containment
+    FROM pairs WHERE containment >= 0.8 GROUP BY doc_id
+    """,
+    doc="C8+: containment decontamination (Lee et al. 2022) — flag corpus"
+    " docs containing >=80% of any benchmark example's 3-gram shingles;"
+    " asymmetric |S(bench) ∩ S(doc)| / |S(bench)|, so a short eval example"
+    " embedded in a long document is caught where Jaccard would miss it."
+    " Benchmark shingles broadcast; corpus scans once, bodies never shuffle.",
+)
+def c8_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import ngram_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 5, 16)).alias(
+            "text"
+        ),
+    )
+    pairs = ngram_containment(docs, bench, threshold=0.8)
+    return pairs.groupBy("doc_id").agg(
+        F.max("containment").alias("max_containment")
+    )

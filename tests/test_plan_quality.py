@@ -235,3 +235,39 @@ def test_weighted_sample_uses_take_ordered(spark, sf_dir):
     merge), never a global sort of the corpus."""
     plan = _formatted_plan(REGISTRY["c14_weighted_sample"].build(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_decontaminate_never_shuffles_corpus(spark, sf_dir):
+    """One non-equi broadcast ANTI join: no SMJ, no corpus Exchange — the
+    materialize-then-anti-join shape got pushed into both union branches
+    and ran the cosine cross join twice (fixed r3)."""
+    plan = _formatted_plan(
+        REGISTRY["c8_semantic_decontaminate"].build(spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the cosine anti join itself
+    # only broadcast exchanges: the corpus is never hash-repartitioned
+    import re
+
+    non_broadcast = [
+        l for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l) and "Broadcast" not in l and "Reused" not in l
+    ]
+    assert not non_broadcast, non_broadcast
+
+
+def test_hybrid_rrf_cuts_with_take_ordered(spark, sf_dir):
+    """Both retrieval systems cut to top-N via TakeOrdered BEFORE ranking;
+    the only windows run over the 200-row candidate lists."""
+    plan = _formatted_plan(REGISTRY["c10_hybrid_rrf"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_broadcasts_benchmark(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["c8_containment_decontaminate"].build(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan  # shingle join keyed by xxhash64
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,71 @@
+"""Semantics of the round-3 retrieval/decontamination operators:
+reciprocal-rank fusion and n-gram containment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.operators.dedup import ngram_containment
+from logspout_kinesis_tests_spark.operators.similarity import rrf_fuse
+
+
+def test_rrf_fuse_combines_and_orders(spark):
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    den = spark.createDataFrame(
+        [(3, 1), (1, 2), (4, 3)], "doc_id long, rank int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([lex, den]).collect()}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62; doc 4: 1/63
+    assert rows[1]["n_systems"] == 2 and rows[3]["n_systems"] == 2
+    assert rows[2]["n_systems"] == 1 and rows[4]["n_systems"] == 1
+    assert abs(rows[1]["rrf"] - (round(1 / 61, 9) + round(1 / 62, 9))) < 1e-12
+    # both-systems docs beat single-system docs here
+    assert rows[1]["rrf"] > rows[2]["rrf"]
+    assert rows[3]["rrf"] > rows[4]["rrf"]
+    # missing-from-one-system contributes zero, not NULL
+    assert rows[4]["rrf"] == round(1 / 63, 9)
+
+
+def test_rrf_fuse_top_limits(spark):
+    lex = spark.createDataFrame([(i, i) for i in range(1, 20)], "doc_id long, rank int")
+    out = rrf_fuse([lex], top=5).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_ngram_containment_is_asymmetric(spark):
+    """A short benchmark example fully embedded in a long document:
+    containment 1.0 even though Jaccard is tiny."""
+    filler = " ".join(f"w{i}" for i in range(200))
+    secret = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [(1, filler + " " + secret + " " + filler), (2, filler)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, secret)], "bench_id long, text string")
+    rows = ngram_containment(corpus, bench, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["bench_id"], r["containment"]) == (1, 100, 1.0)
+
+
+def test_ngram_containment_threshold_filters(spark):
+    # doc shares 4 of the bench's 8 shingles -> containment 0.5 < 0.8
+    bench_text = "a b c d e f g h i j"  # 8 3-gram shingles
+    partial = "a b c d e f " + " ".join(f"z{i}" for i in range(20))
+    corpus = spark.createDataFrame([(1, partial)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, bench_text)], "bench_id long, text string")
+    assert ngram_containment(corpus, bench, threshold=0.8).count() == 0
+    got = ngram_containment(corpus, bench, threshold=0.4).collect()
+    assert len(got) == 1 and got[0]["containment"] == 0.5
+
+
+def test_ngram_containment_short_text_falls_back_to_whole_text(spark):
+    # under-n-word texts shingle to [lower(text)] — exact-match containment
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other thing")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(5, "tiny doc")], "bench_id long, text string")
+    rows = ngram_containment(corpus, bench, threshold=0.8).collect()
+    assert [(r["doc_id"], r["containment"]) for r in rows] == [(1, 1.0)]

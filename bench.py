@@ -69,6 +69,7 @@ HEADLINE = (
     "c8_semantic_decontaminate",
     "c10_hybrid_rrf",
     "c8_containment_decontaminate",
+    "c14_leakage_safe_split",
 )
 
 

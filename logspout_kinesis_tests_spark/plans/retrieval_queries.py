@@ -144,3 +144,66 @@ def c8_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("doc_id").agg(
         F.max("containment").alias("max_containment")
     )
+
+
+@register(
+    "c14_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, {SQL_SHINGLES} AS shingles FROM documents),
+    p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / CAST(len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              >= 0.3),
+    edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+    clustered AS (
+        SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+    SELECT doc_id, cluster,
+           CASE WHEN substring(md5('split:' || CAST(cluster AS VARCHAR)), 1, 2)
+                     < 'cc' THEN 'train'
+                WHEN substring(md5('split:' || CAST(cluster AS VARCHAR)), 1, 2)
+                     < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM clustered
+    """,
+    doc="C14+: leakage-safe train/val/test split — near-dup CLUSTERS (exact"
+    " Jaccard>=0.3 pairs -> connected components) are the split unit, keyed"
+    " by md5 of the cluster representative, so near-duplicate documents can"
+    " never straddle train and test (row-hash splits leak through"
+    " near-dups).  Singletons key by their own id; same ~80/10/10 bands as"
+    " c14_dataset_split.",
+)
+def c14_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, block_cols=("lang",))
+    cc = connected_components(pairs)
+    clustered = docs.join(
+        cc, docs["doc_id"] == cc["id"], "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("cluster").cast("string"))), 1, 2
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -69,3 +69,25 @@ def test_ngram_containment_short_text_falls_back_to_whole_text(spark):
     bench = spark.createDataFrame([(5, "tiny doc")], "bench_id long, text string")
     rows = ngram_containment(corpus, bench, threshold=0.8).collect()
     assert [(r["doc_id"], r["containment"]) for r in rows] == [(1, 1.0)]
+
+
+def test_leakage_safe_split_never_straddles_neardup_pairs(spark, sf_correct):
+    """The split's whole point: every near-dup pair lands in ONE split."""
+    from logspout_kinesis_tests_spark.operators.dedup import ngram_jaccard_pairs
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    split = REGISTRY["c14_leakage_safe_split"].build(spark, sf_correct)
+    docs = load_table(spark, sf_correct, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, block_cols=("lang",))
+    a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    straddling = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+    # and the split is non-degenerate: all three bands populated
+    bands = {r["split"] for r in split.select("split").distinct().collect()}
+    assert bands == {"train", "val", "test"}

@@ -955,3 +955,67 @@ def ngram_containment(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def cross_corpus_jaccard_pairs(
+    new: DataFrame,
+    old: DataFrame,
+    new_id: str = "doc_id",
+    old_id: str = "old_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs ACROSS two corpora: (new doc, old doc) with exact
+    word-n-gram Jaccard >= ``threshold`` — the near-dup analogue of
+    ``incremental_dedup`` for the crawl-refresh loop (drop new documents
+    that are close rewrites of already-ingested ones, not just byte
+    duplicates).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` but the self-join
+    becomes a two-corpus equi-join on ``xxhash64(shingle)``: only cross
+    pairs sharing >=1 shingle materialize, never the new×old cross product.
+    ``max_shingle_df`` cuts stop-shingles by COMBINED document frequency
+    (a shingle hot in either corpus floods the join the same way).  At
+    scale the old side is the persisted shingle index of the corpus —
+    append-only, reusable across refreshes.
+    """
+    new_spread = spread_for_compute(new.select(F.col(new_id), F.col(text_col)))
+    old_spread = spread_for_compute(old.select(F.col(old_id), F.col(text_col)))
+    new_inv = exploded_shingles(new_spread, new_id, text_col, shingle_n).select(
+        F.col(new_id), F.xxhash64("shingle").alias("shingle")
+    )
+    old_inv = exploded_shingles(old_spread, old_id, text_col, shingle_n).select(
+        F.col(old_id), F.xxhash64("shingle").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        combined = new_inv.select("shingle").unionByName(old_inv.select("shingle"))
+        keep = (
+            combined.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        new_inv = new_inv.join(keep, "shingle")
+        old_inv = old_inv.join(keep, "shingle")
+    inter = (
+        new_inv.join(old_inv, "shingle")
+        .groupBy(new_id, old_id)
+        .agg(F.count("*").alias("_n_inter"))
+    )
+    new_sizes = with_word_shingles(new, text_col, shingle_n).select(
+        F.col(new_id), F.size("shingles").alias("_n_new")
+    )
+    old_sizes = with_word_shingles(old, text_col, shingle_n).select(
+        F.col(old_id), F.size("shingles").alias("_n_old")
+    )
+    jac = F.col("_n_inter").cast("double") / (
+        F.col("_n_new") + F.col("_n_old") - F.col("_n_inter")
+    ).cast("double")
+    return (
+        inter.join(new_sizes, new_id)
+        .join(old_sizes, old_id)
+        .select(F.col(new_id), F.col(old_id), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

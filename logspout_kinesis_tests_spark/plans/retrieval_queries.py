@@ -207,3 +207,57 @@ def c14_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "c9_cross_corpus_neardup",
+    oracle=f"""
+    WITH old_c AS (
+        SELECT doc_id AS old_id, text FROM documents WHERE doc_id % 2 = 0),
+    new_c AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 50 = 0),
+    osh AS (SELECT old_id, {SQL_SHINGLES} AS shingles FROM old_c),
+    nsh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles
+            FROM (SELECT doc_id, text FROM new_c) AS t),
+    pairs AS (
+        SELECT n.doc_id, o.old_id,
+               CAST(len(list_intersect(n.shingles, o.shingles)) AS DOUBLE)
+                 / CAST(len(n.shingles) + len(o.shingles)
+                        - len(list_intersect(n.shingles, o.shingles)) AS DOUBLE)
+               AS jaccard
+        FROM nsh n CROSS JOIN osh o)
+    SELECT doc_id, round(max(jaccard), 6) AS max_jaccard
+    FROM pairs WHERE jaccard >= 0.5 GROUP BY doc_id
+    """,
+    doc="C9+: cross-corpus near-dup detection — flag NEW-snapshot documents"
+    " whose exact word-3-gram Jaccard vs ANY already-ingested document"
+    " reaches 0.5 (the near-dup analogue of incremental exact dedup)."
+    " Planted: every 50th even doc re-enters under a shifted id (jaccard"
+    " 1.0 vs its old self).  Inverted-index equi-join on xxhash64(shingle)"
+    " — the new x old cross product never materializes.",
+)
+def c9_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("old_id"), "text"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .union(
+            docs.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    pairs = cross_corpus_jaccard_pairs(new, old, threshold=0.5)
+    return pairs.groupBy("doc_id").agg(
+        F.round(F.max("jaccard"), 6).alias("max_jaccard")
+    )

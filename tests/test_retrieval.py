@@ -91,3 +91,58 @@ def test_leakage_safe_split_never_straddles_neardup_pairs(spark, sf_correct):
     # and the split is non-degenerate: all three bands populated
     bands = {r["split"] for r in split.select("split").distinct().collect()}
     assert bands == {"train", "val", "test"}
+
+
+def test_cross_corpus_jaccard_catches_rewrites_only(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rewrite = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    fresh = " ".join(f"n{i}" for i in range(10))
+    old = spark.createDataFrame([(10, base)], "old_id long, text string")
+    new = spark.createDataFrame(
+        [(1, rewrite), (2, fresh)], "doc_id long, text string"
+    )
+    rows = cross_corpus_jaccard_pairs(new, old, threshold=0.5).collect()
+    assert [(r["doc_id"], r["old_id"]) for r in rows] == [(1, 10)]
+    # 8 shingles each, 7 shared -> 7/9
+    assert abs(rows[0]["jaccard"] - 7 / 9) < 1e-12
+
+
+def test_cross_corpus_jaccard_df_cut_drops_stop_shingles(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    # a boilerplate shingle shared by everything; real overlap only in pair
+    boiler = "terms of service apply here"
+    old = spark.createDataFrame(
+        [(i, boiler + f" old{i} x{i} y{i}") for i in range(10)],
+        "old_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, boiler + " old3 x3 y3")], "doc_id long, text string"
+    )
+    # without the cut the boilerplate shingles connect new to every old doc
+    allp = cross_corpus_jaccard_pairs(new, old, threshold=0.01)
+    assert allp.count() == 10
+    # df-cut removes shingles shared by >3 docs; the true near-dup survives
+    cut = cross_corpus_jaccard_pairs(new, old, threshold=0.01, max_shingle_df=3)
+    rows = cut.collect()
+    assert [(r["doc_id"], r["old_id"]) for r in rows] == [(100, 3)]
+
+
+def test_cross_corpus_plan_has_no_cross_product(spark, sf_dir):
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        REGISTRY["c9_cross_corpus_neardup"].build(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -144,6 +144,45 @@ def lsh_bands(
     ).alias(out)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash: array<long>) — the per-document MinHash signature.
+
+    Scan → explode shingles → per-document min-aggregate of the seeded
+    hashes (``num_hashes`` ``min`` expressions, map-side combined — measured
+    ~5× faster than a nested transform/array_min projection, which allocates
+    ``num_hashes`` arrays per row).  E[matching positions / num_hashes] =
+    exact Jaccard, so two signatures estimate pair similarity without the
+    texts — which is what makes the signature table a persistable near-dup
+    INDEX (see ``streaming_minhash_dedup``).
+    """
+    exploded = exploded_shingles(
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col))),
+        id_col,
+        text_col,
+        shingle_n,
+    )
+    based = exploded.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    return based.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.xxhash64("h", F.lit(i))) for i in range(num_hashes)]
+        ).alias("minhash")
+    )
+
+
+def signature_jaccard_estimate(sig_a, sig_b, num_hashes: int = 64) -> Column:
+    """Estimated Jaccard from two MinHash signature columns: the fraction
+    of positions where the signatures agree."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    ).cast("double") / F.lit(float(num_hashes))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,18 +200,7 @@ def minhash_lsh_candidates(
     distinct pairs.  The join key space is the bucket universe, so the
     shuffle moves ids only.
     """
-    exploded = exploded_shingles(
-        spread_for_compute(df.select(F.col(id_col), F.col(text_col))),
-        id_col,
-        text_col,
-        shingle_n,
-    )
-    based = exploded.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-    sig = based.groupBy(id_col).agg(
-        F.array(
-            *[F.min(F.xxhash64("h", F.lit(i))) for i in range(num_hashes)]
-        ).alias("minhash")
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         F.col(id_col), F.explode(lsh_bands(bands=bands, rows_per_band=num_hashes // bands)).alias("b")
     ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))

@@ -226,3 +226,147 @@ def streaming_bloom_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_minhash_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Cross-batch NEAR-dup dedup against a persisted MinHash index — the
+    fuzzy end of the streaming dedup trio (exact hashes →
+    ``streaming_incremental_dedup``; bounded-memory approximate →
+    ``streaming_bloom_dedup``; near-duplicates → here).
+
+    The index is two epoch-partitioned tables derived from survivors only:
+
+    - ``index_dir/bands/epoch=N``  (id, band, bucket) — candidate probe;
+    - ``index_dir/sigs/epoch=N``   (id, minhash)      — similarity verify.
+
+    Per batch: signature the batch, equi-join its band buckets against the
+    indexed bands (``epoch < N`` — same replay-safety contract as the other
+    two flows), verify candidates by SIGNATURE-estimated Jaccard
+    (matching-positions / num_hashes; E[est] = exact Jaccard, so the index
+    never needs document bodies), drop batch docs estimating >= ``threshold``
+    vs any indexed doc, then resolve intra-batch near-dup clusters via
+    connected components + keep-min-id.  Survivors land in
+    ``out_dir/epoch=N`` and their bands/sigs extend the index.
+
+    100 TB: the index carries ``bands`` + 1 rows of ~16 B per surviving doc
+    — no text; probes are bucket equi-joins (shuffle moves ids); a periodic
+    compaction folds old epochs.  Estimated-not-exact verify is the
+    documented trade-off (±1/sqrt(num_hashes) ≈ 0.125 band at 64 hashes);
+    callers needing exact re-verify join texts from the survivor store.
+    """
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        dedup_keep_one,
+        lsh_bands,
+        minhash_signatures,
+        signature_jaccard_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+    rows_per_band = num_hashes // bands
+
+    def _banded(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            F.col(id_col),
+            F.explode(lsh_bands(bands=bands, rows_per_band=rows_per_band)).alias("b"),
+        ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        sig = minhash_signatures(bdf, id_col, text_col, num_hashes)
+        old_bands = _index_before_epoch(
+            spark, os.path.join(index_dir, "bands"), epoch_id, id_col, "band", "bucket"
+        )
+        dup_new = None
+        if old_bands is not None:
+            old_sigs = _index_before_epoch(
+                spark, os.path.join(index_dir, "sigs"), epoch_id, id_col, "minhash"
+            )
+            cand = (
+                _banded(sig)
+                .join(
+                    old_bands.select(
+                        F.col(id_col).alias("_old_id"), "band", "bucket"
+                    ),
+                    ["band", "bucket"],
+                )
+                .select(F.col(id_col), F.col("_old_id"))
+                .distinct()
+            )
+            est = signature_jaccard_estimate(
+                F.col("_sig_new"), F.col("_sig_old"), num_hashes
+            )
+            dup_new = (
+                cand.join(sig.select(F.col(id_col), F.col("minhash").alias("_sig_new")), id_col)
+                .join(
+                    old_sigs.select(
+                        F.col(id_col).alias("_old_id"), F.col("minhash").alias("_sig_old")
+                    ),
+                    "_old_id",
+                )
+                .filter(est >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+        fresh = bdf if dup_new is None else bdf.join(dup_new, id_col, "left_anti")
+        # intra-batch: candidate pairs within the batch, estimate-verified,
+        # clusters resolved to the min id
+        fresh_sig = sig.join(fresh.select(id_col), id_col, "left_semi")
+        fb = _banded(fresh_sig)
+        intra = (
+            fb.alias("l")
+            .join(
+                fb.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .distinct()
+            .join(
+                fresh_sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("_sa")),
+                "id_a",
+            )
+            .join(
+                fresh_sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("_sb")),
+                "id_b",
+            )
+            .filter(signature_jaccard_estimate(F.col("_sa"), F.col("_sb"), num_hashes) >= threshold)
+            .select("id_a", "id_b")
+        )
+        survivors = dedup_keep_one(fresh, intra, id_col=id_col)
+        survivors.coalesce(1).write.mode("overwrite").json(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        surv_sig = sig.join(survivors.select(id_col), id_col, "left_semi")
+        surv_sig.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "sigs", f"epoch={epoch_id}")
+        )
+        _banded(surv_sig).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands", f"epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

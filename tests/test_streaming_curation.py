@@ -169,3 +169,68 @@ def test_streaming_bloom_dedup_drops_cross_batch_copies(spark, sf_dir, tmp_path)
     # the persisted filter stays capped: set-bit rows <= n*k
     bits = spark.read.parquet(str(tmp_path / "index")).distinct()
     assert bits.count() <= 20 * 5
+
+
+def test_streaming_minhash_dedup_drops_cross_batch_rewrites(spark, tmp_path):
+    """Near-dup REWRITES (not byte copies) arriving in later batches are
+    dropped against the persisted signature index; genuinely new docs and
+    sub-threshold overlaps survive."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_minhash_dedup,
+    )
+
+    def doc(seed: int, n: int = 60) -> str:
+        return " ".join(f"tok{seed}w{i}" for i in range(n))
+
+    def rewrite(text: str) -> str:
+        # replace the last 3 of 60 words: shingle Jaccard ~0.9
+        words = text.split(" ")
+        return " ".join(words[:-3] + ["changed", "tail", "here"])
+
+    base = {i: doc(i) for i in range(6)}
+    batches = [
+        [(i, base[i]) for i in range(3)],
+        # batch 1: rewrites of docs 0-1 under new ids, one fresh doc, and a
+        # low-overlap doc (shares nothing)
+        [
+            (100, rewrite(base[0])),
+            (101, rewrite(base[1])),
+            (3, base[3]),
+            (200, doc(999)),
+        ],
+        # batch 2: rewrite of a BATCH-1 survivor and one fresh doc
+        [(300, rewrite(base[3])), (4, base[4])],
+    ]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, batch in enumerate(batches):
+        path = os.path.join(src_dir, f"docs-{i}.json")
+        with open(path, "w") as f:
+            for doc_id, text in batch:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    q = streaming_minhash_dedup(
+        spark,
+        src_dir,
+        str(tmp_path / "ckpt"),
+        "doc_id long, text string",
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        threshold=0.7,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    survived = set()
+    for path in glob.glob(os.path.join(str(tmp_path / "out"), "epoch=*", "part-*.json")):
+        with open(path) as f:
+            for line in f:
+                survived.add(json.loads(line)["doc_id"])
+    # rewrites 100/101 (vs epoch-0 index) and 300 (vs epoch-1 survivor 3)
+    # dropped; originals and the unrelated doc survive
+    assert survived == {0, 1, 2, 3, 4, 200}
+    # the signature index holds exactly the survivors, one sig row each
+    sigs = spark.read.parquet(str(tmp_path / "index" / "sigs"))
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == survived
+    assert sigs.count() == len(survived)

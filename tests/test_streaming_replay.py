@@ -59,7 +59,7 @@ def _last_commit(ckpt_dir):
     return commits[-1]
 
 
-def _run_and_replay(spark, sf_dir, tmp_path, flow, **kwargs):
+def _run_and_replay(spark, sf_dir, tmp_path, flow, exact: bool = True, **kwargs):
     docs = load_table(spark, sf_dir, "documents")
     rows = docs.select("doc_id", "text").limit(16).collect()
     src_dir = str(tmp_path / "src")
@@ -73,8 +73,16 @@ def _run_and_replay(spark, sf_dir, tmp_path, flow, **kwargs):
     q.awaitTermination(120)
     first = _epoch_output(out, 1)
     assert first, "epoch=1 empty on the clean run — test setup broken"
-    expected = {r["doc_id"] for r in rows[8:16]}
-    assert first == expected  # copies of batch 0 dropped, fresh docs kept
+    if exact:
+        expected = {r["doc_id"] for r in rows[8:16]}
+        assert first == expected  # copies of batch 0 dropped, fresh docs kept
+    else:
+        # near-dup flow: NATURAL near-dups may also drop; pin only that the
+        # planted cross-batch copies never survive and fresh ids come from
+        # batch 1 — the replay-identity assertion below is the test's point
+        assert first <= {r["doc_id"] for r in rows[8:16]}
+        assert not {i for i in first if i >= 1_000_000}
+        expected = first
 
     # crash emulation: index for epoch 1 is on disk, commit marker is not
     # (drop the sidecar .crc too or the replayed commit's rename collides)
@@ -94,9 +102,10 @@ def _run_and_replay(spark, sf_dir, tmp_path, flow, **kwargs):
         f"{sorted(replayed)} != {sorted(expected)}"
     )
     # index converged to one entry per distinct doc despite the replay
-    idx = spark.read.parquet(index)
-    per_epoch_col = "content_sha256" if "content_sha256" in idx.columns else "bucket"
-    assert idx.select(per_epoch_col, "epoch").count() == idx.select(per_epoch_col, "epoch").distinct().count()
+    idx_dir = os.path.join(index, "bands") if os.path.isdir(os.path.join(index, "bands")) else index
+    idx = spark.read.parquet(idx_dir)
+    key_cols = [c for c in idx.columns if c != "epoch"][:2] + ["epoch"]
+    assert idx.select(*key_cols).count() == idx.select(*key_cols).distinct().count()
 
 
 def test_incremental_dedup_replay_regenerates_epoch(spark, sf_dir, tmp_path):
@@ -105,3 +114,11 @@ def test_incremental_dedup_replay_regenerates_epoch(spark, sf_dir, tmp_path):
 
 def test_bloom_dedup_replay_regenerates_epoch(spark, sf_dir, tmp_path):
     _run_and_replay(spark, sf_dir, tmp_path, streaming_bloom_dedup)
+
+
+def test_minhash_dedup_replay_regenerates_epoch(spark, sf_dir, tmp_path):
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_minhash_dedup,
+    )
+
+    _run_and_replay(spark, sf_dir, tmp_path, streaming_minhash_dedup, exact=False)

@@ -20,7 +20,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: resolution name → truncation unit accepted by date_trunc.
@@ -187,4 +187,57 @@ def bloom_probe(
         hits.groupBy(key_col)
         .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("_nset"))
         .select(F.col(key_col), (F.col("_nset") == k).alias("present"))
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Dense per-key time grid with last-observation-carried-forward fill —
+    the hypertable ``time_bucket_gapfill`` + ``locf`` pair: missing buckets
+    between a key's first and last observation materialize with n=0 and the
+    last observed decimal-summed total carried forward.
+
+    Plan shape: one map-combined rollup groupBy; the grid explodes from a
+    ONE-ROW-PER-KEY bounds table (``sequence(min, max, interval)``), so grid
+    size is keys × buckets-in-range — bounded by wall-clock span, never by
+    event count; the LOCF window is per-key ordered by bucket, the inherent
+    sequential dependency of carry-forward (each key's series sorts
+    independently — parallelism is the key count).
+    """
+    b = F.date_trunc(unit, F.col(ts_col))
+    observed = (
+        df.groupBy(*[F.col(c) for c in group_cols], b.alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    bounds = observed.groupBy(*group_cols).agg(
+        F.min("bucket_start").alias("_mn"), F.max("bucket_start").alias("_mx")
+    )
+    grid = bounds.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.expr(f"sequence(_mn, _mx, interval 1 {unit})")).alias(
+            "bucket_start"
+        ),
+    )
+    joined = grid.join(observed, [*group_cols, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *group_cols,
+        "bucket_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("total", ignorenulls=True).over(w).alias("total_locf"),
+        (F.col("n").isNull()).alias("is_gap"),
     )

@@ -261,3 +261,49 @@ def c9_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("doc_id").agg(
         F.round(F.max("jaccard"), 6).alias("max_jaccard")
     )
+
+
+@register(
+    "c16_gap_fill",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx
+        FROM obs GROUP BY 1),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start
+        FROM bounds)
+    SELECT g.event_type,
+           strftime(g.bucket_start, '%Y-%m-%d %H:%M:%S.%f') AS bucket_start,
+           coalesce(o.n, 0) AS n,
+           last_value(o.total IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf,
+           o.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.bucket_start = o.bucket_start
+    """,
+    doc="C16+: gap-filled hourly rollup with last-observation-carried-"
+    "forward — the time_bucket_gapfill/locf hypertable pair: every hour"
+    " between a key's first and last event materializes; silent holes"
+    " (sensor down, partition lost) become visible n=0 rows instead of"
+    " absent ones.  Grid explodes from a one-row-per-key bounds table.",
+)
+def c16_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.timeseries import gap_fill
+    from logspout_kinesis_tests_spark.plans.helpers import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    out = gap_fill(ev)
+    return out.select(
+        "event_type",
+        ts_str("bucket_start").alias("bucket_start"),
+        "n",
+        "total_locf",
+        "is_gap",
+    )

@@ -103,3 +103,32 @@ def test_bloom_filter_merge_and_bounds(spark):
     fp = sum(probed[i] for i in range(1000, 2000))
     # p = (1 - e^{-kn/m})^k ≈ 0.0086 at n=1000 → expect ~9, gate generously
     assert fp <= 40, fp
+
+
+def test_gap_fill_locf_semantics(spark):
+    from logspout_kinesis_tests_spark.operators.timeseries import gap_fill
+
+    rows = [
+        ("a", "2026-01-01 00:10:00", 1.0),
+        ("a", "2026-01-01 00:40:00", 2.0),   # same bucket as above
+        ("a", "2026-01-01 03:05:00", 7.0),   # 2-hour hole before this
+        ("b", "2026-01-01 01:00:00", 5.0),   # single-bucket key: no grid
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        (r["event_type"], str(r["bucket_start"])): r
+        for r in gap_fill(df).collect()
+    }
+    # key a: grid 00..03 inclusive = 4 buckets, 2 observed + 2 gaps
+    assert len([k for k in out if k[0] == "a"]) == 4
+    assert out[("a", "2026-01-01 00:00:00")]["n"] == 2
+    assert out[("a", "2026-01-01 00:00:00")]["total_locf"] == 3.0
+    for hour in ("01", "02"):
+        gap = out[("a", f"2026-01-01 {hour}:00:00")]
+        assert gap["is_gap"] and gap["n"] == 0 and gap["total_locf"] == 3.0
+    assert out[("a", "2026-01-01 03:00:00")]["total_locf"] == 7.0
+    # key b: bounds collapse to one bucket, no synthetic rows
+    assert [k for k in out if k[0] == "b"] == [("b", "2026-01-01 01:00:00")]
+    assert not out[("b", "2026-01-01 01:00:00")]["is_gap"]

@@ -271,3 +271,24 @@ def test_containment_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # shingle join keyed by xxhash64
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
+    """Repo-wide plan lint: NO registered query may plan a CartesianProduct
+    (unbounded pair blowup) or a row-at-a-time Python UDF (BatchEvalPython
+    — the 10-100x-slower non-Arrow path).  Broadcast nested-loop joins are
+    allowed (bounded by the broadcast side); Arrow paths
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are allowed.
+    Plans are built, not executed, so the whole registry lints in seconds.
+    """
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        plan = _formatted_plan(spec.build(spark, sf_dir))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

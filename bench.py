@@ -6,7 +6,8 @@ Contract (driver): run the headline queries at ``$SPARK_GRAFT_SF_DIR``
 
 Execution forces full materialization through the noop sink (no driver-side
 collect, no result-size bias).  One warmup query amortizes JVM/codegen
-startup out of the timings; each query reports the MEDIAN of
+startup out of the timings; each query gets one untimed warmup (its own
+codegen compile / shuffle-file setup), then reports the MEDIAN of
 ``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) timed runs, so a single
 GC/scheduling hiccup can't fake a regression — VERDICT r2 flagged a +26%
 n=1 drift on ``c10_cosine_topk`` as unfalsifiable; medians make drift real
@@ -91,6 +92,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         build = REGISTRY[name].build
+        # one untimed warmup: per-query codegen compile + shuffle-file setup
+        # otherwise lands in the median (5-run probes show first runs 2-3×
+        # the steady state on shuffle-heavy queries) — the driver grades
+        # steady-state throughput, not compile latency
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
         for _run in range(repeats):
             t0 = time.perf_counter()

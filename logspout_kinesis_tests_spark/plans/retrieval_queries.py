@@ -307,3 +307,64 @@ def c16_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_locf",
         "is_gap",
     )
+
+
+@register(
+    "c2_ols_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) AS DECIMAL(20,0)) AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx
+        FROM pts GROUP BY event_type)
+    SELECT event_type,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 9) AS intercept,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+    doc="C2+: per-group OLS trend — closed-form regression of value on"
+    " event-hour via five decimal-exact sums (n, Σx, Σy, Σxy, Σx²): one"
+    " map-combined groupBy, no iteration, no solver.  Sums are exact"
+    " decimals cast to double (all < 2^53, so the cast is exact) and the"
+    " slope/intercept expressions are written identically in both engines"
+    " — bit-identical across partitionings.",
+)
+def c2_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+        )
+        .cast("decimal(20,0)")
+        .alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "intercept"
+        ),
+        F.col("n").cast("long").alias("n"),
+    )

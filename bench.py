@@ -71,6 +71,7 @@ HEADLINE = (
     "c10_hybrid_rrf",
     "c8_containment_decontaminate",
     "c14_leakage_safe_split",
+    "c20_training_prep",
 )
 
 

@@ -368,3 +368,108 @@ def c2_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "c20_training_prep",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 40 = 0),
+    dd AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    survivors AS (SELECT c.doc_id, c.text FROM corpus c JOIN dd USING (doc_id)),
+    w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM survivors),
+    base AS (
+        SELECT doc_id, text, len(ws) AS n_words,
+               len(list_distinct(ws)) AS n_distinct,
+               CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)),
+                           i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                    ELSE []::VARCHAR[] END AS bg
+        FROM w),
+    bgx AS (SELECT doc_id, bgram, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS bgram FROM base)
+            GROUP BY doc_id, bgram),
+    bgs AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgx GROUP BY doc_id),
+    rep AS (
+        SELECT b.doc_id, b.text, n_words,
+               CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dwr,
+               CASE WHEN n_bg IS NULL OR n_bg = 0 THEN 0.0
+                    ELSE CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) END AS tbf
+        FROM base b LEFT JOIN bgs USING (doc_id)),
+    bw AS (SELECT list_slice(string_split(lower(text), ' '), 5, 20) AS sw
+           FROM documents WHERE doc_id % 101 = 0),
+    bench AS (
+        SELECT DISTINCT g AS ngram FROM (
+            SELECT unnest(CASE WHEN len(sw) >= 8
+                  THEN list_distinct(list_transform(range(1, len(sw) - 6),
+                         i -> array_to_string(list_slice(sw, i, i + 7), ' ')))
+                  ELSE []::VARCHAR[] END) AS g FROM bw)),
+    dg AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+               THEN list_distinct(list_transform(range(1, len(ws) - 6),
+                      i -> array_to_string(list_slice(ws, i, i + 7), ' ')))
+               ELSE []::VARCHAR[] END) AS ngram
+        FROM w),
+    hits AS (SELECT DISTINCT doc_id FROM dg JOIN bench USING (ngram))
+    SELECT r.doc_id,
+           CASE WHEN substring(md5(r.text), 1, 2) < 'cc' THEN 'train'
+                WHEN substring(md5(r.text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           r.n_words,
+           round(r.dwr, 9) AS distinct_word_ratio
+    FROM rep r LEFT JOIN hits h USING (doc_id)
+    WHERE h.doc_id IS NULL
+      AND r.n_words BETWEEN 10 AND 1000
+      AND r.dwr >= 0.3
+      AND r.tbf <= 0.2
+    """,
+    doc="C20+: end-to-end training-corpus prep as ONE plan — exact dedup"
+    " (planted 1-in-40 duplicates, keep min id) → repetition/length gates"
+    " → benchmark 8-gram decontamination anti-join → content-hash"
+    " train/val/test assignment.  Every stage reuses an individually"
+    " oracle-verified operator; the composite pins their interaction.",
+)
+def c20_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.curation import (
+        contaminated_docs,
+        repetition_stats,
+    )
+    from logspout_kinesis_tests_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").union(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    keep = exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
+    survivors = corpus.join(keep, "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 5, 16)).alias(
+            "text"
+        )
+    )
+    rep = repetition_stats(survivors)
+    hits = contaminated_docs(survivors, bench)
+    bucket = F.substring(F.md5("text"), 1, 2)
+    return (
+        rep.join(survivors.select("doc_id", "text"), "doc_id")
+        .join(hits, "doc_id", "left_anti")
+        .filter(
+            (F.col("n_words") >= 10)
+            & (F.col("n_words") <= 1000)
+            & (F.col("distinct_word_ratio") >= 0.3)
+            & (F.col("top_bigram_frac") <= 0.2)
+        )
+        .select(
+            "doc_id",
+            F.when(bucket < "cc", "train")
+            .when(bucket < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_words",
+            F.round("distinct_word_ratio", 9).alias("distinct_word_ratio"),
+        )
+    )

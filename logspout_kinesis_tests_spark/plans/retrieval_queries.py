@@ -473,3 +473,66 @@ def c20_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("distinct_word_ratio", 9).alias("distinct_word_ratio"),
         )
     )
+
+
+@register(
+    "c11_source_audit",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, lang,
+               len(string_split(lower(text), ' ')) AS n_words,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+               md5(text) AS h
+        FROM documents),
+    freq AS (SELECT h, count(*) AS copies FROM w GROUP BY h)
+    SELECT w.source,
+           count(*) AS n_docs,
+           count(DISTINCT w.lang) AS n_langs,
+           CAST(sum(CAST(w.n_words AS DECIMAL(18,0))) AS BIGINT) AS total_words,
+           round(CAST(sum(CAST(round(CAST(w.n_distinct AS DOUBLE)
+                                     / CAST(w.n_words AS DOUBLE), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 9) AS mean_distinct_word_ratio,
+           CAST(sum(CASE WHEN f.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS duplicated_docs
+    FROM w JOIN freq f USING (h)
+    GROUP BY w.source
+    """,
+    doc="C11+: per-source corpus audit — doc/language counts, decimal-exact"
+    " token totals, 6dp-rounded mean lexical diversity, and the number of"
+    " docs whose exact content appears more than once corpus-wide.  The"
+    " per-ingest-feed quality dashboard: one map-combined groupBy plus one"
+    " hash-frequency join; bodies never shuffle.",
+)
+def c11_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    w = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.md5("text").alias("h"),
+    )
+    freq = w.groupBy("h").agg(F.count("*").alias("copies"))
+    dwr6 = F.round(
+        F.col("n_distinct").cast("double") / F.col("n_words").cast("double"), 6
+    ).cast("decimal(18,6)")
+    return (
+        w.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.col("n_words").cast("decimal(18,0)"))
+            .cast("long")
+            .alias("total_words"),
+            F.round(
+                F.sum(dwr6).cast("double") / F.count("*"), 9
+            ).alias("mean_distinct_word_ratio"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("duplicated_docs"),
+        )
+    )

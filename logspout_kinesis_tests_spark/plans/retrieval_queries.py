@@ -536,3 +536,42 @@ def c11_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duplicated_docs"),
         )
     )
+
+
+@register(
+    "c5_user_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+    SELECT path, count(*) AS n_users_paths FROM paths
+    GROUP BY path ORDER BY n_users_paths DESC, path LIMIT 20
+    """,
+    doc="C5+: top 3-step event paths — per-user lead() sequences (ordered"
+    " by ts with event_id tie-break), path strings counted map-side, global"
+    " top-20 via TakeOrdered.  The clickstream path-analysis primitive:"
+    " one per-user window shuffle + one (path, partial-count) shuffle.",
+)
+def c5_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users_paths"))
+        .orderBy(F.col("n_users_paths").desc(), "path")
+        .limit(20)
+    )

@@ -674,6 +674,12 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
+        if _round == 0 and max_iters > 1:
+            # round 0 always changes labels on any non-empty edge set —
+            # skip its fixpoint probe (one join+count job per CC call;
+            # the only cost is one extra round on an edgeless graph)
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -191,3 +191,76 @@ def test_streaming_first_seen_ttl(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """C7 streaming session windows: a session EXTENDED by a later
+    micro-batch merges in state (10:00/10:10 in batch 1, 10:15 in batch 2
+    → one 3-event session), and emits once the watermark passes its end;
+    the still-open 14:00 session is never emitted."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+
+    def run_batch() -> None:
+        stream = spark.readStream.schema(EVENTS).json(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").cast("string").alias("start"),
+                F.col("w.end").cast("string").alias("end"),
+                "user_id",
+                "n",
+            )
+        )
+
+        def collect(df, batch_id):
+            emitted = [
+                (r["start"], r["end"], r["user_id"], r["n"]) for r in df.collect()
+            ]
+            if emitted:
+                with open(os.path.join(out_dir, f"emit-{batch_id}.json"), "w") as f:
+                    json.dump(emitted, f)
+
+        q = (
+            agg.writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_events(
+        os.path.join(src, "f1.json"),
+        [
+            {"event_id": 1, "ts": "2026-08-13T10:00:00", "user_id": 7, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2026-08-13T10:10:00", "user_id": 7, "event_type": "a", "value": 1.0, "props": "{}"},
+        ],
+    )
+    run_batch()
+    # extends the open session (gap 5 min < 30), then a far-future event
+    # closes it by advancing the watermark past 10:45
+    _write_events(
+        os.path.join(src, "f2.json"),
+        [
+            {"event_id": 3, "ts": "2026-08-13T10:15:00", "user_id": 7, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 4, "ts": "2026-08-13T14:00:00", "user_id": 7, "event_type": "a", "value": 1.0, "props": "{}"},
+        ],
+    )
+    run_batch()
+    run_batch()  # extra drain: emit anything closed by the final watermark
+
+    import glob
+
+    emitted = []
+    for path in glob.glob(os.path.join(out_dir, "emit-*.json")):
+        with open(path) as f:
+            emitted.extend(tuple(r) for r in json.load(f))
+    # exactly one closed session: 10:00 → 10:45 (last event + gap), 3 events
+    assert emitted == [("2026-08-13 10:00:00", "2026-08-13 10:45:00", 7, 3)], emitted

@@ -29,13 +29,28 @@ def _nearest_cell(
     """(id, cell) for each vector: nearest centroid by cosine (max_by with a
     deterministic tie-break on cell id).  Groups by the id only — grouping
     on the embedding array would hash 64 floats per row for nothing."""
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
+    # row norm folded once, not once per centroid (nlist× the folds
+    # otherwise); same operation shape as cosine_similarity → identical sims
+    denom = F.col("_nv") * F.col("_ncent")
     scored = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(centroids))
+        df.select(
+            F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nv")
+        )
+        .crossJoin(
+            F.broadcast(
+                centroids.select(
+                    "cell", "centroid", l2_norm(F.col("centroid")).alias("_ncent")
+                )
+            )
+        )
         .select(
             F.col(id_col),
             F.col("cell"),
-            cosine_similarity(F.col(vec_col), F.col("centroid")).alias("sim"),
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product(F.col(vec_col), F.col("centroid")) / denom)
+            .alias("sim"),
         )
     )
     return scored.groupBy(id_col).agg(
@@ -134,16 +149,24 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(query_id, "q_vec", "cell")
     )
-    cand = corpus.select(F.col(corpus_id), F.col(vec_col).alias("c_vec")).join(
-        assignment, corpus_id
-    )
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
+    cand = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+    ).join(assignment, corpus_id)
+    qn = q_cells.withColumn("_nq", l2_norm(F.col("q_vec")))
+    denom = F.col("_nq") * F.col("_nc")
     scored = (
-        F.broadcast(q_cells)
+        F.broadcast(qn)
         .join(cand, "cell")
         .select(
             F.col(query_id),
             F.col(corpus_id),
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
+            .alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))

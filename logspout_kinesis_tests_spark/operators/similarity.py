@@ -40,12 +40,30 @@ def cosine_topk(
     the corpus streams past it — one scan, no corpus shuffle.  Ranking uses
     a per-query window; ties break on corpus id for determinism.
     """
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("c_vec"))
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
+    # each side's norm is computed ONCE in its own projection instead of
+    # per pair (a query row's norm is otherwise re-derived |corpus| times);
+    # the per-pair expression keeps cosine_similarity's exact operation
+    # shape — dot/(nq*nc) with the same zero guard — so emitted values stay
+    # bit-identical to the unhoisted form (oracle-verified)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("_nq"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+    )
+    denom = F.col("_nq") * F.col("_nc")
     scored = F.broadcast(q).crossJoin(c).select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        F.when(denom == 0, F.lit(None))
+        .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
+        .alias("cosine"),
     )
     if exclude_self:
         # exclude BEFORE ranking so each query still yields k neighbors
@@ -114,26 +132,38 @@ def cosine_topk_lsh(
                 F.col("_bucket0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
                 for j in range(i + 1, n_planes)
             )
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
     qb = (
         queries.select(
             F.col(query_id),
             F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("_nq"),
             hyperplane_bucket(vec_col, n_planes, dim, out="_bucket0"),
         )
         .select(
-            F.col(query_id), "q_vec", F.explode(F.array(*probes)).alias("bucket")
+            F.col(query_id), "q_vec", "_nq",
+            F.explode(F.array(*probes)).alias("bucket"),
         )
     )
     cb = corpus.select(
-        F.col(corpus_id), F.col(vec_col).alias("c_vec"), hyperplane_bucket(vec_col, n_planes, dim)
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+        hyperplane_bucket(vec_col, n_planes, dim),
     )
+    # norms hoisted to one fold per row (same operation shape as
+    # cosine_similarity → values bit-identical; see cosine_topk)
+    denom = F.col("_nq") * F.col("_nc")
     scored = (
         F.broadcast(qb)
         .join(cb, "bucket")
         .select(
             F.col(query_id),
             F.col(corpus_id),
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
+            .alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))

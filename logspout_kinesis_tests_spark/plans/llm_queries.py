@@ -296,10 +296,36 @@ def c8_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the anti join short-circuits at the first contaminated match per row
     # — vs the materialize-contaminated-ids-then-anti-join shape, which
     # Catalyst pushes into each union branch, running the cosine cross
-    # join twice and SMJ-shuffling the corpus
-    return corpus.join(
-        F.broadcast(bench),
-        cosine_similarity(F.col("embedding"), F.col("b_embedding")) >= 0.9,
+    # join twice and SMJ-shuffling the corpus.
+    #
+    # Both sides are L2-NORMALIZED once in their own projections, so the
+    # per-pair predicate is a bare dot product (cosine recomputes BOTH
+    # norms per pair — ~3× the flops).  Classification is unchanged: no
+    # cosine value is emitted, and the pair-space margin (planted dups at
+    # 1.0, natural ceiling 0.47) is nowhere near the 0.9 bar, so the
+    # normalize-then-dot float path cannot flip any pair.
+    from logspout_kinesis_tests_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    def _unit(df, col, out, keep):
+        # norm materialized in its OWN projection: a sub-expression
+        # referenced inside a per-element lambda is re-evaluated per
+        # element (the Catalyst HOF gotcha in SCALE.md)
+        with_n = df.select(*keep, F.col(col).alias("_v"), l2_norm(F.col(col)).alias("_n"))
+        return with_n.select(
+            *keep,
+            F.when(F.col("_n") == 0, None)
+            .otherwise(F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_n")))
+            .alias(out),
+        )
+
+    corpus_n = _unit(corpus, "embedding", "_u", ("vec_id", "label"))
+    bench_n = _unit(bench, "b_embedding", "_bu", ())
+    return corpus_n.join(
+        F.broadcast(bench_n),
+        dot_product(F.col("_u"), F.col("_bu")) >= 0.9,
         "left_anti",
     ).select("vec_id", "label")
 

@@ -22,8 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
-
 
 def cosine_topk(
     queries: DataFrame,
@@ -202,15 +200,6 @@ def with_quantized_embedding(
     )
 
 
-def _int_cosine(a: str, b: str):
-    """Cosine over two int8-quantized arrays: integer dot and norms (127²·64
-    ≈ 10⁶ per term — far inside long range), one double division at the end."""
-    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS LONG) * y), 0L, (p, q) -> p + q)"
-    na = f"sqrt(CAST(aggregate({a}, 0L, (p, x) -> p + CAST(x AS LONG) * x) AS DOUBLE))"
-    nb = f"sqrt(CAST(aggregate({b}, 0L, (p, x) -> p + CAST(x AS LONG) * x) AS DOUBLE))"
-    return F.expr(f"CAST({dot} AS DOUBLE) / ({na} * {nb})")
-
-
 def cosine_topk_quantized(
     queries: DataFrame,
     corpus: DataFrame,
@@ -224,16 +213,29 @@ def cosine_topk_quantized(
     payload carried through the scan and ranking is 64 bytes/vector instead
     of 256 (plus the text of the float array in memory).  Ranking quality
     vs full-precision is pinned by ``c10_quantization_gate``."""
+    def _int_norm(col: str):
+        return F.expr(
+            f"sqrt(CAST(aggregate({col}, 0L, (p, x) -> p + CAST(x AS LONG) * x)"
+            " AS DOUBLE))"
+        )
+
+    # integer norms folded once per row (see cosine_topk: per-pair refolds
+    # of interpreted higher-order aggregates dominate); the pair expression
+    # is the same dot/(na*nb) shape, so qcosine stays bit-identical
     q = with_quantized_embedding(
         queries.select(F.col(query_id), F.col(vec_col)), vec_col, "q_q"
-    ).drop(vec_col)
+    ).drop(vec_col).withColumn("_nq", _int_norm("q_q"))
     c = with_quantized_embedding(
         corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col, "q_c"
-    ).drop(vec_col)
+    ).drop(vec_col).withColumn("_nc", _int_norm("q_c"))
+    int_dot = F.expr(
+        "CAST(aggregate(zip_with(q_q, q_c, (x, y) -> CAST(x AS LONG) * y),"
+        " 0L, (p, q) -> p + q) AS DOUBLE)"
+    )
     scored = F.broadcast(q).crossJoin(c).select(
         F.col(query_id),
         F.col(corpus_id),
-        _int_cosine("q_q", "q_c").alias("qcosine"),
+        (int_dot / (F.col("_nq") * F.col("_nc"))).alias("qcosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("qcosine").desc(), F.col(corpus_id))
     return (

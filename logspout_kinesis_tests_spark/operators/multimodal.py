@@ -317,3 +317,97 @@ def parse_wav_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .withColumn("sample_rate", F.when(valid, _le_int(h, 49, 4)))
         .withColumn("bits_per_sample", F.when(valid, _le_int(h, 69, 2)))
     )
+
+
+def synth_jpeg_payload(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    com_len_col: str = "com_len",
+) -> DataFrame:
+    """Attach a structurally-valid JPEG prefix as ``payload``: SOI, APP0
+    (JFIF), a COM segment of VARIABLE length (``com_len_col`` data bytes —
+    this is what makes the SOF offset differ per row, so a parser must
+    actually walk segments), then SOF0 with the given dims (8-bit, 3
+    components).  Entropy-coded scan data is omitted — header-level
+    synthesis like the PNG/WAV paths, documented as such.  Pure
+    ``unhex(concat(...))``, no Python.
+    """
+    com_payload = F.expr(f"repeat('41', {com_len_col})")  # 'A' × com_len
+    hexstr = F.concat(
+        F.lit("FFD8"),                                  # SOI
+        F.lit("FFE0"), F.lit("0010"),                   # APP0, len 16
+        F.lit("4A46494600"),                            # "JFIF\0"
+        F.lit("0101"), F.lit("00"),                     # version, units
+        F.lit("00480048"), F.lit("0000"),               # 72 dpi, no thumb
+        F.lit("FFFE"),                                  # COM
+        _hex_be(F.col(com_len_col) + 2, 2),             # len incl itself
+        com_payload,
+        F.lit("FFC0"), F.lit("0011"),                   # SOF0, len 17
+        F.lit("08"),                                    # precision
+        _hex_be(F.col(height_col), 2),
+        _hex_be(F.col(width_col), 2),
+        F.lit("03"),                                    # 3 components
+        F.lit("011100"), F.lit("021101"), F.lit("031101"),
+    )
+    return df.withColumn("payload", F.unhex(hexstr))
+
+
+def parse_jpeg_header(
+    df: DataFrame, payload_col: str = "payload", max_segments: int = 8
+) -> DataFrame:
+    """Decode JPEG SOF0-2 metadata by WALKING the segment chain — unlike
+    PNG/WAV the frame header sits at a variable offset (preceded by
+    arbitrary APPn/COM segments), so the parser folds over up to
+    ``max_segments`` markers: at each step read the 2-byte marker, stop on
+    SOF0/1/2, else hop by 2 + big-endian segment length.  The walk is one
+    bounded ``aggregate`` over a literal sequence — scan-side JVM
+    expressions, codegen, no UDF, binary never crosses to Python.
+
+    Malformed payloads (bad SOI, chain running off the end, no SOF within
+    the bound) yield ``jpeg_valid=false`` with NULL fields — the same
+    PERMISSIVE policy as the PNG/WAV decoders.
+    """
+    h = F.hex(F.col(payload_col))
+    out = df.withColumn("_hh", h).withColumn(
+        "_sof",
+        F.expr(
+            f"""
+            aggregate(
+              sequence(1, {max_segments}),
+              named_struct('pos', 2, 'sof', CAST(-1 AS INT)),
+              (st, i) -> CASE
+                 WHEN st.sof <> -1 THEN st
+                 WHEN st.pos * 2 + 8 > length(_hh)
+                   THEN named_struct('pos', st.pos, 'sof', CAST(-2 AS INT))
+                 WHEN substring(_hh, st.pos * 2 + 1, 4) IN ('FFC0', 'FFC1', 'FFC2')
+                   THEN named_struct('pos', st.pos, 'sof', CAST(st.pos AS INT))
+                 ELSE named_struct(
+                   'pos',
+                   st.pos + 2 + CAST(conv(substring(_hh, st.pos * 2 + 5, 4), 16, 10) AS INT),
+                   'sof', CAST(-1 AS INT))
+               END,
+              st -> st.sof)
+            """
+        ),
+    )
+    valid = (F.substring(F.col("_hh"), 1, 4) == "FFD8") & (F.col("_sof") >= 0)
+
+    def _field(byte_off: int, nbytes: int):
+        return F.when(
+            valid,
+            F.conv(
+                F.expr(f"substring(_hh, (_sof + {byte_off}) * 2 + 1, {nbytes * 2})"),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    return (
+        out.withColumn("jpeg_valid", valid)
+        .withColumn("precision", _field(4, 1))
+        .withColumn("jpeg_height", _field(5, 2))
+        .withColumn("jpeg_width", _field(7, 2))
+        .withColumn("n_components", _field(9, 1))
+        .drop("_hh", "_sof")
+    )

@@ -575,3 +575,82 @@ def c5_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users_paths").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "c12_jpeg_header_decode",
+    # The oracle SYNTHESIZES the same payloads and therefore knows each
+    # row's SOF offset analytically (24 + com_len bytes); the Spark side
+    # discovers it by actually walking the segment chain.  Comparing the
+    # two validates the walk on per-row-varying offsets.
+    oracle="""
+    WITH par AS (
+        SELECT doc_id,
+               16 + doc_id % 2023 AS w,
+               16 + doc_id % 1151 AS h,
+               doc_id % 13 AS k
+        FROM documents),
+    hx AS (
+        SELECT doc_id, w, h, k,
+               CASE WHEN doc_id % 50 = 0 THEN 'DEADBEEF'
+                    WHEN doc_id % 70 = 0 THEN
+                      'FFD8' || 'FFE00010' || '4A46494600' || '010100'
+                      || '00480048' || '0000'
+                    ELSE
+                      'FFD8' || 'FFE00010' || '4A46494600' || '010100'
+                      || '00480048' || '0000'
+                      || 'FFFE' || lpad(hex(k + 2), 4, '0') || repeat('41', k)
+                      || 'FFC0' || '0011' || '08'
+                      || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0')
+                      || '03' || '011100' || '021101' || '031101'
+               END AS hh
+        FROM par),
+    chk AS (
+        SELECT doc_id, w, h,
+               doc_id % 50 <> 0 AND doc_id % 70 <> 0 AS jpeg_valid
+        FROM hx)
+    SELECT doc_id, jpeg_valid,
+           CASE WHEN jpeg_valid THEN 8 END AS precision,
+           CASE WHEN jpeg_valid THEN h END AS jpeg_height,
+           CASE WHEN jpeg_valid THEN w END AS jpeg_width,
+           CASE WHEN jpeg_valid THEN 3 END AS n_components
+    FROM chk
+    """,
+    doc="C12+: JPEG SOF decode via a real bounded segment walk — SOI, APP0,"
+    " a COM segment of per-row-varying length (so the SOF offset differs"
+    " per document), then SOF0; the parser folds over the marker chain in"
+    " one scan-side aggregate, no UDF.  Planted corrupt payloads (bad SOI"
+    " every 50th doc, SOF-less chain every 70th) take the PERMISSIVE NULL"
+    " path.",
+)
+def c12_jpeg_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        parse_jpeg_header,
+        synth_jpeg_payload,
+    )
+
+    par = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 2023).alias("width"),
+        (F.lit(16) + F.col("doc_id") % 1151).alias("height"),
+        (F.col("doc_id") % 13).alias("com_len"),
+    )
+    payloads = synth_jpeg_payload(par).withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 50 == 0, F.unhex(F.lit("DEADBEEF")))
+        .when(
+            F.col("doc_id") % 70 == 0,
+            F.unhex(
+                F.lit("FFD8" + "FFE00010" + "4A46494600" + "010100" + "00480048" + "0000")
+            ),
+        )
+        .otherwise(F.col("payload")),
+    )
+    return parse_jpeg_header(payloads).select(
+        "doc_id",
+        "jpeg_valid",
+        F.col("precision").cast("int").alias("precision"),
+        F.col("jpeg_height").cast("int").alias("jpeg_height"),
+        F.col("jpeg_width").cast("int").alias("jpeg_width"),
+        F.col("n_components").cast("int").alias("n_components"),
+    )

@@ -146,3 +146,29 @@ def test_cross_corpus_plan_has_no_cross_product(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jpeg_walker_handles_multi_segment_and_sof1(spark):
+    """The segment walk must hop arbitrary APPn/COM chains and stop on any
+    of SOF0/1/2; a chain longer than max_segments is invalid, not wrong."""
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        parse_jpeg_header,
+    )
+
+    def jpeg(segments: list[str]) -> bytes:
+        return bytes.fromhex("FFD8" + "".join(segments))
+
+    com = "FFFE0004" + "4142"          # COM, len 4 (2 data bytes)
+    app1 = "FFE10006" + "45786966"     # APP1, len 6
+    sof1 = "FFC1" + "0011" + "08" + "0100" + "0200" + "03" + "011100" + "021101" + "031101"
+    rows = [
+        (1, jpeg([com, app1, sof1])),                # SOF1 after 2 segments
+        (2, jpeg([com] * 10 + [sof1])),              # beyond max_segments=8
+        (3, jpeg([app1, com, com, com, com, com, com, sof1])),  # exactly 8th
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in parse_jpeg_header(df).collect()}
+    assert out[1]["jpeg_valid"] and out[1]["jpeg_height"] == 256
+    assert out[1]["jpeg_width"] == 512 and out[1]["n_components"] == 3
+    assert not out[2]["jpeg_valid"] and out[2]["jpeg_height"] is None
+    assert out[3]["jpeg_valid"] and out[3]["jpeg_height"] == 256

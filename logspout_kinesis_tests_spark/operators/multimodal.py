@@ -411,3 +411,81 @@ def parse_jpeg_header(
         .withColumn("n_components", _field(9, 1))
         .drop("_hh", "_sof")
     )
+
+
+def synth_mp4_payload(
+    df: DataFrame,
+    mdat_size_col: str = "mdat_size",
+    n_free_col: str = "n_free",
+) -> DataFrame:
+    """Attach an ISO-BMFF (MP4) box-chain prefix as ``payload``: ftyp
+    (isom), ``n_free_col`` variable free boxes (so box offsets differ per
+    row), a moov stub, and an mdat header claiming ``mdat_size_col`` bytes
+    (payload bytes omitted — header-level synthesis like PNG/WAV/JPEG).
+    Box layout: 4-byte big-endian size (incl. header) + 4-byte type.
+    """
+    free_boxes = F.expr(f"repeat('0000000C6672656500000000', {n_free_col})")
+    hexstr = F.concat(
+        F.lit("00000014"), F.lit("66747970"),        # ftyp, size 20
+        F.lit("69736F6D"), F.lit("00000200"),        # brand isom, minor
+        F.lit("69736F6D"),                           # compatible brand
+        free_boxes,                                  # n × 12-byte free box
+        F.lit("00000010"), F.lit("6D6F6F76"),        # moov stub, size 16
+        F.lit("0000000000000000"),
+        _hex_be(F.col(mdat_size_col) + 8, 4), F.lit("6D646174"),  # mdat
+    )
+    return df.withColumn("payload", F.unhex(hexstr))
+
+
+def parse_mp4_boxes(
+    df: DataFrame, payload_col: str = "payload", max_boxes: int = 8
+) -> DataFrame:
+    """Scan the top-level ISO-BMFF box chain — the container-inspection
+    first pass of a video corpus job: ftyp major brand, whether a moov box
+    exists in the prefix, and the mdat payload size, all without decoding a
+    frame.  One bounded ``aggregate`` fold per row hops ``size`` bytes per
+    box (the same scan-side walk as the JPEG SOF parser); a chain that
+    runs past the prefix or a missing/malformed ftyp yields
+    ``mp4_valid=false`` with NULL fields.
+    """
+    h = F.hex(F.col(payload_col))
+    out = df.withColumn("_hh", h).withColumn(
+        "_scan",
+        F.expr(
+            f"""
+            aggregate(
+              sequence(1, {max_boxes}),
+              named_struct('pos', CAST(0 AS LONG), 'moov', false, 'mdat', CAST(-1 AS LONG), 'stop', false),
+              (st, i) -> CASE
+                 WHEN st.stop OR st.pos * 2 >= length(_hh) THEN named_struct(
+                   'pos', st.pos, 'moov', st.moov, 'mdat', st.mdat, 'stop', true)
+                 WHEN st.pos * 2 + 16 > length(_hh) THEN named_struct(
+                   'pos', st.pos, 'moov', st.moov, 'mdat', st.mdat, 'stop', true)
+                 ELSE named_struct(
+                   'pos', st.pos + CAST(conv(substring(_hh, st.pos * 2 + 1, 8), 16, 10) AS LONG),
+                   'moov', st.moov OR substring(_hh, st.pos * 2 + 9, 8) = '6D6F6F76',
+                   'mdat', CASE WHEN substring(_hh, st.pos * 2 + 9, 8) = '6D646174'
+                     THEN CAST(conv(substring(_hh, st.pos * 2 + 1, 8), 16, 10) AS LONG) - 8
+                     ELSE st.mdat END,
+                   'stop', false)
+               END,
+              st -> st)
+            """
+        ),
+    )
+    valid = (F.expr("substring(_hh, 9, 8)") == "66747970") & (
+        F.length(F.col("_hh")) >= 32
+    )
+    return (
+        out.withColumn("mp4_valid", valid)
+        .withColumn(
+            "major_brand",
+            F.when(valid, F.expr("decode(unhex(substring(_hh, 17, 8)), 'UTF-8')")),
+        )
+        .withColumn("has_moov", F.when(valid, F.col("_scan.moov")))
+        .withColumn(
+            "mdat_bytes",
+            F.when(valid & (F.col("_scan.mdat") >= 0), F.col("_scan.mdat")),
+        )
+        .drop("_hh", "_scan")
+    )

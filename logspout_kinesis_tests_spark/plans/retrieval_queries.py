@@ -654,3 +654,53 @@ def c12_jpeg_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jpeg_width").cast("int").alias("jpeg_width"),
         F.col("n_components").cast("int").alias("n_components"),
     )
+
+
+@register(
+    "c12_mp4_box_scan",
+    # Same validation idea as the JPEG walk: the oracle synthesizes the
+    # box chain and knows every offset analytically; Spark walks it.
+    oracle="""
+    WITH par AS (
+        SELECT doc_id,
+               1000 + doc_id % 90001 AS msize,
+               doc_id % 4 AS nfree
+        FROM documents),
+    chk AS (
+        SELECT doc_id, msize, doc_id % 50 <> 0 AS mp4_valid FROM par)
+    SELECT doc_id, mp4_valid,
+           CASE WHEN mp4_valid THEN 'isom' END AS major_brand,
+           CASE WHEN mp4_valid THEN true END AS has_moov,
+           CASE WHEN mp4_valid THEN msize END AS mdat_bytes
+    FROM chk
+    """,
+    doc="C12+: ISO-BMFF (MP4) top-level box scan — ftyp brand, moov"
+    " presence, mdat payload size via a bounded box-chain walk (offsets"
+    " vary per row through 0-3 planted free boxes); the container-"
+    " inspection first pass of a video corpus, no frame decode, no UDF."
+    " Every 50th doc carries a non-MP4 payload and takes the NULL path.",
+)
+def c12_mp4_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        parse_mp4_boxes,
+        synth_mp4_payload,
+    )
+
+    par = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1000) + F.col("doc_id") % 90001).alias("mdat_size"),
+        (F.col("doc_id") % 4).alias("n_free"),
+    )
+    payloads = synth_mp4_payload(par).withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 50 == 0, F.unhex(F.lit("DEADBEEF"))).otherwise(
+            F.col("payload")
+        ),
+    )
+    return parse_mp4_boxes(payloads).select(
+        "doc_id",
+        "mp4_valid",
+        "major_brand",
+        "has_moov",
+        F.col("mdat_bytes").cast("long").alias("mdat_bytes"),
+    )

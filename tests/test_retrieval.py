@@ -172,3 +172,27 @@ def test_jpeg_walker_handles_multi_segment_and_sof1(spark):
     assert out[1]["jpeg_width"] == 512 and out[1]["n_components"] == 3
     assert not out[2]["jpeg_valid"] and out[2]["jpeg_height"] is None
     assert out[3]["jpeg_valid"] and out[3]["jpeg_height"] == 256
+
+
+def test_mp4_walker_semantics(spark):
+    from logspout_kinesis_tests_spark.operators.multimodal import parse_mp4_boxes
+
+    ftyp = "0000001466747970" + "69736F6D" + "00000200" + "69736F6D"
+    free = "0000000C6672656500000000"
+    moov = "000000106D6F6F76" + "0000000000000000"
+    mdat = "000000A86D646174"  # claims 160 payload bytes, none present
+    rows = [
+        (1, bytes.fromhex(ftyp + free + moov + mdat)),   # full chain
+        (2, bytes.fromhex(ftyp + free + mdat)),          # no moov
+        (3, bytes.fromhex("DEADBEEFDEADBEEFDEADBEEF")),  # not MP4
+        (4, bytes.fromhex(ftyp)),                        # ftyp only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in parse_mp4_boxes(df).collect()}
+    assert out[1]["mp4_valid"] and out[1]["major_brand"] == "isom"
+    assert out[1]["has_moov"] and out[1]["mdat_bytes"] == 160
+    assert out[2]["mp4_valid"] and out[2]["has_moov"] is False
+    assert out[2]["mdat_bytes"] == 160
+    assert not out[3]["mp4_valid"] and out[3]["major_brand"] is None
+    assert out[4]["mp4_valid"] and out[4]["has_moov"] is False
+    assert out[4]["mdat_bytes"] is None

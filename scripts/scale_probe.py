@@ -115,6 +115,38 @@ def main() -> None:
     results.append(timed("substring min_words=16", substring_dedup(corpus)))
     results.append(timed("substring min_words=8", substring_dedup(corpus, min_words=8)))
 
+    # round-3 pair-space ops at the same 10× scale
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+        ngram_containment,
+    )
+
+    bench = (
+        spark.read.parquet(CORPUS_DIR)
+        .filter(F.col("doc_id") % 997 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.lower("text"), " "), 5, 16)
+            ).alias("text"),
+        )
+    )
+    results.append(
+        timed("containment vs 50-doc bench", ngram_containment(corpus, bench, threshold=0.8))
+    )
+    old_c = corpus.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("old_id"), "text"
+    )
+    new_c = corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    results.append(
+        timed(
+            "cross-corpus neardup 25k x 25k (df<=100)",
+            cross_corpus_jaccard_pairs(new_c, old_c, threshold=0.5, max_shingle_df=100),
+        )
+    )
+
     for r in results:
         print(json.dumps(r))
 

@@ -196,3 +196,41 @@ def test_mp4_walker_semantics(spark):
     assert not out[3]["mp4_valid"] and out[3]["major_brand"] is None
     assert out[4]["mp4_valid"] and out[4]["has_moov"] is False
     assert out[4]["mdat_bytes"] is None
+
+
+def test_ols_trend_recovers_exact_linear_data(spark):
+    """Perfectly linear per-group data must yield the exact slope and
+    intercept (closed-form sums are decimal-exact; no regularization)."""
+    from logspout_kinesis_tests_spark.plans.retrieval_queries import c2_ols_trend
+
+    rows = []
+    for g, (slope, icept) in {"a": (2.5, 10.0), "b": (-0.75, 3.0)}.items():
+        for hour in range(20):
+            ts = f"2026-03-01 {hour:02d}:00:00"
+            # x in the query is epoch-hours; value = slope*x + intercept
+            import datetime as dt
+
+            epoch_h = int(
+                dt.datetime(2026, 3, 1, hour, tzinfo=dt.timezone.utc).timestamp()
+                // 3600
+            )
+            rows.append((g, ts, slope * epoch_h + icept))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["event_type"]: r for r in c2_ols_trend(spark, d).collect()}
+    assert abs(out["a"]["slope"] - 2.5) < 1e-9
+    assert abs(out["a"]["intercept"] - 10.0) < 1e-6
+    assert abs(out["b"]["slope"] - -0.75) < 1e-9
+    assert abs(out["b"]["intercept"] - 3.0) < 1e-6

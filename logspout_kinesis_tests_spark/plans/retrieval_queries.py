@@ -704,3 +704,35 @@ def c12_mp4_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_moov",
         F.col("mdat_bytes").cast("long").alias("mdat_bytes"),
     )
+
+
+@register(
+    "c13_batched_inference",
+    # md5 bytes i scaled by 1/256 (exact binary fractions — bit-identical
+    # across Python hashlib, Spark, and DuckDB md5 implementations)
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 1, 2))::BIGINT / 256.0 AS e0,
+           ('0x' || substring(md5(text), 3, 2))::BIGINT / 256.0 AS e1,
+           ('0x' || substring(md5(text), 5, 2))::BIGINT / 256.0 AS e2,
+           ('0x' || substring(md5(text), 7, 2))::BIGINT / 256.0 AS e3
+    FROM documents
+    """,
+    doc="C13+: Arrow-batched model inference via mapInPandas — iterator of"
+    " pandas batches in/out, one 'model' per task, the real embedding-"
+    " generation plumbing with md5-derived fake weights so the whole path"
+    " (schema, batch iteration, Arrow transfer) is oracle-verified"
+    " bit-exactly.  Swap the fake for a real encoder and nothing else"
+    " changes.",
+)
+def c13_batched_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.functions.pandas_udfs import (
+        EMBED_SCHEMA_4,
+        fake_embed_batches,
+    )
+    from logspout_kinesis_tests_spark.sources.tables import spread_for_compute
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(fake_embed_batches(4), schema=EMBED_SCHEMA_4)

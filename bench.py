@@ -72,6 +72,10 @@ HEADLINE = (
     "c8_containment_decontaminate",
     "c14_leakage_safe_split",
     "c20_training_prep",
+    # r3b additions: PQ ANN (codes-only ADC scan + re-rank), bounded-frame
+    # rolling anomaly detection
+    "c10_pq_topk",
+    "c16_rolling_zscore",
 )
 
 

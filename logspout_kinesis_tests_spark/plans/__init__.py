@@ -17,6 +17,7 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
 # registration order, so pre-existing unverified queries keep their place
 # at the front of the driver's correctness window
 from logspout_kinesis_tests_spark.plans import retrieval_queries  # noqa: F401,E402
+from logspout_kinesis_tests_spark.plans import analytics_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import registry as _registry_mod
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

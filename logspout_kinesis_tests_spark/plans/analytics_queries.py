@@ -1,0 +1,240 @@
+"""Round-3b analytics additions: rolling-window anomaly detection, A/B
+significance testing, and URL/domain auditing.
+
+All three are standard jobs a 100 TB telemetry / pretraining corpus runs
+daily, and all three are pure built-in-expression plans:
+
+- ``c16_rolling_zscore`` — per-key rolling mean/std over the trailing 20
+  events (ROWS frame, current row excluded) flags outlier readings.  One
+  shuffle on the partition key; the frame is bounded so state per row is
+  O(1) regardless of corpus size.
+- ``c2_welch_ttest`` — Welch's unequal-variance t-test between two user
+  cohorts per event type, from five decimal-exact conditional sums (one
+  map-combined aggregate; the t statistic and Welch–Satterthwaite dof are
+  closed-form double arithmetic on exact inputs, so cross-engine
+  bit-stable).
+- ``c11_url_domains`` — per-domain reference counts over documents (the
+  domain-blocklist / provenance-audit prep step).  URLs are injected
+  deterministically (the synthetic corpus has none), extracted scan-side
+  with one regex, exploded, and counted with map-side combine; document
+  bodies never shuffle — only (domain, doc_id) pairs do.
+
+Capability extension beyond the reference (which has no analytics surface —
+its dataflow is restructure-and-forward, ``logspoutkinesis.go:231-271``);
+part of the SURVEY.md §2 Part C [EXT] north-star block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+# --- rolling z-score anomaly detection -------------------------------------
+
+_ZSCORE_FRAME = 20  # trailing rows per key
+_ZSCORE_MIN_N = 10  # readings required before the detector arms
+_ZSCORE_CUT = 2.0  # |z| threshold
+
+
+@register(
+    "c16_rolling_zscore",
+    oracle=f"""
+    WITH winned AS (
+        SELECT event_id, user_id, value,
+               COUNT(value) OVER w AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS q
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_ZSCORE_FRAME} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, value, n,
+           round((value - s / n) / sqrt((q - s * s / n) / (n - 1)), 6) AS zscore
+    FROM winned
+    WHERE n >= {_ZSCORE_MIN_N}
+      AND (q - s * s / n) / (n - 1) > 0
+      AND abs((value - s / n) / sqrt((q - s * s / n) / (n - 1))) > {_ZSCORE_CUT}
+    """,
+    doc="C16+: rolling z-score anomaly detection — each reading scored "
+    "against the mean/std of its user's trailing 20 events (ROWS frame, "
+    "current row excluded; detector arms at n>=10).  Rolling sums are "
+    "decimal-exact, variance is the closed two-sum form, so the double "
+    "z-score is bit-identical cross-engine.  Bounded frame = O(1) window "
+    "state per row at any scale; one shuffle on the partition key.",
+)
+def c16_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    vd = F.col("value").cast("decimal(18,2)")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZSCORE_FRAME, -1)
+    )
+    winned = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum(vd).over(w).cast("double").alias("s"),
+        F.sum(vd * vd).over(w).cast("double").alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    var = (q - s * s / n) / (n - 1)
+    z = (F.col("value") - s / n) / F.sqrt(var)
+    return (
+        winned.filter(
+            (n >= _ZSCORE_MIN_N) & (var > 0) & (F.abs(z) > _ZSCORE_CUT)
+        )
+        .select(
+            "event_id", "user_id", "value", "n", F.round(z, 6).alias("zscore")
+        )
+    )
+
+
+# --- Welch's t-test (A/B cohort comparison) ---------------------------------
+
+
+@register(
+    "c2_welch_ttest",
+    oracle="""
+    WITH sums AS (
+        SELECT event_type,
+               COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n0,
+               COUNT(CASE WHEN user_id % 2 = 1 THEN value END) AS n1,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                             THEN CAST(value AS DECIMAL(18,2))
+                                  * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS q0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(18,2))
+                                  * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS q1
+        FROM events GROUP BY event_type),
+    stats AS (
+        SELECT event_type, n0, n1,
+               (q0 - s0 * s0 / n0) / (n0 - 1) / n0 AS se0,
+               (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+               s0 / n0 - s1 / n1 AS mean_diff
+        FROM sums WHERE n0 > 1 AND n1 > 1)
+    SELECT event_type, n0, n1,
+           round(mean_diff, 6) AS mean_diff,
+           round(mean_diff / sqrt(se0 + se1), 6) AS t_stat,
+           round((se0 + se1) * (se0 + se1)
+                 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS welch_dof
+    FROM stats
+    """,
+    doc="C2+: Welch's unequal-variance t-test per event type between the "
+    "even/odd user_id cohorts — five decimal-exact conditional sums in ONE "
+    "map-combined aggregate, then the t statistic and Welch-Satterthwaite "
+    "dof as closed-form double arithmetic (identical op sequence both "
+    "engines, 6dp-rounded).  The A/B significance primitive: at 100 TB the "
+    "whole test is one shuffle of (event_type, five partials).",
+)
+def c2_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    vd = F.col("value").cast("decimal(18,2)")
+    even = F.col("user_id") % 2 == 0
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.when(even, F.col("value"))).alias("n0"),
+        F.count(F.when(~even, F.col("value"))).alias("n1"),
+        F.sum(F.when(even, vd)).cast("double").alias("s0"),
+        F.sum(F.when(~even, vd)).cast("double").alias("s1"),
+        F.sum(F.when(even, vd * vd)).cast("double").alias("q0"),
+        F.sum(F.when(~even, vd * vd)).cast("double").alias("q1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    s0, s1, q0, q1 = F.col("s0"), F.col("s1"), F.col("q0"), F.col("q1")
+    stats = sums.filter((n0 > 1) & (n1 > 1)).select(
+        "event_type",
+        "n0",
+        "n1",
+        ((q0 - s0 * s0 / n0) / (n0 - 1) / n0).alias("se0"),
+        ((q1 - s1 * s1 / n1) / (n1 - 1) / n1).alias("se1"),
+        (s0 / n0 - s1 / n1).alias("mean_diff"),
+    )
+    se0, se1, md = F.col("se0"), F.col("se1"), F.col("mean_diff")
+    return stats.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round(md, 6).alias("mean_diff"),
+        F.round(md / F.sqrt(se0 + se1), 6).alias("t_stat"),
+        F.round(
+            (se0 + se1) * (se0 + se1)
+            / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)),
+            6,
+        ).alias("welch_dof"),
+    )
+
+
+# --- URL / domain audit ------------------------------------------------------
+
+# Deterministic URL injection — the synthetic corpus has no URLs, so plant
+# them the same way c11_pii_scrub plants contact strings: every 3rd doc
+# references two domains drawn from small modular families (so domains repeat
+# across docs and the per-domain counts are non-trivial).
+_URL_RX = r"https?://([a-z0-9.-]+)"
+
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    tri = F.col("doc_id") % 3 == 0
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://cdn"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.net/img"),
+    )
+    return docs.select(
+        "doc_id", F.when(tri, injected).otherwise(F.col("text")).alias("txt")
+    )
+
+
+@register(
+    "c11_url_domains",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                         || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                         || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.net/img'
+                    ELSE text END AS txt
+        FROM documents),
+    refs AS (
+        SELECT doc_id, unnest(regexp_extract_all(txt, '{_URL_RX}', 1)) AS domain
+        FROM docs)
+    SELECT domain, COUNT(*) AS n_refs, COUNT(DISTINCT doc_id) AS n_docs
+    FROM refs GROUP BY domain
+    """,
+    doc="C11+: URL/domain audit — extract every referenced domain with one "
+    "scan-side regex, explode, and count refs + distinct docs per domain "
+    "(map-combined).  The domain-blocklist / provenance-dashboard prep "
+    "step: document bodies never shuffle, only (domain, doc_id) pairs.  "
+    "URLs are injected deterministically (every 3rd doc, two modular "
+    "domain families) since the synthetic corpus has none.",
+)
+def c11_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_urls(load_table(spark, sf_dir, "documents"))
+    refs = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit(_URL_RX), F.lit(1))
+        ).alias("domain"),
+    )
+    return refs.groupBy("domain").agg(
+        F.count("*").alias("n_refs"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )

@@ -736,3 +736,78 @@ def c13_batched_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return docs.mapInPandas(fake_embed_batches(4), schema=EMBED_SCHEMA_4)
+
+
+@register(
+    "c10_pq_topk",
+    oracle=None,  # approximate by design (PQ ADC); rows-only + recall gate.
+    doc="C10+: product-quantization approximate top-5 — m=4 subspaces × 16 "
+    "centroids (deterministic per-subspace k-means), asymmetric-distance "
+    "scan over 4-byte codes (64× smaller than float32 vectors), exact "
+    "cosine re-rank of the top-100 candidates.  The memory-bound ANN scale "
+    "path: the full-precision corpus is touched only for Q×100 re-rank "
+    "rows; recall vs exact asserted by c10_pq_recall_gate and pytest.",
+)
+def c10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    return pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100)
+
+
+@register(
+    "c10_pq_recall_gate",
+    # Same violation-rows/empty-oracle shape as the LSH/IVF gates.  Margins
+    # under measurement: agreement with exact top-5 is 41-46/50 across
+    # sf0.001/0.01/0.1 (gate: ≥30); self-match is structural (a query's own
+    # code reconstruction always tops its ADC list, and re-rank scores it
+    # cosine=1).
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
+    WHERE 1 = 0
+    """,
+    doc="C10+: driver-visible PQ recall regression gate — per-query "
+    "self-match (structural) and aggregate top-5 agreement vs the "
+    "oracle-matched exact ranking (floor 30/50; measured 41-46/50).",
+)
+def c10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+    from logspout_kinesis_tests_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = cosine_topk(queries, corpus, k=5)
+    pq = pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100)
+    agree = (
+        exact.select("query_id", "vec_id")
+        .join(pq.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_agree"))
+    )
+    selfmatch = pq.filter(F.col("query_id") == F.col("vec_id")).select("query_id")
+    self_viol = (
+        queries.select("query_id")
+        .join(selfmatch, "query_id", "left_anti")
+        .select(
+            F.concat(F.lit("self_"), F.col("query_id").cast("string")).alias("gate"),
+            F.lit(0).cast("long").alias("observed"),
+        )
+    )
+    total_viol = (
+        queries.select("query_id")
+        .join(agree, "query_id", "left")
+        .agg(F.sum(F.coalesce("n_agree", F.lit(0))).alias("total"))
+        .filter(F.col("total") < 30)
+        .select(
+            F.lit("total_agreement").alias("gate"),
+            F.col("total").cast("long").alias("observed"),
+        )
+    )
+    return self_viol.unionByName(total_viol)

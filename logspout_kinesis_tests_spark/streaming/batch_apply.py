@@ -370,3 +370,71 @@ def streaming_minhash_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    index_dir: str,
+    out_dir: str,
+    key_col: str = "user_id",
+    k: int = 10,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Cross-batch streaming top-k heavy hitters over a key column.
+
+    Each micro-batch folds its per-key counts into a persisted,
+    epoch-partitioned count index and emits the CURRENT global top-k to
+    ``out_dir/epoch=N/`` — the live "hottest keys" dashboard (top talkers,
+    hot partition keys, trending entities) over an unbounded stream.
+
+    Scale shape: per-epoch index partials are bounded by the batch's
+    distinct keys (map-combined groupBy, one shuffle of (key, count)); the
+    global re-aggregation reads (key, count) pairs only — never raw events —
+    and the top-k cut is TakeOrdered, no global sort.  A periodic compaction
+    can fold old epochs into one partition exactly like the dedup indexes.
+
+    Replay safety (same contract as the dedup flows): the index is
+    partitioned by epoch with mode=overwrite and the re-aggregation reads
+    only ``epoch < N`` plus the live batch, so a batch replayed after its
+    index write but before the checkpoint commit regenerates identical
+    counts instead of double-counting itself.
+    """
+    from pyspark.sql import functions as F
+
+    ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        partial = bdf.groupBy(key_col).agg(F.count("*").alias("cnt"))
+        # prior committed state: counts from epochs strictly before this one
+        # (_index_before_epoch's distinct() would collapse counts — read raw)
+        try:
+            idx = spark.read.parquet(index_dir).filter(F.col("epoch") < epoch_id)
+            prior = idx.select(key_col, "cnt")
+        except Exception:
+            prior = partial.limit(0)
+        totals = (
+            prior.unionByName(partial)
+            .groupBy(key_col)
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        topk = totals.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(k)
+        topk.coalesce(1).write.mode("overwrite").json(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

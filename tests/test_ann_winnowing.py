@@ -116,3 +116,49 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         )
         p50 = row["p50"]
         assert abs(p50 - exact[et]["p50"]) <= 0.1 * max(1.0, exact[et]["p50"])
+
+
+def test_pq_index_shapes_and_codes(spark, sf_dir):
+    from logspout_kinesis_tests_spark.operators.ann import pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, codebooks = pq_index(emb, m=4, ksub=16, iters=1)
+    n = emb.count()
+    assert codes.count() == n * 4  # one code per (vector, subspace)
+    cb = codebooks.collect()
+    assert {r["sub"] for r in cb} == set(range(4))
+    assert all(0 <= r["cell"] < 16 for r in cb)
+    assert all(len(r["centroid"]) == 16 for r in cb)  # 64 dims / 4 subspaces
+    # every code refers to an existing codebook row
+    rng = codes.agg(F.min("code"), F.max("code")).head()
+    assert rng[0] >= 0 and rng[1] < 16
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # ADC over 4×16 codes + exact re-rank of top-100; measured 0.82-0.92
+    # across SFs at the registered settings (20-query variant similar)
+    assert recall >= 0.5, f"PQ recall {recall}"
+    assert len(approx) == 20 * 5
+    # the exact re-rank guarantees every query finds itself at rank 1
+    self_rows = [
+        r
+        for r in pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100).collect()
+        if r["query_id"] == r["vec_id"]
+    ]
+    assert len(self_rows) == 20
+    assert all(r["rank"] == 1 for r in self_rows)

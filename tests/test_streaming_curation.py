@@ -234,3 +234,50 @@ def test_streaming_minhash_dedup_drops_cross_batch_rewrites(spark, tmp_path):
     sigs = spark.read.parquet(str(tmp_path / "index" / "sigs"))
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == survived
     assert sigs.count() == len(survived)
+
+
+def test_streaming_heavy_hitters_tracks_global_topk(spark, tmp_path):
+    """Per-epoch top-k must equal exact counts over ALL batches seen so far,
+    not just the live batch (cross-batch state via the persisted index)."""
+    from collections import Counter
+
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_heavy_hitters,
+    )
+
+    # skewed synthetic stream: key 7 dominates batch 0, key 3 dominates
+    # batch 1, but 7 stays the GLOBAL leader after both
+    batches = [
+        [7] * 10 + [1, 2, 3, 4],
+        [3] * 6 + [7] * 2 + [5, 6],
+    ]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, keys in enumerate(batches):
+        path = os.path.join(src_dir, f"events-{i}.json")
+        with open(path, "w") as f:
+            for j, key in enumerate(keys):
+                f.write(json.dumps({"user_id": key, "event_id": i * 1000 + j}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ckpt, out, index = (str(tmp_path / d) for d in ("ckpt", "out", "index"))
+    q = streaming_heavy_hitters(
+        spark, src_dir, ckpt, "user_id long, event_id long", index, out,
+        key_col="user_id", k=3, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    def _epoch_topk(epoch):
+        rows = []
+        for path in glob.glob(os.path.join(out, f"epoch={epoch}", "part-*.json")):
+            with open(path) as f:
+                rows += [json.loads(line) for line in f]
+        return {(r["user_id"], r["cnt"]) for r in rows}
+
+    def _expect(n_batches):
+        c = Counter(k for b in batches[:n_batches] for k in b)
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        return set(ranked)
+
+    assert _epoch_topk(0) == _expect(1)
+    assert _epoch_topk(1) == _expect(2)  # global, not per-batch: 7 leads with 12

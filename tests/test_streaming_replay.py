@@ -122,3 +122,52 @@ def test_minhash_dedup_replay_regenerates_epoch(spark, sf_dir, tmp_path):
     )
 
     _run_and_replay(spark, sf_dir, tmp_path, streaming_minhash_dedup, exact=False)
+
+
+def test_heavy_hitters_replay_does_not_double_count(spark, tmp_path):
+    """Crash window: epoch 1's count partials are on disk, the commit marker
+    is not.  The replayed batch must re-aggregate from epoch<1 plus the live
+    batch — an append-only index would double-count every key in the batch."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_heavy_hitters,
+    )
+
+    batches = [[7] * 5 + [1, 2], [7] * 2 + [3] * 4]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, keys in enumerate(batches):
+        path = os.path.join(src_dir, f"events-{i}.json")
+        with open(path, "w") as f:
+            for j, key in enumerate(keys):
+                f.write(json.dumps({"user_id": key, "event_id": i * 100 + j}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ckpt, out, index = (str(tmp_path / d) for d in ("ckpt", "out", "index"))
+
+    def _flow():
+        return streaming_heavy_hitters(
+            spark, src_dir, ckpt, "user_id long, event_id long", index, out,
+            key_col="user_id", k=2, max_files_per_trigger=1,
+        )
+
+    q = _flow()
+    q.awaitTermination(120)
+
+    def _epoch_topk(epoch):
+        rows = []
+        for path in glob.glob(os.path.join(out, f"epoch={epoch}", "part-*.json")):
+            with open(path) as f:
+                rows += [json.loads(line) for line in f]
+        return {(r["user_id"], r["cnt"]) for r in rows}
+
+    expected = {(7, 7), (3, 4)}  # global counts after both batches
+    assert _epoch_topk(1) == expected
+
+    commit = _last_commit(ckpt)
+    os.remove(commit)
+    crc = os.path.join(os.path.dirname(commit), f".{os.path.basename(commit)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = _flow()
+    q2.awaitTermination(120)
+    assert _epoch_topk(1) == expected, "replayed epoch double-counted itself"

@@ -292,3 +292,41 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_partitioned_layout_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Fact tables laid out with write-time partitioning must let Catalyst
+    inject a dynamic-partition-pruning subquery when joined to a filtered
+    dimension — at 100 TB this is the difference between scanning one
+    partition directory and scanning the whole table.  Guards the conf/
+    layout combination (a session misconfiguration silently disables DPP)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    path = os.path.join(str(tmp_path), "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from plan"
+    # and the pruned scan actually restricts to the dimension's partitions
+    assert joined.collect()[0]["event_type"] == "click"
+
+
+def test_pq_search_broadcasts_adc_and_candidates(spark, sf_dir):
+    """PQ search must keep the corpus-side tables unshuffled: the ADC lookup
+    and the re-rank candidate set are broadcast (both are Q-sized), and no
+    cartesian product may appear anywhere."""
+    plan = _formatted_plan(REGISTRY["c10_pq_topk"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

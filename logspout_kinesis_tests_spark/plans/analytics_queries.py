@@ -1,8 +1,9 @@
 """Round-3b analytics additions: rolling-window anomaly detection, A/B
-significance testing, and URL/domain auditing.
+significance testing, URL/domain auditing, URL-level dedup, and curriculum
+ordering.
 
-All three are standard jobs a 100 TB telemetry / pretraining corpus runs
-daily, and all three are pure built-in-expression plans:
+All are standard jobs a 100 TB telemetry / pretraining corpus runs daily,
+and all are pure built-in-expression plans:
 
 - ``c16_rolling_zscore`` — per-key rolling mean/std over the trailing 20
   events (ROWS frame, current row excluded) flags outlier readings.  One
@@ -18,6 +19,13 @@ daily, and all three are pure built-in-expression plans:
   deterministically (the synthetic corpus has none), extracted scan-side
   with one regex, exploded, and counted with map-side combine; document
   bodies never shuffle — only (domain, doc_id) pairs do.
+- ``c8_url_dedup`` — canonicalize-and-keep-min URL dedup, the crawl
+  frontier's cheapest pass (runs before any content hashing).
+- ``c14_curriculum_order`` — band-stratified deterministic training order
+  with no global sort (per-(band, shard) windows only).
+- ``c2_salted_hot_key_agg`` / ``c3_salted_join_parity`` — the skew-salting
+  utilities hash-matched against their unsalted oracles, proving the
+  hot-key levers are semantics-preserving.
 
 Capability extension beyond the reference (which has no analytics surface —
 its dataflow is restructure-and-forward, ``logspoutkinesis.go:231-271``);
@@ -237,4 +245,165 @@ def c11_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refs.groupBy("domain").agg(
         F.count("*").alias("n_refs"),
         F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+
+
+@register(
+    "c8_url_dedup",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR)
+               || '.Example.COM/path/' || CAST(doc_id % 25 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed#frag' ELSE '' END
+                   AS url
+        FROM documents),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(url), '^https?://', ''),
+                       '[?#].*$', ''),
+                   '/$', '') AS canonical_url
+        FROM urls)
+    SELECT canonical_url,
+           MIN(doc_id) AS kept_doc_id,
+           COUNT(*) - 1 AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+    doc="C8+: URL-level dedup — canonicalize (lowercase, strip scheme / "
+    "query / fragment / trailing slash) and keep the lowest doc_id per "
+    "canonical URL.  The crawl frontier's cheapest dedup pass: runs before "
+    "any content hash, entirely scan-side regex + one (url_key, id) "
+    "shuffle.  URLs are injected deterministically with case/query/slash "
+    "variants so the canonicalizer has real work to do.",
+)
+def c8_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM/path/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), F.lit("^https?://"), F.lit("")),
+            F.lit("[?#].*$"),
+            F.lit(""),
+        ),
+        F.lit("/$"),
+        F.lit(""),
+    )
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            (F.count("*") - 1).alias("n_dups"),
+        )
+    )
+
+
+# --- curriculum ordering -----------------------------------------------------
+
+
+@register(
+    "c14_curriculum_order",
+    oracle="""
+    WITH banded AS (
+        SELECT doc_id,
+               LEAST(9, CAST(floor(n_chars / 200.0) AS BIGINT)) AS band,
+               md5('cur:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents)
+    SELECT doc_id, band, substring(k, 1, 2) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY band, substring(k, 1, 2) ORDER BY k, doc_id) AS pos
+    FROM banded
+    """,
+    doc="C14+: curriculum training order — documents stratified into "
+    "difficulty bands (fixed-width n_chars buckets, easiest first) and "
+    "deterministically shuffled WITHIN each band; readers consume bands in "
+    "order and a band's 256 hash shards in parallel.  Same no-global-sort "
+    "shape as c14_corpus_shuffle with a band prefix: every (band, shard) "
+    "window is an independent partition at 100 TB.",
+)
+def c14_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    band = F.least(F.lit(9).cast("long"), F.floor(F.col("n_chars") / 200.0))
+    w = W.partitionBy("band", "shard").orderBy("_k", "doc_id")
+    return (
+        docs.select("doc_id", band.alias("band"), key.alias("_k"))
+        .withColumn("shard", F.substring("_k", 1, 2))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "band", "shard", "pos")
+    )
+
+
+# --- skew-salting parity (driver-verified) ----------------------------------
+
+
+@register(
+    "c2_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="C2+: salted two-phase aggregation parity — the hot-key spreading "
+    "path (group by (key, salt) then fold partials by key) hash-matched "
+    "against the plain GROUP BY oracle, proving salting only re-associates "
+    "the decimal-exact sums.  The lever for a single dominant group key "
+    "(one chatty host, one boilerplate fingerprint) at 100 TB.",
+)
+def c2_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        sum_cols={"total": F.col("value").cast("decimal(18,2)")},
+        salt_buckets=16,
+        salt_source="event_id",
+    )
+    return out.select("event_type", F.col("total").cast("double").alias("total"), "n")
+
+
+@register(
+    "c3_salted_join_parity",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS w FROM events)
+    SELECT e.event_type, COUNT(*) AS n, SUM(d.w) AS w_total
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="C3+: salted replicated join parity — the big side salts its join "
+    "key, the small side explodes across every salt value, and the result "
+    "hash-matches the plain equi-join oracle.  The lever when one join "
+    "key's matches overwhelm a task and the small side is replicable but "
+    "not broadcastable.",
+)
+def c3_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    dim = ev.select("event_type").distinct().withColumn(
+        "w", F.length("event_type").cast("long")
+    )
+    joined = salted_join(
+        ev, dim, key="event_type", salt_buckets=8, big_salt_source="event_id"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("w").alias("w_total")
     )

@@ -762,8 +762,8 @@ def c10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c10_pq_recall_gate",
     # Same violation-rows/empty-oracle shape as the LSH/IVF gates.  Margins
-    # under measurement: agreement with exact top-5 is 41-46/50 across
-    # sf0.001/0.01/0.1 (gate: ≥30); self-match is structural (a query's own
+    # under measurement: agreement with exact top-5 is 44-47/50 across
+    # sf0.001/0.01/0.1 at iters=1 (gate: ≥30); self-match is structural (a query's own
     # code reconstruction always tops its ADC list, and re-rank scores it
     # cosine=1).
     oracle="""
@@ -772,7 +772,7 @@ def c10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="C10+: driver-visible PQ recall regression gate — per-query "
     "self-match (structural) and aggregate top-5 agreement vs the "
-    "oracle-matched exact ranking (floor 30/50; measured 41-46/50).",
+    "oracle-matched exact ranking (floor 30/50; measured 44-47/50).",
 )
 def c10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.ann import pq_topk

@@ -82,12 +82,17 @@ def timed(label: str, df) -> dict:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2] if len(sys.argv) > 2 else None  # "ann" → ANN probes only
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    if only == "ann":
+        _ann_probes(spark, replicas, results)
+        for r in results:
+            print(json.dumps(r))
+        return
     build_corpus(spark, replicas)
     corpus = spark.read.parquet(CORPUS_DIR)
-
-    results = []
     # n-gram Jaccard: df-cut lever on / loosened
     results.append(
         timed(
@@ -147,8 +152,86 @@ def main() -> None:
         )
     )
 
+    _ann_probes(spark, replicas, results)
+
     for r in results:
         print(json.dumps(r))
+
+
+def _ann_probes(spark, replicas: int, results: list) -> None:
+    # ANN at replicas×: exact brute force vs the three approximate paths,
+    # same 10 queries.  The interesting number is the exact/approx wall
+    # ratio trend: brute force grows ∝ corpus × queries, PQ's ADC scan
+    # touches 4-byte codes, IVF touches nprobe/nlist of the corpus —
+    # index-build cost amortizes over corpus size and query volume.
+    from logspout_kinesis_tests_spark.operators.ann import ivf_topk, pq_topk
+    from logspout_kinesis_tests_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    emb10 = (
+        emb.select(
+            F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+            "vec_id",
+            "embedding",
+        )
+        .select(
+            (F.col("vec_id") + F.col("r") * 10_000_000).alias("vec_id"),
+            # perturb one coordinate per replica so copies aren't identical
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + F.when(i == F.col("r") % 64, 0.01).otherwise(0.0),
+            ).alias("embedding"),
+        )
+        .repartition(32)
+    )
+    emb10.write.mode("overwrite").parquet("/tmp/scale_probe_emb")
+    corpus_e = spark.read.parquet("/tmp/scale_probe_emb")
+    queries_e = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results.append(
+        timed("ann exact cosine 10q x 500k" if replicas >= 100 else
+              f"ann exact cosine 10q x {replicas * 5}k",
+              cosine_topk(queries_e, corpus_e, k=5))
+    )
+    results.append(
+        timed(f"ann pq m=4 ksub=16 rerank=100 x {replicas * 5}k",
+              pq_topk(queries_e, corpus_e, k=5))
+    )
+    results.append(
+        timed(f"ann ivf nlist=64 nprobe=8 x {replicas * 5}k",
+              ivf_topk(queries_e, corpus_e, k=5, nlist=64, nprobe=8))
+    )
+    results.append(
+        timed(f"ann lsh 8-plane multiprobe x {replicas * 5}k",
+              cosine_topk_lsh(queries_e, corpus_e, k=5))
+    )
+    # search-only, index amortized: build each index ONCE and persist it
+    # (the production shape — the one-shot numbers above pay the full
+    # k-means per call), then time only ADC-scan/probe + re-rank.
+    from logspout_kinesis_tests_spark.operators.ann import ivf_index, pq_index
+
+    codes, codebooks = pq_index(corpus_e)
+    codes.write.mode("overwrite").parquet("/tmp/scale_probe_pq_codes")
+    codes_p = spark.read.parquet("/tmp/scale_probe_pq_codes")
+    codebooks_p = codebooks.localCheckpoint(eager=True)
+    results.append(
+        timed(f"ann pq SEARCH-ONLY x {replicas * 5}k",
+              pq_topk(queries_e, corpus_e, k=5, rerank=100,
+                      index=(codes_p, codebooks_p)))
+    )
+    assignment, centroids = ivf_index(corpus_e, nlist=64)
+    assignment.write.mode("overwrite").parquet("/tmp/scale_probe_ivf_assign")
+    assign_p = spark.read.parquet("/tmp/scale_probe_ivf_assign")
+    centroids_p = centroids.localCheckpoint(eager=True)
+    results.append(
+        timed(f"ann ivf SEARCH-ONLY nprobe=8 x {replicas * 5}k",
+              ivf_topk(queries_e, corpus_e, k=5, nlist=64, nprobe=8,
+                       index=(assign_p, centroids_p)))
+    )
 
 
 if __name__ == "__main__":

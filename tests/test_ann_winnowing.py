@@ -162,3 +162,36 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     ]
     assert len(self_rows) == 20
     assert all(r["rank"] == 1 for r in self_rows)
+
+
+def test_pq_and_ivf_prebuilt_index_paths_match_oneshot(spark, sf_dir):
+    """index= reuse (the amortized production path) must produce exactly the
+    one-shot result — same codes/cells, same candidates, same re-rank."""
+    from logspout_kinesis_tests_spark.operators.ann import (
+        ivf_index,
+        ivf_topk,
+        pq_index,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    one_shot = sorted(map(tuple, pq_topk(queries, corpus, k=5).collect()))
+    reused = sorted(
+        map(tuple, pq_topk(queries, corpus, k=5, index=pq_index(corpus)).collect())
+    )
+    assert one_shot == reused
+    ivf_one = sorted(map(tuple, ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4).collect()))
+    ivf_re = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                queries, corpus, k=5, nlist=16, nprobe=4,
+                index=ivf_index(corpus, nlist=16),
+            ).collect(),
+        )
+    )
+    assert ivf_one == ivf_re

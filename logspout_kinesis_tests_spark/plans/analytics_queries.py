@@ -407,3 +407,44 @@ def c3_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("w").alias("w_total")
     )
+
+
+# --- per-label embedding centroids ------------------------------------------
+
+
+@register(
+    "c10_label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS xq
+        FROM embeddings)
+    SELECT label, pos,
+           CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS mu,
+           COUNT(*) AS n
+    FROM dims GROUP BY label, pos
+    """,
+    doc="C10+: per-label embedding centroids (class prototypes) — one "
+    "posexplode scan, one map-combined (label, dim) aggregate; elements "
+    "are quantized to integer micro-units scan-side (floor(x*1e6+0.5) — "
+    "pure IEEE ops, no engine-specific decimal rounding) and summed "
+    "exactly, so the distributed mean is order-independent and "
+    "cross-engine bit-identical.  The prototype/cluster-center primitive "
+    "behind SemDeDup cells, label quality audits, and k-means "
+    "verification; shuffles (label, dim, partial) triples only.",
+)
+def c10_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    xq = F.floor(F.col("x").cast("double") * 1000000 + 0.5).cast("long")
+    return (
+        emb.select("label", "pos", xq.alias("xq"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("xq").cast("double") / F.count("*") / 1000000).alias("mu"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -438,3 +438,56 @@ def streaming_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_epoch_index(
+    spark: SparkSession, index_dir: str, upto_epoch: int
+) -> int:
+    """Fold all index partitions with ``epoch < upto_epoch`` into the single
+    partition ``epoch = upto_epoch - 1`` — the periodic maintenance job the
+    epoch-partitioned streaming indexes assume at scale (every flow's
+    docstring promises it; this is it).
+
+    Correctness under the replay contract: probes read ``epoch < N`` for the
+    live epoch N.  Folding epochs ``0..upto_epoch-1`` into the partition id
+    ``upto_epoch - 1`` keeps every folded row visible to exactly the same
+    probes as before (any live epoch is ``>= upto_epoch``), and a replay of
+    epoch ``N >= upto_epoch`` still excludes its own write.  Only run with
+    ``upto_epoch <= `` the oldest epoch that could replay (i.e. the last
+    COMMITTED epoch + 1) — compacting the in-flight epoch would merge a
+    possibly-partial write.
+
+    The fold is deduplicating (``distinct()``): replayed epochs can leave
+    identical rows in multiple partitions; after compaction each surviving
+    row exists once.  Returns the number of rows in the compacted partition.
+
+    Crash handling: the fold is staged under a Spark-hidden ``_compact_tmp``
+    dir first, so a crash BEFORE the swap leaves the index untouched.  The
+    swap itself (delete folded partitions, rename staging in) is not atomic
+    across a multi-dir filesystem — run compaction while the stream is
+    quiesced and RE-RUN IT after a crash: if a completed staging dir is
+    found the function resumes the swap instead of re-folding, restoring the
+    index before the stream restarts.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = os.path.join(index_dir, f"_compact_tmp_{upto_epoch - 1}")
+    staged = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    if not staged:
+        idx = spark.read.parquet(index_dir)
+        cols = [c for c in idx.columns if c != "epoch"]
+        old = idx.filter(F.col("epoch") < upto_epoch).select(*cols).distinct()
+        old.write.mode("overwrite").parquet(tmp)
+    for name in os.listdir(index_dir):
+        if name.startswith("epoch="):
+            try:
+                if int(name.split("=", 1)[1]) < upto_epoch:
+                    shutil.rmtree(os.path.join(index_dir, name))
+            except ValueError:
+                continue
+    os.rename(tmp, os.path.join(index_dir, f"epoch={upto_epoch - 1}"))
+    return spark.read.parquet(
+        os.path.join(index_dir, f"epoch={upto_epoch - 1}")
+    ).count()

@@ -281,3 +281,84 @@ def test_streaming_heavy_hitters_tracks_global_topk(spark, tmp_path):
 
     assert _epoch_topk(0) == _expect(1)
     assert _epoch_topk(1) == _expect(2)  # global, not per-batch: 7 leads with 12
+
+
+def test_compact_epoch_index_preserves_dedup_state(spark, sf_dir, tmp_path):
+    """Folding committed epochs into one partition must leave the probe's
+    view identical: a post-compaction batch still dedups against everything
+    the pre-compaction index knew."""
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_epoch_index,
+        streaming_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.limit(12).collect()
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def _write_batch(i, pairs):
+        path = os.path.join(src_dir, f"docs-{i}.json")
+        with open(path, "w") as f:
+            for doc_id, text in pairs:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    _write_batch(0, [(r["doc_id"], r["text"]) for r in rows[:6]])
+    _write_batch(1, [(r["doc_id"], r["text"]) for r in rows[6:12]])
+    ckpt, out, index = (str(tmp_path / d) for d in ("ckpt", "out", "index"))
+
+    def _flow():
+        return streaming_incremental_dedup(
+            spark, src_dir, ckpt, "doc_id long, text string", index, out,
+            max_files_per_trigger=1,
+        )
+
+    q = _flow()
+    q.awaitTermination(120)
+
+    before = {
+        r["content_sha256"] for r in spark.read.parquet(index).collect()
+    }
+    n = compact_epoch_index(spark, index, upto_epoch=2)
+    assert n == len(before)
+    after_df = spark.read.parquet(index)
+    assert {r["content_sha256"] for r in after_df.collect()} == before
+    assert {r["epoch"] for r in after_df.select("epoch").distinct().collect()} == {1}
+
+    # batch 2 after compaction: copies of batch-0 docs (higher ids) + one
+    # fresh doc — only the fresh doc may survive
+    _write_batch(2, [(r["doc_id"] + 5_000_000, r["text"]) for r in rows[:3]]
+                 + [(999_999, "a genuinely fresh document body")])
+    q2 = _flow()
+    q2.awaitTermination(120)
+    survivors = []
+    for path in glob.glob(os.path.join(out, "epoch=2", "part-*.json")):
+        with open(path) as f:
+            survivors += [json.loads(line)["doc_id"] for line in f]
+    assert survivors == [999_999]
+
+
+def test_compact_epoch_index_resumes_staged_swap(spark, tmp_path):
+    """A compaction crashed after staging must resume the swap on re-run —
+    the staged fold (not a fresh one) becomes the compacted partition."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_epoch_index,
+    )
+
+    index = str(tmp_path / "index")
+    for epoch, vals in enumerate([["a", "b"], ["c"]]):
+        spark.createDataFrame(
+            [(v,) for v in vals], "content_sha256 string"
+        ).write.mode("overwrite").parquet(os.path.join(index, f"epoch={epoch}"))
+    # emulate: prior run staged the fold (with a sentinel proving THIS data,
+    # not a re-fold, wins) then crashed before the swap
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("staged-sentinel",)], "content_sha256 string"
+    ).write.mode("overwrite").parquet(os.path.join(index, "_compact_tmp_1"))
+
+    n = compact_epoch_index(spark, index, upto_epoch=2)
+    assert n == 4
+    got = {r["content_sha256"] for r in spark.read.parquet(index).collect()}
+    assert got == {"a", "b", "c", "staged-sentinel"}

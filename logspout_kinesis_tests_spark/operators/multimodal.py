@@ -489,3 +489,28 @@ def parse_mp4_boxes(
         )
         .drop("_hh", "_scan")
     )
+
+
+def sniff_mime(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Classify a binary payload by magic bytes — the zero-decode triage
+    pass that routes a mixed 100 TB corpus to the right decoder pool.
+
+    Pure scan-side hex-prefix tests (one ``hex()`` of the leading bytes,
+    no UDF, no Python); unknown signatures fall through to
+    ``application/octet-stream``.  Detects the container formats the engine
+    already decodes (PNG, JPEG, RIFF/WAVE, ISO-BMFF/MP4) plus gzip.
+    """
+    h = F.hex(F.col(payload_col))
+    return df.withColumn(
+        "mime",
+        F.when(F.substring(h, 1, 16) == "89504E470D0A1A0A", "image/png")
+        .when(F.substring(h, 1, 6) == "FFD8FF", "image/jpeg")
+        .when(
+            (F.substring(h, 1, 8) == "52494646")
+            & (F.substring(h, 17, 8) == "57415645"),
+            "audio/wav",
+        )
+        .when(F.substring(h, 9, 8) == "66747970", "video/mp4")
+        .when(F.substring(h, 1, 4) == "1F8B", "application/gzip")
+        .otherwise("application/octet-stream"),
+    )

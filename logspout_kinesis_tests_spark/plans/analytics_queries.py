@@ -448,3 +448,55 @@ def c10_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --- MIME sniffing (multimodal triage) ---------------------------------------
+
+
+@register(
+    "c12_mime_sniff",
+    oracle="""
+    WITH pay AS (
+        SELECT doc_id, CASE doc_id % 6
+            WHEN 0 THEN from_hex('89504E470D0A1A0A0000000D49484452')
+            WHEN 1 THEN from_hex('FFD8FFE000104A464946')
+            WHEN 2 THEN from_hex('524946460A00000057415645666D7420')
+            WHEN 3 THEN from_hex('000000186674797069736F6D')
+            WHEN 4 THEN from_hex('1F8B0800000000000003')
+            ELSE encode('plain text payload, no magic')
+        END AS payload
+        FROM documents),
+    hx AS (SELECT doc_id, hex(payload) AS h FROM pay)
+    SELECT doc_id,
+           CASE
+               WHEN substring(h, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+               WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+               WHEN substring(h, 1, 8) = '52494646'
+                    AND substring(h, 17, 8) = '57415645' THEN 'audio/wav'
+               WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4'
+               WHEN substring(h, 1, 4) = '1F8B' THEN 'application/gzip'
+               ELSE 'application/octet-stream'
+           END AS mime
+    FROM hx
+    """,
+    doc="C12+: magic-byte MIME sniffing over a mixed-modality corpus "
+    "(PNG/JPEG/WAV/MP4/gzip/plain planted round-robin) — the zero-decode "
+    "triage pass that routes payloads to decoder pools.  One hex() of the "
+    "leading bytes, scan-side prefix tests, no UDF; at 100 TB this reads "
+    "only the column stripe head bytes it needs.",
+)
+def c12_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payload = (
+        F.when(F.col("doc_id") % 6 == 0, F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")))
+        .when(F.col("doc_id") % 6 == 1, F.unhex(F.lit("FFD8FFE000104A464946")))
+        .when(F.col("doc_id") % 6 == 2, F.unhex(F.lit("524946460A00000057415645666D7420")))
+        .when(F.col("doc_id") % 6 == 3, F.unhex(F.lit("000000186674797069736F6D")))
+        .when(F.col("doc_id") % 6 == 4, F.unhex(F.lit("1F8B0800000000000003")))
+        .otherwise(F.encode(F.lit("plain text payload, no magic"), "UTF-8"))
+    )
+    return sniff_mime(docs.select("doc_id", payload.alias("payload"))).select(
+        "doc_id", "mime"
+    )

@@ -514,3 +514,108 @@ def sniff_mime(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(F.substring(h, 1, 4) == "1F8B", "application/gzip")
         .otherwise("application/octet-stream"),
     )
+
+
+def synth_tiff_payload(df: DataFrame) -> DataFrame:
+    """Synthesize little-endian ('II') TIFF payloads with a real IFD:
+    expects columns (doc_id, width, height, orientation, pad).  The IFD sits
+    at offset ``8 + pad`` (recorded in the header's offset field), holding
+    SHORT entries for ImageWidth (0x0100), ImageLength (0x0101) and
+    Orientation (0x0112) — the layout EXIF/TIFF readers actually walk."""
+
+    def le16(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"), F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0")
+        )
+
+    def le32(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"),
+            F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex((v / 65536).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex((v / 16777216).cast("long") % 256), 2, "0"),
+        )
+
+    def entry(tag: int, val):
+        return F.concat(
+            le16(F.lit(tag)), F.lit("0300"), F.lit("01000000"), le16(val), F.lit("0000")
+        )
+
+    hexstr = F.concat(
+        F.lit("49492A00"),
+        le32(F.lit(8) + F.col("pad")),
+        F.repeat(F.lit("00"), F.col("pad").cast("int")),
+        le16(F.lit(3)),
+        entry(0x0100, F.col("width")),
+        entry(0x0101, F.col("height")),
+        entry(0x0112, F.col("orientation")),
+        F.lit("00000000"),
+    )
+    return df.withColumn("payload", F.unhex(hexstr))
+
+
+def parse_tiff_header(
+    df: DataFrame, payload_col: str = "payload", max_entries: int = 8
+) -> DataFrame:
+    """Decode TIFF/EXIF-style IFD metadata by WALKING the directory: read
+    the byte order + magic, follow the header's IFD offset (per-row
+    varying), read the entry count, then scan up to ``max_entries`` 12-byte
+    entries for ImageWidth/ImageLength/Orientation SHORT values.
+
+    Entirely scan-side JVM expressions (hex slicing, conv, a bounded
+    transform+filter over the entry list) — same no-UDF policy as the
+    PNG/WAV/JPEG/MP4 decoders.  Little-endian ('II') TIFFs only (the EXIF
+    default); big-endian or corrupt payloads take the NULL path.
+    """
+    h = F.hex(F.col(payload_col))
+    out = df.withColumn("_hh", h)
+    le16_at = "conv(concat(substring(_hh, ({P}) * 2 + 3, 2), substring(_hh, ({P}) * 2 + 1, 2)), 16, 10)"
+    ifd_expr = (
+        "CAST(conv(concat(substring(_hh, 15, 2), substring(_hh, 13, 2), "
+        "substring(_hh, 11, 2), substring(_hh, 9, 2)), 16, 10) AS BIGINT)"
+    )
+    out = out.withColumn(
+        "_ifd",
+        F.when(F.substring(F.col("_hh"), 1, 8) == "49492A00", F.expr(ifd_expr)),
+    ).withColumn(
+        "_cnt",
+        F.when(
+            F.col("_ifd").isNotNull()
+            & (F.col("_ifd") * 2 + 2 <= F.length("_hh") / 1),
+            F.expr("CAST(" + le16_at.format(P="_ifd") + " AS BIGINT)"),
+        ),
+    )
+    ent_base = "_ifd + 2 + 12 * i"
+    out = out.withColumn(
+        "_tags",
+        F.when(
+            F.col("_cnt").isNotNull(),
+            F.expr(
+                f"""
+                filter(
+                  transform(sequence(0, {max_entries - 1}), i ->
+                    CASE WHEN i < _cnt
+                              AND ({ent_base} + 12) * 2 <= length(_hh)
+                         THEN named_struct(
+                           'tag', CAST({le16_at.format(P=ent_base)} AS BIGINT),
+                           'val', CAST({le16_at.format(P=f"{ent_base} + 8")} AS BIGINT))
+                         END),
+                  x -> x IS NOT NULL)
+                """
+            ),
+        ),
+    )
+
+    def _tag(tag: int):
+        # get() (not [0]) — tolerates an absent tag as NULL under ANSI mode
+        return F.expr(f"get(filter(_tags, x -> x.tag = {tag}), 0).val")
+
+    width, height, orient = _tag(0x0100), _tag(0x0101), _tag(0x0112)
+    valid = F.col("_cnt").isNotNull() & width.isNotNull() & height.isNotNull()
+    return (
+        out.withColumn("tiff_valid", F.coalesce(valid, F.lit(False)))
+        .withColumn("tiff_width", F.when(valid, width))
+        .withColumn("tiff_height", F.when(valid, height))
+        .withColumn("orientation", F.when(valid, orient))
+        .drop("_hh", "_ifd", "_cnt", "_tags")
+    )

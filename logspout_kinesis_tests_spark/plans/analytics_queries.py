@@ -500,3 +500,104 @@ def c12_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_mime(docs.select("doc_id", payload.alias("payload"))).select(
         "doc_id", "mime"
     )
+
+
+# --- TIFF/EXIF IFD decode ----------------------------------------------------
+
+
+@register(
+    "c12_tiff_ifd_decode",
+    # Oracle knows each row's fields analytically (it synthesizes the same
+    # payloads); the Spark side discovers them by actually following the
+    # per-row-varying IFD offset and walking the entry list — comparing the
+    # two validates the walk, same contract as c12_jpeg_header_decode.
+    oracle="""
+    WITH par AS (
+        SELECT doc_id,
+               16 + doc_id % 4001 AS w,
+               16 + doc_id % 2999 AS h,
+               1 + doc_id % 8 AS o
+        FROM documents)
+    SELECT doc_id,
+           doc_id % 50 <> 0 AS tiff_valid,
+           CASE WHEN doc_id % 50 <> 0 THEN w END AS tiff_width,
+           CASE WHEN doc_id % 50 <> 0 THEN h END AS tiff_height,
+           CASE WHEN doc_id % 50 <> 0 AND doc_id % 70 <> 0 THEN o END
+               AS orientation
+    FROM par
+    """,
+    doc="C12+: TIFF/EXIF IFD decode — follow the header's per-row-varying "
+    "directory offset (0-3 pad bytes planted), read the entry count, walk "
+    "the 12-byte entries for ImageWidth/ImageLength/Orientation.  A real "
+    "bounded directory walk in scan-side expressions (transform+filter "
+    "over the entry list, no UDF); corrupt magic every 50th doc takes the "
+    "NULL path, every 70th doc omits Orientation (entry genuinely absent, "
+    "not NULLed).  The orientation-normalization first pass of an image "
+    "pipeline.",
+)
+def c12_tiff_ifd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        parse_tiff_header,
+        synth_tiff_payload,
+    )
+
+    par = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 4001).alias("width"),
+        (F.lit(16) + F.col("doc_id") % 2999).alias("height"),
+        (F.lit(1) + F.col("doc_id") % 8).alias("orientation"),
+        (F.col("doc_id") % 4).alias("pad"),
+    )
+    payloads = synth_tiff_payload(par).withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 50 == 0, F.unhex(F.lit("DEADBEEF"))).otherwise(
+            F.col("payload")
+        ),
+    )
+    # every 70th doc: rebuild WITHOUT the orientation entry (2-entry IFD)
+    no_orient = par.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit("49492A00"),
+                # ifd offset still 8 + pad
+                F.concat(
+                    F.lpad(F.hex((F.lit(8) + F.col("pad")) % 256), 2, "0"),
+                    F.lit("000000"),
+                ),
+                F.repeat(F.lit("00"), F.col("pad").cast("int")),
+                F.lit("0200"),
+                F.concat(
+                    F.lit("00010300"), F.lit("01000000"),
+                    F.lpad(F.hex(F.col("width") % 256), 2, "0"),
+                    F.lpad(F.hex((F.col("width") / 256).cast("long") % 256), 2, "0"),
+                    F.lit("0000"),
+                ),
+                F.concat(
+                    F.lit("01010300"), F.lit("01000000"),
+                    F.lpad(F.hex(F.col("height") % 256), 2, "0"),
+                    F.lpad(F.hex((F.col("height") / 256).cast("long") % 256), 2, "0"),
+                    F.lit("0000"),
+                ),
+                F.lit("00000000"),
+            )
+        ).alias("_p2"),
+    )
+    payloads = (
+        payloads.join(no_orient, "doc_id")
+        .withColumn(
+            "payload",
+            F.when(
+                (F.col("doc_id") % 50 != 0) & (F.col("doc_id") % 70 == 0),
+                F.col("_p2"),
+            ).otherwise(F.col("payload")),
+        )
+        .drop("_p2")
+    )
+    return parse_tiff_header(payloads).select(
+        "doc_id",
+        "tiff_valid",
+        F.col("tiff_width").cast("long").alias("tiff_width"),
+        F.col("tiff_height").cast("long").alias("tiff_height"),
+        F.col("orientation").cast("long").alias("orientation"),
+    )

@@ -234,3 +234,39 @@ def test_ols_trend_recovers_exact_linear_data(spark):
     assert abs(out["a"]["intercept"] - 10.0) < 1e-6
     assert abs(out["b"]["slope"] - -0.75) < 1e-9
     assert abs(out["b"]["intercept"] - 3.0) < 1e-6
+
+
+def test_tiff_ifd_walker_edge_cases(spark):
+    """Hand-built TIFF payloads: big-endian (unsupported → NULL path),
+    entry count beyond max_entries bound, zero-entry IFD, truncated IFD."""
+    import struct
+
+    from logspout_kinesis_tests_spark.operators.multimodal import parse_tiff_header
+
+    def tiff(entries, pad=0, order=b"II", magic=42, count=None):
+        ifd_off = 8 + pad
+        head = order + struct.pack("<H", magic) + struct.pack("<I", ifd_off)
+        body = struct.pack("<H", count if count is not None else len(entries))
+        for tag, val in entries:
+            body += struct.pack("<HHI", tag, 3, 1) + struct.pack("<HH", val, 0)
+        return head + b"\x00" * pad + body + b"\x00\x00\x00\x00"
+
+    rows = [
+        (1, tiff([(0x0100, 640), (0x0101, 480), (0x0112, 6)], pad=3)),
+        (2, tiff([(0x0100, 10), (0x0101, 20)])),            # no orientation
+        (3, tiff([(0x0100, 1), (0x0101, 1)], order=b"MM")),  # big-endian
+        (4, tiff([])),                                       # zero entries
+        (5, tiff([(0x0100, 9), (0x0101, 9)], count=40)),     # count > bound
+        (6, b"II*\x00\x20\x00\x00\x00"),                     # IFD off the end
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in parse_tiff_header(df).collect()}
+    assert got[1]["tiff_valid"] and got[1]["tiff_width"] == 640
+    assert got[1]["tiff_height"] == 480 and got[1]["orientation"] == 6
+    assert got[2]["tiff_valid"] and got[2]["orientation"] is None
+    assert not got[3]["tiff_valid"]  # big-endian: NULL path, not garbage
+    assert not got[4]["tiff_valid"]  # no width/height entries
+    # count=40 exceeds max_entries=8 but the first 2 real entries are in
+    # bounds; entries beyond the payload end are excluded, so w/h resolve
+    assert got[5]["tiff_valid"] and got[5]["tiff_width"] == 9
+    assert not got[6]["tiff_valid"]  # IFD offset past payload end

@@ -195,11 +195,17 @@ def pq_index(
         )
 
     # Seeds: subvectors of the ksub lowest-id corpus rows (no RNG).  The
-    # seed table is m·ksub rows — always driver-small.
+    # seed rows come from a TakeOrdered limit on the UN-exploded corpus —
+    # a full per-subspace sort of the N·m exploded table would shuffle the
+    # whole corpus just to pick ksub rows.  The seed table is m·ksub rows —
+    # always driver-small.
+    seed_rows = c.orderBy(corpus_id).limit(ksub)
     seed_w = Window.partitionBy("sub").orderBy(corpus_id)
     centroids = (
-        sub_df.withColumn("rn", F.row_number().over(seed_w))
-        .filter(F.col("rn") <= ksub)
+        seed_rows.select(
+            F.col(corpus_id), F.posexplode(subs).alias("sub", "svec")
+        )
+        .withColumn("rn", F.row_number().over(seed_w))
         .select("sub", (F.col("rn") - 1).alias("cell"), F.col("svec").alias("centroid"))
         .localCheckpoint(eager=True)
     )

@@ -581,7 +581,7 @@ def parse_tiff_header(
         "_cnt",
         F.when(
             F.col("_ifd").isNotNull()
-            & (F.col("_ifd") * 2 + 2 <= F.length("_hh") / 1),
+            & ((F.col("_ifd") + 2) * 2 <= F.length("_hh")),
             F.expr("CAST(" + le16_at.format(P="_ifd") + " AS BIGINT)"),
         ),
     )

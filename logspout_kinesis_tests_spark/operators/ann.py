@@ -121,6 +121,21 @@ def ivf_index(
     return assignment, centroids
 
 
+def _pq_subvectors(vec_col: str, m: int, dsub: int):
+    """array of m contiguous dsub-length double subvectors of ``vec_col`` —
+    the ONE splitting expression shared by index build and search (any
+    drift between the two corrupts the code/codebook-vs-query pairing)."""
+    return F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), i * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for i in range(m)
+        ]
+    )
+
+
 def pq_index(
     corpus: DataFrame,
     m: int = 4,
@@ -160,15 +175,7 @@ def pq_index(
     if m <= 0 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    subs = F.array(
-        *[
-            F.transform(
-                F.slice(F.col(vec_col), i * dsub + 1, dsub),
-                lambda x: x.cast("double"),
-            )
-            for i in range(m)
-        ]
-    )
+    subs = _pq_subvectors(vec_col, m, dsub)
     sub_df = c.select(
         F.col(corpus_id), F.posexplode(subs).alias("sub", "svec")
     )
@@ -278,23 +285,27 @@ def pq_topk(
     )
     head = queries.select(F.size(F.col(vec_col)).alias("d")).head()
     dim = head["d"] if head else 0
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"query dim {dim} not divisible by m={m}")
     dsub = dim // m
+    if index is not None:
+        # A prebuilt index with a different m would silently NULL every ADC
+        # partial (zip_with pads short arrays) and degrade to id-order
+        # candidates — fail loudly on the geometry instead.
+        cb = codebooks.select(
+            F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
+        ).head()
+        if cb["max_sub"] != m - 1 or cb["dsub"] != dsub:
+            raise ValueError(
+                f"prebuilt PQ index has m={cb['max_sub'] + 1}, dsub={cb['dsub']}; "
+                f"query expects m={m}, dsub={dsub}"
+            )
     from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
 
     q_subs = queries.select(
         F.col(query_id),
         l2_norm(F.col(vec_col)).alias("_nq"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.transform(
-                        F.slice(F.col(vec_col), i * dsub + 1, dsub),
-                        lambda x: x.cast("double"),
-                    )
-                    for i in range(m)
-                ]
-            )
-        ).alias("sub", "qsub"),
+        F.posexplode(_pq_subvectors(vec_col, m, dsub)).alias("sub", "qsub"),
     )
     adc = q_subs.join(F.broadcast(codebooks), "sub").select(
         F.col(query_id),

@@ -495,12 +495,13 @@ def sniff_mime(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Classify a binary payload by magic bytes — the zero-decode triage
     pass that routes a mixed 100 TB corpus to the right decoder pool.
 
-    Pure scan-side hex-prefix tests (one ``hex()`` of the leading bytes,
-    no UDF, no Python); unknown signatures fall through to
-    ``application/octet-stream``.  Detects the container formats the engine
-    already decodes (PNG, JPEG, RIFF/WAVE, ISO-BMFF/MP4) plus gzip.
+    Pure scan-side hex-prefix tests (one ``hex()`` of the leading 12 bytes
+    only — the payload itself is never expanded), no UDF, no Python;
+    unknown signatures fall through to ``application/octet-stream``.
+    Detects the container formats the engine already decodes (PNG, JPEG,
+    RIFF/WAVE, ISO-BMFF/MP4) plus gzip.
     """
-    h = F.hex(F.col(payload_col))
+    h = F.hex(F.expr(f"substring({payload_col}, 1, 12)"))
     return df.withColumn(
         "mime",
         F.when(F.substring(h, 1, 16) == "89504E470D0A1A0A", "image/png")
@@ -541,14 +542,17 @@ def synth_tiff_payload(df: DataFrame) -> DataFrame:
             le16(F.lit(tag)), F.lit("0300"), F.lit("01000000"), le16(val), F.lit("0000")
         )
 
+    has_orient = F.col("orientation").isNotNull()
     hexstr = F.concat(
         F.lit("49492A00"),
         le32(F.lit(8) + F.col("pad")),
         F.repeat(F.lit("00"), F.col("pad").cast("int")),
-        le16(F.lit(3)),
+        le16(F.when(has_orient, 3).otherwise(2)),
         entry(0x0100, F.col("width")),
         entry(0x0101, F.col("height")),
-        entry(0x0112, F.col("orientation")),
+        # NULL orientation → the entry is genuinely absent (2-entry IFD),
+        # exercising the parser's missing-tag path
+        F.when(has_orient, entry(0x0112, F.col("orientation"))).otherwise(F.lit("")),
         F.lit("00000000"),
     )
     return df.withColumn("payload", F.unhex(hexstr))

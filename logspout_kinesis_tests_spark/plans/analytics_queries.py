@@ -545,7 +545,12 @@ def c12_tiff_ifd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.lit(16) + F.col("doc_id") % 4001).alias("width"),
         (F.lit(16) + F.col("doc_id") % 2999).alias("height"),
-        (F.lit(1) + F.col("doc_id") % 8).alias("orientation"),
+        # every 70th doc: NULL → synth emits a 2-entry IFD (the tag is
+        # genuinely absent, exercising the parser's missing-tag path)
+        F.when(F.col("doc_id") % 70 == 0, F.lit(None))
+        .otherwise(F.lit(1) + F.col("doc_id") % 8)
+        .cast("long")
+        .alias("orientation"),
         (F.col("doc_id") % 4).alias("pad"),
     )
     payloads = synth_tiff_payload(par).withColumn(
@@ -553,46 +558,6 @@ def c12_tiff_ifd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 50 == 0, F.unhex(F.lit("DEADBEEF"))).otherwise(
             F.col("payload")
         ),
-    )
-    # every 70th doc: rebuild WITHOUT the orientation entry (2-entry IFD)
-    no_orient = par.select(
-        "doc_id",
-        F.unhex(
-            F.concat(
-                F.lit("49492A00"),
-                # ifd offset still 8 + pad
-                F.concat(
-                    F.lpad(F.hex((F.lit(8) + F.col("pad")) % 256), 2, "0"),
-                    F.lit("000000"),
-                ),
-                F.repeat(F.lit("00"), F.col("pad").cast("int")),
-                F.lit("0200"),
-                F.concat(
-                    F.lit("00010300"), F.lit("01000000"),
-                    F.lpad(F.hex(F.col("width") % 256), 2, "0"),
-                    F.lpad(F.hex((F.col("width") / 256).cast("long") % 256), 2, "0"),
-                    F.lit("0000"),
-                ),
-                F.concat(
-                    F.lit("01010300"), F.lit("01000000"),
-                    F.lpad(F.hex(F.col("height") % 256), 2, "0"),
-                    F.lpad(F.hex((F.col("height") / 256).cast("long") % 256), 2, "0"),
-                    F.lit("0000"),
-                ),
-                F.lit("00000000"),
-            )
-        ).alias("_p2"),
-    )
-    payloads = (
-        payloads.join(no_orient, "doc_id")
-        .withColumn(
-            "payload",
-            F.when(
-                (F.col("doc_id") % 50 != 0) & (F.col("doc_id") % 70 == 0),
-                F.col("_p2"),
-            ).otherwise(F.col("payload")),
-        )
-        .drop("_p2")
     )
     return parse_tiff_header(payloads).select(
         "doc_id",

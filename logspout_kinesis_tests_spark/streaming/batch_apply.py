@@ -393,8 +393,10 @@ def streaming_heavy_hitters(
     Scale shape: per-epoch index partials are bounded by the batch's
     distinct keys (map-combined groupBy, one shuffle of (key, count)); the
     global re-aggregation reads (key, count) pairs only — never raw events —
-    and the top-k cut is TakeOrdered, no global sort.  A periodic compaction
-    can fold old epochs into one partition exactly like the dedup indexes.
+    and the top-k cut is TakeOrdered, no global sort.  For periodic
+    maintenance use ``compact_epoch_index(..., sum_cols=["cnt"])`` — the
+    COUNTS index must fold by summing, never by the dedup indexes'
+    distinct() (which would collapse repeated (key, count) rows).
 
     Replay safety (same contract as the dedup flows): the index is
     partitioned by epoch with mode=overwrite and the re-aggregation reads
@@ -412,24 +414,28 @@ def streaming_heavy_hitters(
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
         partial = bdf.groupBy(key_col).agg(F.count("*").alias("cnt"))
+        # write the epoch partial FIRST, then read it back for the totals —
+        # the partial plan runs once instead of once per action (the
+        # index write doubles as the materialization; overwrite keeps a
+        # replayed batch idempotent)
+        epoch_path = os.path.join(index_dir, f"epoch={epoch_id}")
+        partial.write.mode("overwrite").parquet(epoch_path)
+        live = spark.read.parquet(epoch_path)
         # prior committed state: counts from epochs strictly before this one
         # (_index_before_epoch's distinct() would collapse counts — read raw)
-        try:
-            idx = spark.read.parquet(index_dir).filter(F.col("epoch") < epoch_id)
-            prior = idx.select(key_col, "cnt")
-        except Exception:
-            prior = partial.limit(0)
+        prior = (
+            spark.read.parquet(index_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .select(key_col, "cnt")
+        )
         totals = (
-            prior.unionByName(partial)
+            prior.unionByName(live.select(key_col, "cnt"))
             .groupBy(key_col)
             .agg(F.sum("cnt").alias("cnt"))
         )
         topk = totals.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(k)
         topk.coalesce(1).write.mode("overwrite").json(
             os.path.join(out_dir, f"epoch={epoch_id}")
-        )
-        partial.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"epoch={epoch_id}")
         )
 
     return (
@@ -441,7 +447,10 @@ def streaming_heavy_hitters(
 
 
 def compact_epoch_index(
-    spark: SparkSession, index_dir: str, upto_epoch: int
+    spark: SparkSession,
+    index_dir: str,
+    upto_epoch: int,
+    sum_cols: list[str] | None = None,
 ) -> int:
     """Fold all index partitions with ``epoch < upto_epoch`` into the single
     partition ``epoch = upto_epoch - 1`` — the periodic maintenance job the
@@ -457,9 +466,18 @@ def compact_epoch_index(
     COMMITTED epoch + 1) — compacting the in-flight epoch would merge a
     possibly-partial write.
 
-    The fold is deduplicating (``distinct()``): replayed epochs can leave
-    identical rows in multiple partitions; after compaction each surviving
-    row exists once.  Returns the number of rows in the compacted partition.
+    The fold depends on the index's semantics — pass the right one:
+
+    - ``sum_cols=None`` (membership indexes: hashes, Bloom buckets, bands,
+      signatures): deduplicating ``distinct()`` — replayed epochs can leave
+      identical rows in multiple partitions; after compaction each
+      surviving row exists once.
+    - ``sum_cols=[...]`` (additive indexes: the heavy-hitters counts):
+      group by the remaining columns and SUM the named ones — distinct()
+      here would silently collapse repeated (key, count) partials and
+      permanently undercount.
+
+    Returns the number of rows in the compacted partition.
 
     Crash handling: the fold is staged under a Spark-hidden ``_compact_tmp``
     dir first, so a crash BEFORE the swap leaves the index untouched.  The
@@ -478,8 +496,15 @@ def compact_epoch_index(
     if not staged:
         idx = spark.read.parquet(index_dir)
         cols = [c for c in idx.columns if c != "epoch"]
-        old = idx.filter(F.col("epoch") < upto_epoch).select(*cols).distinct()
-        old.write.mode("overwrite").parquet(tmp)
+        rows = idx.filter(F.col("epoch") < upto_epoch).select(*cols)
+        if sum_cols:
+            keys = [c for c in cols if c not in sum_cols]
+            folded = rows.groupBy(*keys).agg(
+                *[F.sum(c).alias(c) for c in sum_cols]
+            ).select(*cols)
+        else:
+            folded = rows.distinct()
+        folded.write.mode("overwrite").parquet(tmp)
     for name in os.listdir(index_dir):
         if name.startswith("epoch="):
             try:

@@ -193,8 +193,7 @@ def _ann_probes(spark, replicas: int, results: list) -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     results.append(
-        timed("ann exact cosine 10q x 500k" if replicas >= 100 else
-              f"ann exact cosine 10q x {replicas * 5}k",
+        timed(f"ann exact cosine 10q x {replicas * 5}k",
               cosine_topk(queries_e, corpus_e, k=5))
     )
     results.append(

@@ -195,3 +195,20 @@ def test_pq_and_ivf_prebuilt_index_paths_match_oneshot(spark, sf_dir):
         )
     )
     assert ivf_one == ivf_re
+
+
+def test_pq_topk_rejects_mismatched_prebuilt_index(spark, sf_dir):
+    """A prebuilt index whose m/dsub disagree with the query-side split must
+    raise, not silently rank by the id tiebreak (NULL ADC partials)."""
+    import pytest as _pytest
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_index, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    idx8 = pq_index(corpus, m=8)
+    with _pytest.raises(ValueError, match="prebuilt PQ index"):
+        pq_topk(queries, corpus, k=5, m=4, index=idx8)

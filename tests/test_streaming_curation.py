@@ -362,3 +362,51 @@ def test_compact_epoch_index_resumes_staged_swap(spark, tmp_path):
     assert n == 4
     got = {r["content_sha256"] for r in spark.read.parquet(index).collect()}
     assert got == {"a", "b", "c", "staged-sentinel"}
+
+
+def test_compact_epoch_index_sums_additive_counts(spark, tmp_path):
+    """The heavy-hitters COUNTS index must compact by summing — distinct()
+    would collapse repeated (key, count) partials and undercount forever."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_epoch_index,
+        streaming_heavy_hitters,
+    )
+
+    # key 7 appears once per batch → identical (7, 1) partials in every
+    # epoch, the exact shape distinct() destroys
+    batches = [[7, 1, 1], [7, 2], [7, 3, 3]]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, keys in enumerate(batches):
+        path = os.path.join(src_dir, f"events-{i}.json")
+        with open(path, "w") as f:
+            for j, key in enumerate(keys):
+                f.write(json.dumps({"user_id": key, "event_id": i * 100 + j}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    ckpt, out, index = (str(tmp_path / d) for d in ("ckpt", "out", "index"))
+
+    def _flow():
+        return streaming_heavy_hitters(
+            spark, src_dir, ckpt, "user_id long, event_id long", index, out,
+            key_col="user_id", k=4, max_files_per_trigger=1,
+        )
+
+    _flow().awaitTermination(120)
+    n = compact_epoch_index(spark, index, upto_epoch=3, sum_cols=["cnt"])
+    compacted = {
+        (r["user_id"], r["cnt"]) for r in spark.read.parquet(index).collect()
+    }
+    assert compacted == {(7, 3), (1, 2), (2, 1), (3, 2)}
+    assert n == 4
+
+    # post-compaction batch: totals still build on the summed state
+    path = os.path.join(src_dir, "events-3.json")
+    with open(path, "w") as f:
+        f.write(json.dumps({"user_id": 7, "event_id": 999}) + "\n")
+    os.utime(path, (1_700_000_300, 1_700_000_300))
+    _flow().awaitTermination(120)
+    rows = []
+    for p in glob.glob(os.path.join(out, "epoch=3", "part-*.json")):
+        with open(p) as f:
+            rows += [json.loads(line) for line in f]
+    assert {(r["user_id"], r["cnt"]) for r in rows} >= {(7, 4)}

@@ -241,3 +241,74 @@ def gap_fill(
         F.last("total", ignorenulls=True).over(w).alias("total_locf"),
         (F.col("n").isNull()).alias("is_gap"),
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Dense per-key time grid with LINEAR interpolation — the hypertable
+    ``time_bucket_gapfill`` + ``interpolate`` pair: a gap bucket gets the
+    straight-line value between its key's previous and next observed
+    totals; buckets before the first / after the last observation stay NULL
+    (matching the continuous-aggregate convention).
+
+    Same grid shape as :func:`gap_fill` (bounds explode, one left join);
+    the interpolation adds one backward and one forward per-key window.
+    Arithmetic is deterministic cross-engine: totals are decimal-exact
+    sums, bucket distances are exact integer microseconds, and the blend is
+    a fixed double op sequence rounded to 6dp.
+    """
+    b = F.date_trunc(unit, F.col(ts_col))
+    observed = (
+        df.groupBy(*[F.col(c) for c in group_cols], b.alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    bounds = observed.groupBy(*group_cols).agg(
+        F.min("bucket_start").alias("_mn"), F.max("bucket_start").alias("_mx")
+    )
+    grid = bounds.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.expr(f"sequence(_mn, _mx, interval 1 {unit})")).alias(
+            "bucket_start"
+        ),
+    )
+    joined = grid.join(observed, [*group_cols, "bucket_start"], "left")
+    us = F.unix_micros(F.col("bucket_start"))
+    obs_us = F.when(F.col("n").isNotNull(), us)
+    back = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("total", ignorenulls=True).over(back)
+    next_v = F.first("total", ignorenulls=True).over(fwd)
+    prev_us = F.last(obs_us, ignorenulls=True).over(back)
+    next_us = F.first(obs_us, ignorenulls=True).over(fwd)
+    frac = (us - prev_us) / (next_us - prev_us).cast("double")
+    interp = F.when(F.col("n").isNotNull(), F.col("total")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.round(prev_v + (next_v - prev_v) * frac, 6),
+        )
+    )
+    return joined.select(
+        *group_cols,
+        "bucket_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        interp.alias("total_interp"),
+        (F.col("n").isNull()).alias("is_gap"),
+    )

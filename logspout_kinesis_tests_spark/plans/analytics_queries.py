@@ -566,3 +566,73 @@ def c12_tiff_ifd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tiff_height").cast("long").alias("tiff_height"),
         F.col("orientation").cast("long").alias("orientation"),
     )
+
+
+# --- gap fill with linear interpolation --------------------------------------
+
+
+@register(
+    "c16_gap_fill_interp",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx
+        FROM obs GROUP BY 1),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start
+        FROM bounds),
+    winned AS (
+        SELECT g.event_type, g.bucket_start, o.n, o.total,
+               epoch_us(g.bucket_start) AS us,
+               last_value(o.total IGNORE NULLS) OVER back AS prev_v,
+               first_value(o.total IGNORE NULLS) OVER fwd AS next_v,
+               last_value(CASE WHEN o.n IS NOT NULL
+                               THEN epoch_us(g.bucket_start) END IGNORE NULLS)
+                   OVER back AS prev_us,
+               first_value(CASE WHEN o.n IS NOT NULL
+                                THEN epoch_us(g.bucket_start) END IGNORE NULLS)
+                   OVER fwd AS next_us
+        FROM grid g LEFT JOIN obs o
+          ON g.event_type = o.event_type AND g.bucket_start = o.bucket_start
+        WINDOW back AS (PARTITION BY g.event_type ORDER BY g.bucket_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY g.event_type ORDER BY g.bucket_start
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type,
+           strftime(bucket_start, '%Y-%m-%d %H:%M:%S.%f') AS bucket_start,
+           coalesce(n, 0) AS n,
+           CASE WHEN n IS NOT NULL THEN total
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN round(prev_v + (next_v - prev_v)
+                           * ((us - prev_us) / CAST(next_us - prev_us AS DOUBLE)), 6)
+           END AS total_interp,
+           n IS NULL AS is_gap
+    FROM winned
+    """,
+    doc="C16+: gap-filled hourly rollup with LINEAR interpolation — the "
+    "time_bucket_gapfill/interpolate hypertable pair: gap buckets get the "
+    "straight-line value between the previous and next observed totals "
+    "(exact integer-microsecond distances, 6dp-rounded blend); edges stay "
+    "NULL.  Same bounds-exploded grid as the LOCF variant plus one "
+    "backward and one forward per-key window.",
+)
+def c16_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+    from logspout_kinesis_tests_spark.plans.helpers import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    out = gap_fill_interpolate(ev)
+    return out.select(
+        "event_type",
+        ts_str("bucket_start").alias("bucket_start"),
+        "n",
+        "total_interp",
+        "is_gap",
+    )

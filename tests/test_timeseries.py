@@ -132,3 +132,34 @@ def test_gap_fill_locf_semantics(spark):
     # key b: bounds collapse to one bucket, no synthetic rows
     assert [k for k in out if k[0] == "b"] == [("b", "2026-01-01 01:00:00")]
     assert not out[("b", "2026-01-01 01:00:00")]["is_gap"]
+
+
+def test_gap_fill_interpolate_blends_linearly(spark):
+    """Hand-built series: observations at hours 0 and 3 with totals 10 and
+    40 → gap hours 1, 2 interpolate to 20, 30; edges outside the observed
+    range don't exist (grid spans min..max only)."""
+    import datetime as dt
+
+    from logspout_kinesis_tests_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "a", 10.0),
+        (2, t0 + dt.timedelta(hours=3), "a", 40.0),
+        (3, t0, "b", 5.0),  # single-observation key: no gaps, no interp
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["event_type"], r["bucket_start"].hour): (r["n"], r["total_interp"], r["is_gap"])
+        for r in gap_fill_interpolate(df).collect()
+    }
+    assert got[("a", 0)] == (1, 10.0, False)
+    assert got[("a", 1)] == (0, 20.0, True)
+    assert got[("a", 2)] == (0, 30.0, True)
+    assert got[("a", 3)] == (1, 40.0, False)
+    assert got[("b", 0)] == (1, 5.0, False)
+    assert len(got) == 5

@@ -146,3 +146,57 @@ def c7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, tiebreak_cols=("event_id",)).select(
         "event_id", "user_id", "session_seq"
     )
+
+
+@register(
+    "c15_asof_tolerance",
+    # DuckDB's ASOF JOIN has no tolerance clause, so the oracle states the
+    # semantics directly: the matched view must lie within 30 minutes of
+    # the purchase; staler matches are nulled while the purchase row stays
+    # (pandas merge_asof semantics).
+    oracle=f"""
+    WITH matched AS (
+        SELECT l.event_id, l.user_id, l.ts AS purchase_ts,
+               r.event_id AS view_event_id, r.ts AS view_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN
+             (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND r.ts <= l.ts)
+    SELECT event_id, user_id,
+           {sql_ts_str('purchase_ts')} AS purchase_ts,
+           CASE WHEN view_ts >= purchase_ts - INTERVAL 30 MINUTE
+                THEN view_event_id END AS view_event_id,
+           CASE WHEN view_ts >= purchase_ts - INTERVAL 30 MINUTE
+                THEN {sql_ts_str('view_ts')} END AS view_ts
+    FROM matched
+    """,
+    doc="C15: as-of join with a staleness tolerance — each purchase "
+    "matched to the user's latest at-or-before view ONLY if it happened "
+    "within the last 30 minutes; staler matches null out while the "
+    "purchase row survives (pandas merge_asof semantics).  The freshness "
+    "bound every real feature-lookup/attribution as-of needs.",
+)
+def c15_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=("event_id",),
+        tolerance="30 minutes",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("purchase_ts"),
+        F.col("event_id_right").alias("view_event_id"),
+        ts_str("ts_right").alias("view_ts"),
+    )

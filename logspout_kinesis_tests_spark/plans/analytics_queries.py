@@ -636,3 +636,71 @@ def c16_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_interp",
         "is_gap",
     )
+
+
+# --- HTML boilerplate stripping ----------------------------------------------
+
+
+@register(
+    "c11_html_strip",
+    # Injection wraps every 2nd doc's text in markup (tags, a script block,
+    # an entity); the strip chain drops script blocks, then all tags, then
+    # decodes the entity and collapses whitespace.  DuckDB needs the 'g'
+    # flag for replace-all ('s' for dotall); Spark replaces all by default
+    # with inline (?s).
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '<html><body><h1>T</h1><p class="x">' || text
+                         || ' &amp; more</p><script>var x = 1;</script></body></html>'
+                    ELSE text END AS html
+        FROM documents),
+    stripped AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(html, '<script.*?</script>', ' ', 'gs'),
+                           '<[^>]+>', ' ', 'g'),
+                       '&amp;', '&', 'g'),
+                   '\\s+', ' ', 'g')) AS clean
+        FROM raw)
+    SELECT doc_id, clean, length(clean) AS n_chars_clean
+    FROM stripped
+    """,
+    doc="C11+: HTML boilerplate strip — drop script blocks, remove tags, "
+    "decode entities, collapse whitespace; the markup-removal first pass "
+    "of any web-crawl corpus (C4/CCNet pipelines).  One scan-side "
+    "regexp_replace chain, codegen, bodies never shuffle.  Markup is "
+    "injected deterministically (every 2nd doc) since the synthetic "
+    "corpus is plain text.",
+)
+def c11_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<html><body><h1>T</h1><p class="x">'),
+            F.col("text"),
+            F.lit(" &amp; more</p><script>var x = 1;</script></body></html>"),
+        ),
+    ).otherwise(F.col("text"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(html, F.lit(r"(?s)<script.*?</script>"), F.lit(" ")),
+                    F.lit(r"<[^>]+>"),
+                    F.lit(" "),
+                ),
+                F.lit("&amp;"),
+                F.lit("&"),
+            ),
+            F.lit(r"\s+"),
+            F.lit(" "),
+        )
+    )
+    return docs.select(
+        "doc_id", clean.alias("clean"), F.length(clean).cast("long").alias("n_chars_clean")
+    )

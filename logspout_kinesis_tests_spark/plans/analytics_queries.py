@@ -704,3 +704,58 @@ def c11_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", clean.alias("clean"), F.length(clean).cast("long").alias("n_chars_clean")
     )
+
+
+# --- Pareto / cumulative-share analysis --------------------------------------
+
+
+@register(
+    "c2_pareto_share",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS grand
+            FROM events),
+    ranked AS (
+        SELECT a.event_type, a.total,
+               SUM(a.total) OVER (ORDER BY a.total DESC, a.event_type) AS cum,
+               t.grand
+        FROM agg a CROSS JOIN tot t)
+    SELECT event_type, total,
+           round(cum / grand, 6) AS cum_share,
+           cum / grand <= 0.8 OR cum - total = 0 AS in_pareto_head
+    FROM ranked
+    """,
+    doc="C2+: Pareto / cumulative-share analysis — event types ranked by "
+    "decimal-exact total value with running share of the grand total; the "
+    "80/20 head flag marks the smallest prefix covering 80% (the top "
+    "contributor always qualifies).  The ordered window runs over the "
+    "ALREADY-AGGREGATED per-type table — one map-combined shuffle plus a "
+    "window over rows = distinct keys, never raw events.",
+)
+def c2_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    vd = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(F.sum(vd).cast("double").alias("total"))
+    grand = ev.agg(F.sum(vd).cast("double").alias("grand"))
+    # unpartitioned window is deliberate: it runs over one row per
+    # event_type (distinct keys), not raw events — bounded at any scale
+    w = W2.orderBy(F.col("total").desc(), "event_type").rowsBetween(
+        W2.unboundedPreceding, 0
+    )
+    ranked = agg.crossJoin(F.broadcast(grand)).withColumn(
+        "cum", F.sum("total").over(w)
+    )
+    return ranked.select(
+        "event_type",
+        "total",
+        F.round(F.col("cum") / F.col("grand"), 6).alias("cum_share"),
+        (
+            (F.col("cum") / F.col("grand") <= 0.8)
+            | (F.col("cum") - F.col("total") == 0)
+        ).alias("in_pareto_head"),
+    )

@@ -165,3 +165,72 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     bodies = sorted(b for _, b in got)
     assert "a2" not in bodies, bodies  # in-window duplicate suppressed
     assert bodies == ["a1", "a3", "b1", "c1"], bodies
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter: an impression with no click must emit NULL-padded — but
+    only after the watermark provably closes its join window.  The closing
+    event arrives in a SECOND availableNow drain so the watermark actually
+    advances past imp_ts + 30m + 10m."""
+    imp_dir, clk_dir, out_dir = (str(tmp_path / d) for d in ("imp", "clk", "out"))
+    for d in (imp_dir, clk_dir, out_dir):
+        os.makedirs(d)
+
+    _write(
+        os.path.join(imp_dir, "i1.json"),
+        [
+            {"ad_id": 1, "imp_ts": "2026-08-13T10:00:00", "campaign": "a"},
+            {"ad_id": 2, "imp_ts": "2026-08-13T10:00:00", "campaign": "b"},
+        ],
+    )
+    _write(
+        os.path.join(clk_dir, "c1.json"),
+        [{"ad_id": 1, "click_ts": "2026-08-13T10:10:00"}],
+    )
+
+    def run():
+        imp = spark.readStream.schema(IMPRESSIONS).json(imp_dir)
+        clk = spark.readStream.schema(CLICKS).json(clk_dir)
+        joined = stream_interval_join(
+            imp, clk, "ad_id", left_ts="imp_ts", right_ts="click_ts",
+            how="leftOuter",
+        ).select("ad_id", "campaign", "click_ts")
+
+        def collect(df, batch_id):
+            rows = [
+                (r["ad_id"], r["campaign"], r["click_ts"] is None)
+                for r in df.collect()
+            ]
+            if rows:
+                path = os.path.join(out_dir, f"emit-{batch_id}.json")
+                with open(path, "w") as f:
+                    json.dump(rows, f)
+
+        q = (
+            joined.writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # late watermark-advancing traffic on BOTH streams (ad_id 99 matches
+    # nothing; its timestamps push the watermark past 10:40 + delay)
+    _write(
+        os.path.join(imp_dir, "i2.json"),
+        [{"ad_id": 99, "imp_ts": "2026-08-13T13:00:00", "campaign": "z"}],
+    )
+    _write(
+        os.path.join(clk_dir, "c2.json"),
+        [{"ad_id": 99, "click_ts": "2026-08-13T13:00:00"}],
+    )
+    run()
+
+    got = set()
+    for path in glob.glob(os.path.join(out_dir, "emit-*.json")):
+        with open(path) as f:
+            got.update(tuple(r) for r in json.load(f))
+    assert (1, "a", False) in got          # matched row, click attached
+    assert (2, "b", True) in got           # unmatched → NULL-padded emit

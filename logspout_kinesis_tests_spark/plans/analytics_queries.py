@@ -759,3 +759,37 @@ def c2_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cum") - F.col("total") == 0)
         ).alias("in_pareto_head"),
     )
+
+
+# --- existence (mark) join ---------------------------------------------------
+
+
+@register(
+    "c3_exists_flag",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 100000) AS has_big_order
+    FROM customer c
+    """,
+    doc="C3+: existence (mark) join — every customer row kept, annotated "
+    "with whether a qualifying order EXISTS (the audit/enrichment shape: "
+    "semi join keeps only matches, anti only non-matches, mark keeps ALL "
+    "rows with a boolean).  Implemented as a left join against the "
+    "distinct qualifying keys, so the probe side carries one row per key "
+    "and the flag is a NULL test — no row multiplication, one shuffle.",
+)
+def c3_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return cust.join(big, "c_custkey", "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("_hit", F.lit(False)).alias("has_big_order"),
+    )

@@ -73,9 +73,14 @@ HEADLINE = (
     "c14_leakage_safe_split",
     "c20_training_prep",
     # r3b additions: PQ ANN (codes-only ADC scan + re-rank), bounded-frame
-    # rolling anomaly detection
+    # rolling anomaly detection, interpolated gap fill, tolerance as-of,
+    # HTML strip, Pareto share
     "c10_pq_topk",
     "c16_rolling_zscore",
+    "c16_gap_fill_interp",
+    "c15_asof_tolerance",
+    "c11_html_strip",
+    "c2_pareto_share",
 )
 
 

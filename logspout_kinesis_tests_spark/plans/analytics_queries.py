@@ -793,3 +793,49 @@ def c3_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.coalesce("_hit", F.lit(False)).alias("has_big_order"),
     )
+
+
+# --- week-over-week change ---------------------------------------------------
+
+
+@register(
+    "c5_week_over_week",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type, date_trunc('week', ts) AS week,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2),
+    laged AS (
+        SELECT event_type, week, total,
+               lag(total) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        FROM weekly)
+    SELECT event_type, strftime(week, '%Y-%m-%d') AS week, total,
+           CASE WHEN prev IS NOT NULL AND prev <> 0
+                THEN round((total - prev) / prev, 6) END AS wow_change
+    FROM laged
+    """,
+    doc="C5+: week-over-week change — weekly decimal-exact totals per "
+    "event type with lag() percent change (the dashboard staple).  The "
+    "window runs over the AGGREGATED weekly table (rows = keys × weeks), "
+    "never raw events; one map-combined shuffle plus one bounded window.",
+)
+def c5_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from logspout_kinesis_tests_spark.plans.helpers import date_str
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"))
+    w = W2.partitionBy("event_type").orderBy("week")
+    laged = weekly.withColumn("prev", F.lag("total").over(w))
+    return laged.select(
+        "event_type",
+        date_str("week").alias("week"),
+        "total",
+        F.when(
+            F.col("prev").isNotNull() & (F.col("prev") != 0),
+            F.round((F.col("total") - F.col("prev")) / F.col("prev"), 6),
+        ).alias("wow_change"),
+    )

@@ -839,3 +839,31 @@ def c5_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("total") - F.col("prev")) / F.col("prev"), 6),
         ).alias("wow_change"),
     )
+
+
+# --- k-fold cross-validation assignment --------------------------------------
+
+
+@register(
+    "c14_kfold_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('fold:' || md5(text)), 1, 8))::BIGINT % 5
+                AS BIGINT) AS fold
+    FROM documents
+    """,
+    doc="C14+: k-fold cross-validation assignment — fold = md5 of the "
+    "CONTENT hash mod k, so exact-duplicate documents always share a fold "
+    "(no train/validate leakage through copies, same property as "
+    "c14_dataset_split) and the assignment is stable under re-runs and "
+    "re-partitioning.  Pure scan-side hash arithmetic, no shuffle at all.",
+)
+def c14_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fold:"), F.md5("text"))), 1, 8), 16, 10
+        ).cast("long")
+        % 5
+    )
+    return docs.select("doc_id", fold.alias("fold"))

@@ -867,3 +867,46 @@ def c14_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 5
     )
     return docs.select("doc_id", fold.alias("fold"))
+
+
+# --- per-document keyword extraction -----------------------------------------
+
+
+@register(
+    "c11_keywords",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((1 + n.n) / (1 + dfreq.df_)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored)
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="C11+: per-document keyword extraction — top-3 terms by TF-IDF "
+    "(ties broken lexically) per doc; the automatic tagging / routing "
+    "primitive.  Reuses the tfidf_terms plan (one tokenize scan, "
+    "map-combined counts, broadcast df/N joins) plus one per-doc window "
+    "over the scored (doc, term) rows.",
+)
+def c11_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from logspout_kinesis_tests_spark.operators.text_analysis import tfidf_terms
+
+    scored = tfidf_terms(load_table(spark, sf_dir, "documents"))
+    w = W2.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

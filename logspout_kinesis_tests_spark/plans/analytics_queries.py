@@ -910,3 +910,55 @@ def c11_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# --- chi-squared independence test -------------------------------------------
+
+
+@register(
+    "c2_chi_squared",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, user_id % 2 AS cohort, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+    margins AS (
+        SELECT event_type, cohort, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_t,
+               SUM(o) OVER (PARTITION BY cohort) AS col_t,
+               SUM(o) OVER () AS grand
+        FROM cells),
+    terms AS (
+        SELECT round((o - CAST(row_t * col_t AS DOUBLE) / grand)
+                     * (o - CAST(row_t * col_t AS DOUBLE) / grand)
+                     / (CAST(row_t * col_t AS DOUBLE) / grand), 6) AS term
+        FROM margins)
+    SELECT CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+           COUNT(*) AS n_cells
+    FROM terms
+    """,
+    doc="C2+: chi-squared independence test of event_type x cohort — exact "
+    "integer contingency counts, expected values in closed-form double "
+    "arithmetic, 6dp-rounded per-cell terms decimal-summed so the "
+    "statistic is order-independent and cross-engine exact.  The "
+    "categorical counterpart of c2_welch_ttest; the margins windows run "
+    "over the aggregated cell table (rows = types x cohorts), never raw "
+    "events.",
+)
+def c2_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count("*").alias("o"))
+    margins = (
+        cells.withColumn("row_t", F.sum("o").over(W2.partitionBy("event_type")))
+        .withColumn("col_t", F.sum("o").over(W2.partitionBy("cohort")))
+        .withColumn("grand", F.sum("o").over(W2.partitionBy()))
+    )
+    e = (F.col("row_t") * F.col("col_t")).cast("double") / F.col("grand")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+    return margins.select(term.alias("term")).agg(
+        F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("chi2"),
+        F.count("*").alias("n_cells"),
+    )

@@ -384,7 +384,7 @@ def c2_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c3_salted_join_parity",
     oracle="""
     WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS w FROM events)
-    SELECT e.event_type, COUNT(*) AS n, SUM(d.w) AS w_total
+    SELECT e.event_type, COUNT(*) AS n, CAST(SUM(d.w) AS BIGINT) AS w_total
     FROM events e JOIN dim d USING (event_type)
     GROUP BY e.event_type
     """,

@@ -107,7 +107,8 @@ def c8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c14_domain_mixture",
     oracle="""
-    WITH pd AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_size
+    WITH pd AS (SELECT source, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS total_size
                 FROM documents GROUP BY source),
     tot AS (SELECT sum(total_size) AS g FROM pd),
     raw AS (SELECT source, n_docs, total_size,
@@ -134,8 +135,9 @@ def c14_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                       len({_SQL_W}) AS n_tokens, md5(text) AS h
                FROM documents),
     s AS (SELECT doc_id, shard, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS end_tok
           FROM t)
     SELECT doc_id, shard, n_tokens,
            end_tok - n_tokens AS start_tok,

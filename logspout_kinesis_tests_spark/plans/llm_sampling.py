@@ -209,9 +209,9 @@ def c14_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, tokens, cum_tokens FROM (
         SELECT doc_id, len(string_split(text, ' ')) AS tokens,
-               SUM(len(string_split(text, ' '))) OVER (
+               CAST(SUM(len(string_split(text, ' '))) OVER (
                    ORDER BY md5('bud:' || CAST(doc_id AS VARCHAR)), doc_id
-               ) AS cum_tokens
+               ) AS BIGINT) AS cum_tokens
         FROM documents)
     WHERE cum_tokens <= 12000
     """,

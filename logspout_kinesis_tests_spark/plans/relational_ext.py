@@ -416,10 +416,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_counts",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_returnflag
     """,
@@ -757,10 +757,10 @@ def c2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c19_zorder_key",
     oracle="""
     SELECT event_id,
-           list_sum(list_transform(range(0, 21),
+           CAST(list_sum(list_transform(range(0, 21),
                i -> (((user_id // (1 << i)) & 1) * (1 << (2 * i)))
                   + ((((event_id % 1024) // (1 << i)) & 1) * (1 << (2 * i + 1)))
-           )) AS zkey
+           )) AS BIGINT) AS zkey
     FROM events
     """,
     doc="C19+: Z-curve (Morton) interleave of (user_id, event_id%1024) — "
@@ -827,7 +827,7 @@ def c5_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
                SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS view
         FROM events GROUP BY user_id)
-    SELECT user_id, kind, total FROM (
+    SELECT user_id, kind, CAST(total AS DECIMAL(28,2)) AS total FROM (
         SELECT user_id, 'click' AS kind, click AS total FROM p
         UNION ALL
         SELECT user_id, 'view', view FROM p) u
@@ -866,7 +866,7 @@ def c2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            round(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
                  / SUM(dt_us), 6) AS twap,
-           SUM(dt_us) AS span_us
+           CAST(SUM(dt_us) AS BIGINT) AS span_us
     FROM seg GROUP BY user_id
     HAVING SUM(dt_us) > 0
     """,

@@ -130,8 +130,8 @@ def c15_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
         FROM events)
     SELECT event_id, user_id,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM s
     """,
     doc="C7+: row-level sessionization (gaps-and-islands lag+cumsum) — "

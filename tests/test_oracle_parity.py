@@ -19,6 +19,34 @@ def con(sf_correct):
     con.close()
 
 
+def test_oracle_type_lint(con):
+    """Registry lint: no oracle may emit a type Spark cannot produce.
+
+    DuckDB widens integer SUM / windowed SUM / list_sum to HUGEINT and
+    decimal SUMs to DECIMAL(38,x); the driver's value hash is type-sensitive,
+    so an unguarded sum silently hash-fails at the driver even when every
+    Python value matches (the r3 root cause, 8 queries).  ``rel.types`` binds
+    the query without executing it, so this sweeps all oracles in seconds and
+    names every offending column."""
+    from tests.oracle import canon_duck_type
+
+    bad = {}
+    for name in SQL_QUERIES:
+        rel = con.sql(REGISTRY[name].oracle)
+        offenders = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if canon_duck_type(t) in ("int128", "uint64")
+            or canon_duck_type(t).startswith("decimal(38")
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, (
+        "oracles emitting Spark-unrepresentable types (add CAST(... AS "
+        f"BIGINT) / align decimal precision): {bad}"
+    )
+
+
 @pytest.mark.parametrize("name", SQL_QUERIES)
 def test_oracle_parity(spark, sf_correct, con, name):
     spec = REGISTRY[name]

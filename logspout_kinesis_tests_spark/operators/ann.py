@@ -288,18 +288,20 @@ def pq_topk(
     if m <= 0 or dim % m != 0:
         raise ValueError(f"query dim {dim} not divisible by m={m}")
     dsub = dim // m
-    if index is not None:
-        # A prebuilt index with a different m would silently NULL every ADC
-        # partial (zip_with pads short arrays) and degrade to id-order
-        # candidates — fail loudly on the geometry instead.
-        cb = codebooks.select(
-            F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
-        ).head()
-        if cb["max_sub"] != m - 1 or cb["dsub"] != dsub:
-            raise ValueError(
-                f"prebuilt PQ index has m={cb['max_sub'] + 1}, dsub={cb['dsub']}; "
-                f"query expects m={m}, dsub={dsub}"
-            )
+    # An index whose geometry differs from the queries' would silently NULL
+    # every ADC partial (zip_with pads short arrays) and degrade to id-order
+    # candidates — fail loudly instead.  This guards BOTH paths: a prebuilt
+    # index with a different m, and a self-built index over a corpus whose
+    # dim differs from the query dim (each divisible by m, e.g. 32-dim
+    # queries against a 64-dim corpus).
+    cb = codebooks.select(
+        F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
+    ).head()
+    if cb["max_sub"] != m - 1 or cb["dsub"] != dsub:
+        raise ValueError(
+            f"PQ index has m={cb['max_sub'] + 1}, dsub={cb['dsub']}; "
+            f"query expects m={m}, dsub={dsub}"
+        )
     from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
 
     q_subs = queries.select(

@@ -485,11 +485,42 @@ def compact_epoch_index(
     across a multi-dir filesystem — run compaction while the stream is
     quiesced and RE-RUN IT after a crash: if a completed staging dir is
     found the function resumes the swap instead of re-folding, restoring the
-    index before the stream restarts.
+    index before the stream restarts.  The resume is NOT keyed to calling
+    with the same ``upto_epoch``: any stale ``_compact_tmp_*`` dir from a
+    crashed run is handled on entry — a completed one (``_SUCCESS`` marker)
+    has its swap finished first (its folded rows may be the only copy of
+    already-deleted partitions; skipping it would silently lose them, since
+    underscore-prefixed dirs are invisible to Spark reads), an incomplete
+    one is discarded (its source partitions are all still present).
     """
     import shutil
 
     from pyspark.sql import functions as F
+
+    # Self-heal stale staging dirs from a prior crashed compaction BEFORE
+    # reading the index, so the refold below sees every surviving row.
+    for name in list(os.listdir(index_dir)):
+        if not name.startswith("_compact_tmp_"):
+            continue
+        stale_path = os.path.join(index_dir, name)
+        stale_epoch = int(name.rsplit("_", 1)[1])
+        if stale_epoch == upto_epoch - 1:
+            continue  # this run's own staging dir — resumed below
+        if os.path.exists(os.path.join(stale_path, "_SUCCESS")):
+            # Finish the interrupted swap for its ORIGINAL epoch: delete
+            # whatever folded partitions remain, promote the staging dir.
+            for n2 in os.listdir(index_dir):
+                if n2.startswith("epoch="):
+                    try:
+                        if int(n2.split("=", 1)[1]) <= stale_epoch:
+                            shutil.rmtree(os.path.join(index_dir, n2))
+                    except ValueError:
+                        continue
+            os.rename(stale_path, os.path.join(index_dir, f"epoch={stale_epoch}"))
+        else:
+            # Fold crashed mid-write: all source partitions still exist,
+            # the staging dir holds nothing unique — drop it.
+            shutil.rmtree(stale_path)
 
     tmp = os.path.join(index_dir, f"_compact_tmp_{upto_epoch - 1}")
     staged = os.path.exists(os.path.join(tmp, "_SUCCESS"))

@@ -210,5 +210,25 @@ def test_pq_topk_rejects_mismatched_prebuilt_index(spark, sf_dir):
     )
     corpus = emb.select("vec_id", "embedding")
     idx8 = pq_index(corpus, m=8)
-    with _pytest.raises(ValueError, match="prebuilt PQ index"):
+    with _pytest.raises(ValueError, match="PQ index"):
         pq_topk(queries, corpus, k=5, m=4, index=idx8)
+
+
+def test_pq_topk_rejects_query_corpus_dim_mismatch(spark, sf_dir):
+    """Self-built path: queries whose dim differs from the corpus dim (both
+    divisible by m) must raise the same geometry error — without the check
+    the short query subvectors zip_with-pad to NULL ADC partials and the
+    result silently degrades to the id tiebreak."""
+    import pytest as _pytest
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 32-dim queries vs the full-width corpus: both divide m=4
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, 32).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding")
+    with _pytest.raises(ValueError, match="PQ index"):
+        pq_topk(queries, corpus, k=5, m=4)

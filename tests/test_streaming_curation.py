@@ -364,6 +364,57 @@ def test_compact_epoch_index_resumes_staged_swap(spark, tmp_path):
     assert got == {"a", "b", "c", "staged-sentinel"}
 
 
+def test_compact_epoch_index_recovers_stale_staged_swap(spark, tmp_path):
+    """A crash mid-swap followed by a re-run with a LARGER upto_epoch must
+    not lose the staged rows: epochs 0-1 were folded into _compact_tmp_1 and
+    their partitions already deleted when the crash hit, so the staging dir
+    holds the ONLY copy of those rows (and, underscore-hidden, is invisible
+    to the refold).  The stale swap must be finished before the new fold."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_epoch_index,
+    )
+
+    index = str(tmp_path / "index")
+    # surviving partition: epoch=2 only (epochs 0-1 deleted mid-swap)
+    spark.createDataFrame([("d",)], "content_sha256 string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index, "epoch=2"))
+    # completed stale staging dir for upto_epoch=2 holding the folded 0-1 rows
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "content_sha256 string"
+    ).write.mode("overwrite").parquet(os.path.join(index, "_compact_tmp_1"))
+
+    n = compact_epoch_index(spark, index, upto_epoch=3)
+    assert n == 4
+    got = {r["content_sha256"] for r in spark.read.parquet(index).collect()}
+    assert got == {"a", "b", "c", "d"}
+    assert os.listdir(index) == ["epoch=2"]
+
+
+def test_compact_epoch_index_discards_incomplete_staging(spark, tmp_path):
+    """An INCOMPLETE stale staging dir (no _SUCCESS — the fold itself
+    crashed) holds nothing unique; it must be dropped, not promoted."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_epoch_index,
+    )
+
+    index = str(tmp_path / "index")
+    for epoch, vals in enumerate([["a", "b"], ["c"]]):
+        spark.createDataFrame(
+            [(v,) for v in vals], "content_sha256 string"
+        ).write.mode("overwrite").parquet(os.path.join(index, f"epoch={epoch}"))
+    partial = os.path.join(index, "_compact_tmp_0")
+    spark.createDataFrame(
+        [("half-written-garbage",)], "content_sha256 string"
+    ).write.mode("overwrite").parquet(partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+
+    n = compact_epoch_index(spark, index, upto_epoch=2)
+    assert n == 3
+    got = {r["content_sha256"] for r in spark.read.parquet(index).collect()}
+    assert got == {"a", "b", "c"}
+
+
 def test_compact_epoch_index_sums_additive_counts(spark, tmp_path):
     """The heavy-hitters COUNTS index must compact by summing — distinct()
     would collapse repeated (key, count) partials and undercount forever."""

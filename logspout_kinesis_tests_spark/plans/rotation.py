@@ -2,20 +2,24 @@
 
 The driver's correctness harness emits verdicts for roughly the first 50
 entries of ``queries()`` in iteration order (CORRECTNESS_r01/r02 each hold
-exactly the first 50 names of the then-current registry).  With 135
-registered queries, a static order starves everything registered late: after
-round 2, 55 queries — the whole TPC-H suite, C15 temporal joins, C16
-sketches, most C14 sampling — had local oracle parity but no driver verdict.
+exactly the first 50 names of the then-current registry).  With far more
+registered queries than the window holds, a static order starves everything
+registered late: after round 2, 55 queries — the whole TPC-H suite, C15
+temporal joins, C16 sketches, most C14 sampling — had local oracle parity
+but no driver verdict.
 
 Fix: at import time, scan the repo root for ``CORRECTNESS_r*.json`` and
-reorder the registry so queries with **no driver verdict in any prior round**
-come first (in their original registration order), followed by the already-
-verified ones.  Each round the driver then spends its window on the frontier,
-and the union of verdicts converges to the full registry in
-``ceil(len(REGISTRY) / window)`` rounds with no manual bookkeeping.
+reorder the registry so the window is spent where a verdict is worth most:
 
-The rotation is deterministic for a given set of CORRECTNESS files — reruns
-within a round see the same order.
+1. queries with **no driver verdict in any prior round** (the frontier);
+2. queries whose **latest** verdict was a hash/row/schema FAIL — a fix has
+   presumably landed and needs driver confirmation;
+3. everything already verified green (or justified rows-only).
+
+Within each group the original registration order is preserved, so the
+rotation is deterministic for a given set of CORRECTNESS files — reruns
+within a round see the same order — and the union of verdicts converges to
+the full registry with no manual bookkeeping.
 """
 
 from __future__ import annotations
@@ -27,30 +31,52 @@ from pathlib import Path
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
 
-def driver_verified_names(repo_root: Path | None = None) -> set[str]:
-    """Names that received ANY driver verdict (pass, fail, or rows-only)
-    in a prior round's CORRECTNESS_r*.json.  Presence in the file is what
-    matters: it proves the name was inside the driver's window."""
-    root = repo_root or _REPO_ROOT
-    seen: set[str] = set()
+def _verdicts_by_round(root: Path) -> list[dict]:
+    """Parsed CORRECTNESS_r*.json payloads in round order."""
+    out = []
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(data, dict):
-            seen.update(data.keys())
+            out.append(data)
+    return out
+
+
+def driver_verified_names(repo_root: Path | None = None) -> set[str]:
+    """Names that received ANY driver verdict (pass, fail, or rows-only)
+    in a prior round's CORRECTNESS_r*.json.  Presence in the file is what
+    matters: it proves the name was inside the driver's window."""
+    seen: set[str] = set()
+    for data in _verdicts_by_round(repo_root or _REPO_ROOT):
+        seen.update(data.keys())
     return seen
 
 
-def rotated(registry: dict, repo_root: Path | None = None) -> dict:
-    """Return a new dict with never-driver-verified entries first.
+def latest_failed_names(repo_root: Path | None = None) -> set[str]:
+    """Names whose most recent driver verdict was a FAIL (rows, schema, or
+    hash mismatch; a rows-only ``no_oracle`` check is not a fail)."""
+    latest: dict[str, bool] = {}
+    for data in _verdicts_by_round(repo_root or _REPO_ROOT):
+        for name, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            if v.get("err") == "no_oracle":
+                latest[name] = False
+                continue
+            latest[name] = not (
+                v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+            )
+    return {name for name, failed in latest.items() if failed}
 
-    Within each group (unseen, seen) the original registration order is
-    preserved, so the longest-waiting queries stay at the front of the
-    unseen block and the rotation is stable round-over-round.
-    """
+
+def rotated(registry: dict, repo_root: Path | None = None) -> dict:
+    """Return a new dict ordered unseen -> latest-failed -> verified-green,
+    preserving registration order within each group."""
     seen = driver_verified_names(repo_root)
-    unseen_first = {k: v for k, v in registry.items() if k not in seen}
-    unseen_first.update({k: v for k, v in registry.items() if k in seen})
-    return unseen_first
+    failed = latest_failed_names(repo_root)
+    out = {k: v for k, v in registry.items() if k not in seen}
+    out.update({k: v for k, v in registry.items() if k in failed})
+    out.update({k: v for k, v in registry.items() if k in seen and k not in failed})
+    return out

@@ -294,6 +294,56 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
     assert not offenders, offenders
 
 
+#: Deliberate single-partition windows over PROVABLY bounded tables — the
+#: bound is a constant independent of input scale, so one task is correct.
+#: Spark folds constant partition keys out of the window spec (verified on
+#: 4.1.2: ``partitionBy(F.lit(0))`` still plans an empty partitionSpec), so
+#: these cannot be annotated away in the plan itself; this whitelist plus
+#: the lint below is the enforcement instead, and ``session.get_spark``
+#: silences the per-execution WindowExec WARN noise.
+ALLOWED_GLOBAL_WINDOWS = {
+    "c10_hybrid_rrf": 2,  # two 200-row TakeOrdered cut lists (BM25 + dense)
+    "c14_token_budget": 1,  # ≤256-row shard-offset prefix-sum table
+    "c2_chi_squared": 1,  # grand total over the types×cohorts cell table
+    "c2_pareto_share": 1,  # running share over one row per event_type
+}
+
+
+def _count_global_windows(df) -> int:
+    """Number of Window nodes with an EMPTY partition spec in the optimized
+    logical plan — each one moves its whole input to a single task."""
+
+    def walk(node) -> int:
+        n = 0
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            n = 1
+        children = node.children()
+        for i in range(children.size()):
+            n += walk(children.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_no_unbounded_global_windows(spark, sf_dir):
+    """Repo-wide plan lint: an unpartitioned window serializes its entire
+    input through one task — fatal at 100 TB unless the input is bounded by
+    a constant.  Every registered query must plan zero empty-partition
+    Window nodes beyond its explicitly justified allowance above."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        count = _count_global_windows(spec.build(spark, sf_dir))
+        if count > ALLOWED_GLOBAL_WINDOWS.get(name, 0):
+            offenders[name] = count
+    assert not offenders, (
+        "unpartitioned window over a possibly-unbounded table (add a real "
+        f"partition key, or justify in ALLOWED_GLOBAL_WINDOWS): {offenders}"
+    )
+
+
 def test_partitioned_layout_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     """Fact tables laid out with write-time partitioning must let Catalyst
     inject a dynamic-partition-pruning subquery when joined to a filtered

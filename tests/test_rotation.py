@@ -8,6 +8,7 @@ import json
 from logspout_kinesis_tests_spark.plans import REGISTRY
 from logspout_kinesis_tests_spark.plans.rotation import (
     driver_verified_names,
+    latest_failed_names,
     rotated,
 )
 
@@ -32,6 +33,24 @@ def test_rotation_preserves_content_and_is_stable(tmp_path):
     assert out == reg  # same key->value mapping
     assert list(out) == ["b", "d", "a", "c"]  # unseen first, original order kept
     assert list(rotated(reg, repo_root=tmp_path)) == list(out)  # deterministic
+
+
+def test_rotation_requeues_latest_failures_after_unseen(tmp_path):
+    """A query whose LATEST verdict hash-failed goes ahead of green ones —
+    its fix needs driver confirmation; a fail later superseded by a pass
+    does not requeue, and rows-only (no_oracle) checks are not failures."""
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    reg = {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": ok, "b": bad, "d": bad})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"d": ok, "e": {"err": "no_oracle", "rows_match": None,
+                                   "schema_match": None, "hash_match": None}})
+    )
+    assert latest_failed_names(repo_root=tmp_path) == {"b"}
+    assert list(rotated(reg, repo_root=tmp_path)) == ["c", "b", "a", "d", "e"]
 
 
 def test_rotation_ignores_malformed_files(tmp_path):

@@ -76,6 +76,12 @@ HEADLINE = (
     # rolling anomaly detection, interpolated gap fill, tolerance as-of,
     # HTML strip, Pareto share
     "c10_pq_topk",
+    # r4 (VERDICT r3 #5): the amortized ANN path — search against a
+    # persisted index built once per (session, sf_dir); the bench warmup
+    # run pays the build, the timed repeats measure search only, which is
+    # the steady-state number a 100 TB operator regression-gates.
+    "c10_pq_topk_search_only",
+    "c10_ivf_topk_search_only",
     "c16_rolling_zscore",
     "c16_gap_fill_interp",
     "c15_asof_tolerance",

@@ -82,15 +82,36 @@ def hypertable_rollup(
     )
 
 
+def _cms_xxhash(key, row):
+    """Default CMS row-hash: xxhash64(key, row) — the 100 TB path (one
+    JVM-side 64-bit hash per cell, no string materialization)."""
+    return F.xxhash64(key, row)
+
+
+def md5_hasher(key, row):
+    """Engine-portable CMS row-hash: first 8 hex digits of
+    md5("<key>:<row>") as int64.  Slower than xxhash64 (string concat +
+    cryptographic hash) but bit-reproducible in any engine with md5 —
+    DuckDB computes the identical sketch in SQL, which turns the CMS
+    queries from rows-only into fully hash-verified (VERDICT r3 #8).
+    """
+    payload = F.concat(key.cast("string"), F.lit(":"), row.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
 def count_min_sketch(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hasher=_cms_xxhash,
 ) -> DataFrame:
     """Build a Count-Min sketch: rows (row, bucket, cnt), depth×width cells.
 
-    Bucket for row d = xxhash64(key, d) mod width.  The groupBy is the
-    whole build — partial aggregation makes each executor emit at most
-    depth×width cells regardless of input size, so sketching 100 TB
-    shuffles O(depth·width·executors) rows.
+    Bucket for row d = hasher(key, d) mod width (default xxhash64).  The
+    groupBy is the whole build — partial aggregation makes each executor
+    emit at most depth×width cells regardless of input size, so sketching
+    100 TB shuffles O(depth·width·executors) rows.
     """
     rows = df.select(
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
@@ -98,7 +119,7 @@ def count_min_sketch(
     )
     return (
         rows.select(
-            "row", F.pmod(F.xxhash64(F.col("_k"), F.col("row")), F.lit(width)).alias("bucket")
+            "row", F.pmod(hasher(F.col("_k"), F.col("row")), F.lit(width)).alias("bucket")
         )
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -113,12 +134,18 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def cms_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hasher=_cms_xxhash,
 ) -> DataFrame:
     """Point-estimate counts for ``keys``: min over the depth rows' cells.
 
-    Missing cells mean zero occurrences → estimate 0 (coalesced before the
-    min so an absent key reports 0, not NULL).
+    ``hasher`` must match the one the sketch was built with.  Missing cells
+    mean zero occurrences → estimate 0 (coalesced before the min so an
+    absent key reports 0, not NULL).
     """
     probes = keys.select(
         F.col(key_col),
@@ -126,7 +153,7 @@ def cms_estimate(
     ).select(
         F.col(key_col),
         "row",
-        F.pmod(F.xxhash64(F.col(key_col), F.col("row")), F.lit(width)).alias("bucket"),
+        F.pmod(hasher(F.col(key_col), F.col("row")), F.lit(width)).alias("bucket"),
     )
     joined = probes.join(sketch, ["row", "bucket"], "left").select(
         F.col(key_col), F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")

@@ -156,8 +156,36 @@ def c14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c14_greedy_packing",
-    oracle=None,  # stateful next-fit walk (each break depends on the last)
-    # is not window-expressible; invariants pinned in test_curation.py
+    # The stateful next-fit walk is not WINDOW-expressible, but it IS a
+    # linear recurrence — the oracle replays it as a recursive CTE stepping
+    # one row-rank per iteration with all shards advancing in parallel
+    # (depth = max shard size), flipping this from rows-only to fully
+    # hash-verified (VERDICT r3 #8).  First-row condition: fill is always
+    # >0 after a row (empty text still splits to one token), so the
+    # "cur_fill > 0 and" guard in the Python walk reduces to fill+s > B.
+    oracle="""
+    WITH RECURSIVE staged AS (
+        SELECT doc_id, substring(md5(text), 1, 1) AS shard,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               md5(text) AS h
+        FROM documents),
+    ord AS (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+        FROM staged),
+    walk(shard, rn, doc_id, n_tokens, bin, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(n_tokens AS BIGINT)
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256 THEN w.bin + 1 ELSE w.bin END,
+               CASE WHEN w.fill + o.n_tokens > 256 THEN CAST(o.n_tokens AS BIGINT)
+                    ELSE w.fill + o.n_tokens END
+        FROM walk w JOIN ord o ON o.shard = w.shard AND o.rn = w.rn + 1),
+    fills AS (SELECT shard, bin, max(fill) AS bin_fill FROM walk GROUP BY shard, bin)
+    SELECT w.doc_id, w.shard, CAST(w.n_tokens AS INT) AS n_tokens,
+           w.bin, f.bin_fill, w.n_tokens > 256 AS oversize
+    FROM walk w JOIN fills f ON f.shard = w.shard AND f.bin = w.bin
+    """,
     doc="C14+/C20: next-fit whole-document bin packing via applyInPandas — "
     "one Arrow batch per content-stable shard, stateful bin-boundary walk "
     "inside; bins never exceed the budget except single oversize docs.",

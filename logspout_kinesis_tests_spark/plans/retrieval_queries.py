@@ -816,3 +816,152 @@ def c10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return self_viol.unionByName(total_viol)
+
+
+# ---------------------------------------------------------------------------
+# Search-only ANN paths (VERDICT r3 #5): the number a 100 TB operator cares
+# about is search latency against a PERSISTED index — the index is built once
+# per corpus snapshot and amortized over every query batch, so benching the
+# build loop every run (as c10_pq_topk/c10_ivf_topk deliberately do, to keep
+# the k-means cost visible) understates the steady-state path.  The memo
+# below builds each index once per (Spark application, sf_dir) and eagerly
+# localCheckpoints every component, so repeat invocations — bench repeats,
+# successive query batches in a session — pay only ADC-scan + re-rank (PQ)
+# or probe-join + re-rank (IVF).
+
+#: (kind, applicationId, sf_dir) -> checkpointed index tuple.  Keyed by the
+#: application id so a new session (new JVM — prior checkpoint blocks are
+#: gone) rebuilds instead of dereferencing orphaned plans.
+_ANN_INDEX_CACHE: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build-once PQ index (codes, codebooks) for the sf_dir corpus."""
+    from logspout_kinesis_tests_spark.operators.ann import pq_index
+
+    key = ("pq", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        codes, codebooks = pq_index(_corpus(spark, sf_dir), m=4, ksub=16, iters=1)
+        _ANN_INDEX_CACHE[key] = (
+            codes.localCheckpoint(eager=True),
+            codebooks.localCheckpoint(eager=True),
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
+def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build-once IVF index (assignment, centroids) for the sf_dir corpus."""
+    from logspout_kinesis_tests_spark.operators.ann import ivf_index
+
+    key = ("ivf", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        assignment, centroids = ivf_index(_corpus(spark, sf_dir), nlist=16, iters=2)
+        _ANN_INDEX_CACHE[key] = (
+            assignment.localCheckpoint(eager=True),
+            centroids.localCheckpoint(eager=True),
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
+def _query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@register(
+    "c10_pq_topk_search_only",
+    oracle=None,  # approximate by design; identical output to c10_pq_topk
+    # (deterministic index build) — parity is hash-gated by
+    # c10_search_only_parity and pytest.
+    doc="C10+: PQ top-5 against a prebuilt persisted index (codes + "
+    "codebooks checkpointed once per corpus snapshot) — the amortized "
+    "production path: per-batch cost is the broadcast-ADC codes scan plus "
+    "the top-100 exact re-rank; the k-means build loop is off the clock.",
+)
+def c10_pq_topk_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    return pq_topk(
+        _query_batch(spark, sf_dir),
+        _corpus(spark, sf_dir),
+        k=5,
+        m=4,
+        ksub=16,
+        rerank=100,
+        index=pq_index_for(spark, sf_dir),
+    )
+
+
+@register(
+    "c10_ivf_topk_search_only",
+    oracle=None,  # approximate by design; parity vs the self-built path is
+    # hash-gated by c10_search_only_parity and pytest.
+    doc="C10: IVF top-5 against a prebuilt persisted inverted file "
+    "(assignment + centroids checkpointed once) — per-batch cost is the "
+    "nprobe cell-probe join + exact re-rank only.",
+)
+def c10_ivf_topk_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import ivf_topk
+
+    return ivf_topk(
+        _query_batch(spark, sf_dir),
+        _corpus(spark, sf_dir),
+        k=5,
+        nlist=16,
+        nprobe=4,
+        index=ivf_index_for(spark, sf_dir),
+    )
+
+
+@register(
+    "c10_search_only_parity",
+    # Violation-rows/empty-oracle shape (same as the recall gates): both
+    # index builds are fully deterministic, so search against the persisted
+    # index must return EXACTLY the self-built path's rows.  Any divergence
+    # (a stale cache, a checkpoint that altered row contents, geometry
+    # drift) surfaces as a violation row and the driver hash-fails.
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS gate,
+           CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS vec_id
+    WHERE 1 = 0
+    """,
+    doc="C10+: driver-visible parity gate — (query_id, vec_id, rank) "
+    "symmetric difference between the persisted-index search path and the "
+    "self-built path, for both PQ and IVF; empty iff bit-identical.",
+)
+def c10_search_only_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import ivf_topk, pq_topk
+
+    queries = _query_batch(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+
+    def _viol(kind: str, fresh: DataFrame, cached: DataFrame) -> DataFrame:
+        cols = ["query_id", "vec_id", "rank"]
+        a, b = fresh.select(*cols), cached.select(*cols)
+        diff = a.exceptAll(b).unionByName(b.exceptAll(a))
+        return diff.select(
+            F.lit(kind).alias("gate"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+
+    pq_fresh = pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100)
+    pq_cached = pq_topk(
+        queries, corpus, k=5, m=4, ksub=16, rerank=100,
+        index=pq_index_for(spark, sf_dir),
+    )
+    ivf_fresh = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4)
+    ivf_cached = ivf_topk(
+        queries, corpus, k=5, nlist=16, nprobe=4,
+        index=ivf_index_for(spark, sf_dir),
+    )
+    return _viol("pq", pq_fresh, pq_cached).unionByName(
+        _viol("ivf", ivf_fresh, ivf_cached)
+    )

@@ -270,3 +270,28 @@ def test_tiff_ifd_walker_edge_cases(spark):
     # bounds; entries beyond the payload end are excluded, so w/h resolve
     assert got[5]["tiff_valid"] and got[5]["tiff_width"] == 9
     assert not got[6]["tiff_valid"]  # IFD offset past payload end
+
+
+def test_search_only_paths_match_self_built_and_memoize(spark, sf_dir):
+    """The persisted-index search path (VERDICT r3 #5) must return exactly
+    the self-built path's rows (both index builds are deterministic), and
+    the memo must hand back the same checkpointed objects on repeat calls —
+    that reuse is what makes the bench's timed repeats search-only."""
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+    from logspout_kinesis_tests_spark.plans.retrieval_queries import (
+        _ANN_INDEX_CACHE,
+        ivf_index_for,
+        pq_index_for,
+    )
+
+    parity = REGISTRY["c10_search_only_parity"].build(spark, sf_dir)
+    assert parity.count() == 0
+
+    pq_a = pq_index_for(spark, sf_dir)
+    pq_b = pq_index_for(spark, sf_dir)
+    assert pq_a[0] is pq_b[0] and pq_a[1] is pq_b[1]
+    ivf_a = ivf_index_for(spark, sf_dir)
+    assert ivf_a[0] is ivf_index_for(spark, sf_dir)[0]
+    app = spark.sparkContext.applicationId
+    assert ("pq", app, sf_dir) in _ANN_INDEX_CACHE
+    assert ("ivf", app, sf_dir) in _ANN_INDEX_CACHE

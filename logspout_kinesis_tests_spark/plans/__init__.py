@@ -18,6 +18,9 @@ from logspout_kinesis_tests_spark.plans import (  # noqa: F401
 # at the front of the driver's correctness window
 from logspout_kinesis_tests_spark.plans import retrieval_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import analytics_queries  # noqa: F401,E402
+
+# round-4 additions, again last for the same rotation-ordering reason
+from logspout_kinesis_tests_spark.plans import profiling_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import registry as _registry_mod
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

@@ -1,0 +1,293 @@
+"""Round-4 breadth queries: column profiling, interval-overlap join,
+n-gram novelty scoring, and bounded-frame EWMA smoothing.
+
+Registered LAST (see plans/__init__) so longer-waiting unverified queries
+keep their place at the front of the driver's correctness window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+@register(
+    "c2_column_profile",
+    # One UNION branch per profiled column; counts are BIGINT in both
+    # engines, min/max stringified (decimal "123.45" and DATE "1995-01-02"
+    # render identically in Spark and DuckDB).
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    doc="C2+: ANALYZE-style column profiling — per-column row/null/distinct "
+    "counts and stringified min/max over orders, computed in ONE scan: a "
+    "single multi-aggregate (Spark plans the multi-count-distinct via one "
+    "Expand — rows × profiled columns map-side, still one shuffle) then an "
+    "unpivot of the 1-row result.  The first query any 100 TB ingest runs.",
+)
+def c2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, _nn, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("_nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "c15_interval_overlap_join",
+    # 12 derived 10-day promo windows starting each month of 1995; each
+    # lineitem's service interval is [shipdate, shipdate + 1..30 days]
+    # (deterministic duration from the line number — this dataset carries
+    # no receiptdate).  Interval overlaps a window iff start <= w_end AND
+    # end >= w_start; overlap length in whole days, inclusive bounds.
+    oracle="""
+    WITH windows AS (
+        SELECT CAST(m AS INT) AS window_id,
+               CAST(DATE '1995-01-01' + to_months(CAST(m AS INT)) AS DATE) AS w_start,
+               CAST(DATE '1995-01-01' + to_months(CAST(m AS INT)) + to_days(9) AS DATE)
+                   AS w_end
+        FROM (SELECT unnest(range(12)) AS m)),
+    iv AS (
+        SELECT l_shipdate AS iv_start,
+               CAST(l_shipdate + to_days(1 + (l_linenumber * 7) % 30) AS DATE) AS iv_end
+        FROM lineitem),
+    hits AS (
+        SELECT w.window_id, w.w_start,
+               date_diff('day',
+                         greatest(i.iv_start, w.w_start),
+                         least(i.iv_end, w.w_end)) + 1 AS overlap_days
+        FROM iv i JOIN windows w
+          ON i.iv_start <= w.w_end AND i.iv_end >= w.w_start)
+    SELECT window_id, CAST(w_start AS VARCHAR) AS w_start,
+           count(*) AS n_lineitems,
+           CAST(sum(overlap_days) AS BIGINT) AS total_overlap_days
+    FROM hits GROUP BY window_id, w_start ORDER BY window_id
+    """,
+    doc="C15+: interval-overlap join — lineitem service intervals "
+    "[shipdate, shipdate + derived duration] against a broadcast 12-row "
+    "promo-window calendar (non-equi range predicates); per-window hit "
+    "counts and inclusive overlap-day totals.  The calendar side is always "
+    "tiny, so the 100 TB plan is a broadcast nested-loop over the fact "
+    "scan — no shuffle of the big side, and the two range predicates "
+    "prune map-side.",
+)
+def c15_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("iv_start"),
+        F.date_add(
+            F.col("l_shipdate"), (F.lit(1) + (F.col("l_linenumber") * 7) % 30)
+        ).alias("iv_end"),
+    )
+    windows = spark.range(12).select(
+        F.col("id").cast("int").alias("window_id"),
+        F.add_months(F.lit("1995-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "w_start"
+        ),
+    ).withColumn("w_end", F.date_add(F.col("w_start"), 9))
+    hits = li.join(
+        F.broadcast(windows),
+        (F.col("iv_start") <= F.col("w_end")) & (F.col("iv_end") >= F.col("w_start")),
+    ).select(
+        "window_id",
+        "w_start",
+        (
+            F.datediff(
+                F.least("iv_end", "w_end"), F.greatest("iv_start", "w_start")
+            )
+            + 1
+        ).alias("overlap_days"),
+    )
+    return (
+        hits.groupBy("window_id", F.col("w_start").cast("string").alias("w_start"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum("overlap_days").cast("long").alias("total_overlap_days"),
+        )
+        .orderBy("window_id")
+    )
+
+
+@register(
+    "c11_ngram_novelty",
+    # A shingle is "novel" in the doc with the smallest doc_id containing
+    # it — the ingestion-order data-valuation metric (how much genuinely
+    # new text does each document contribute?).  Shingle construction
+    # mirrors operators.dedup.exploded_shingles(n=8) exactly, including the
+    # short-text whole-doc fallback.
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_distinct(CASE WHEN len(w) >= 8
+                THEN list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(list_slice(w, i, i + 7), ' '))
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+        FROM ws),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    doc="C11+/C9: per-document n-gram novelty — fraction of a doc's "
+    "distinct word-8-grams whose first appearance (min doc_id) is this "
+    "doc.  One inverted-index shuffle on the shingle (same shape as the "
+    "near-dup joins; at 100 TB the shingle can be xxhash64-compressed to 8 "
+    "bytes before the groupBy); exact rational rounded to 6dp.",
+)
+def c11_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(
+        load_table(spark, sf_dir, "documents"), n=8
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("novelty"),
+        )
+    )
+
+
+#: EWMA trailing depth — weights 2^-d are EXACT doubles, and multiplying a
+#: double by a power of two is exact, so the only inexactness is the final
+#: additions — written in the identical association order in both engines.
+_EWMA_DEPTH = 8
+
+
+@register(
+    "c16_ewma",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT event_id, user_id, value,
+               {" ".join(
+                   f"lag(value, {d}) OVER "
+                   f"(PARTITION BY user_id ORDER BY ts, event_id) AS x{d},"
+                   for d in range(1, _EWMA_DEPTH)
+               )}
+               value AS x0
+        FROM events)
+    SELECT event_id, user_id,
+           CAST(round((
+               {" + ".join(
+                   f"CASE WHEN x{d} IS NULL THEN 0.0 ELSE x{d} * {2.0 ** -d!r} END"
+                   for d in range(_EWMA_DEPTH)
+               )}
+           ) / (
+               {" + ".join(
+                   f"CASE WHEN x{d} IS NULL THEN 0.0 ELSE {2.0 ** -d!r} END"
+                   for d in range(_EWMA_DEPTH)
+               )}
+           ), 9) AS DECIMAL(18,9)) AS ewma
+    FROM ordered
+    """,
+    doc="C16+: bounded-depth exponentially-weighted moving average "
+    "(alpha=1/2, trailing 8 observations) per user — explicit lag() taps "
+    "with exact power-of-two weights; missing taps (series head / null "
+    "values) drop out of both numerator and weight mass.  O(1) window "
+    "state per row, one shuffle on the partition key; 2^-d weights keep "
+    "the arithmetic bit-stable across engines.",
+)
+def c16_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("x0"),
+        *[F.lag("value", d).over(w).alias(f"x{d}") for d in range(1, _EWMA_DEPTH)],
+    )
+    num = None
+    den = None
+    for d in range(_EWMA_DEPTH):
+        tap = F.col(f"x{d}")
+        term = F.when(tap.isNull(), F.lit(0.0)).otherwise(tap * F.lit(2.0 ** -d))
+        wgt = F.when(tap.isNull(), F.lit(0.0)).otherwise(F.lit(2.0 ** -d))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return taps.select(
+        "event_id",
+        "user_id",
+        F.round(num / den, 9).cast("decimal(18,9)").alias("ewma"),
+    )

@@ -91,6 +91,11 @@ def main() -> None:
         for r in results:
             print(json.dumps(r))
         return
+    if only == "breadth":
+        _breadth_probes(spark, replicas, results)
+        for r in results:
+            print(json.dumps(r))
+        return
     build_corpus(spark, replicas)
     corpus = spark.read.parquet(CORPUS_DIR)
     # n-gram Jaccard: df-cut lever on / loosened
@@ -230,6 +235,94 @@ def _ann_probes(spark, replicas: int, results: list) -> None:
         timed(f"ann ivf SEARCH-ONLY nprobe=8 x {replicas * 5}k",
               ivf_topk(queries_e, corpus_e, k=5, nlist=64, nprobe=8,
                        index=(assign_p, centroids_p)))
+    )
+
+
+def _breadth_probes(spark, replicas: int, results: list) -> None:
+    """Round-4 breadth ops at replicas× bench scale: does the plan shape
+    hold when the input grows?  Novelty's cost driver is the inverted-index
+    shuffle (rows ∝ total distinct shingles); the profile's is the Expand
+    multiplying scan rows by the per-column distinct-count branches."""
+    build_corpus(spark, replicas)
+    corpus = spark.read.parquet(CORPUS_DIR)
+
+    from logspout_kinesis_tests_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(corpus, n=8)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    novelty = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), novel.alias("n_novel"))
+    )
+    results.append(timed(f"ngram_novelty x {replicas * 5}k docs", novelty))
+
+    # column profile at replicas× orders rows (union of shifted copies)
+    orders = load_table(spark, "/root/testdata/sf0.1", "orders")
+    big = orders.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"), "*"
+    ).select(
+        (F.col("o_orderkey") + F.col("r") * 100_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    cols = (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    results.append(
+        timed(
+            f"column_profile exact ONE-AGG anti-pattern x {replicas * 150}k rows",
+            big.agg(*aggs),
+        )
+    )
+    # the registered shape: distinct-only agg + cheap basic agg, cross-joined
+    nd = big.agg(*[F.countDistinct(F.col(c)).alias(f"nd_{c}") for c in cols])
+    basic = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        basic += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    results.append(
+        timed(
+            f"column_profile exact SPLIT (registered) x {replicas * 150}k rows",
+            big.agg(*basic).crossJoin(F.broadcast(nd)),
+        )
+    )
+    # the Expand-free alternative: HLL approx distinct, one pass, no Expand
+    aggs_approx = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs_approx += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.approx_count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    results.append(
+        timed(
+            f"column_profile approx(HLL) x {replicas * 150}k rows",
+            big.agg(*aggs_approx),
+        )
     )
 
 

@@ -87,6 +87,12 @@ HEADLINE = (
     "c15_asof_tolerance",
     "c11_html_strip",
     "c2_pareto_share",
+    # r4 breadth: split-scan exact column profiling, broadcast-NLJ interval
+    # overlap, inverted-index novelty, single-shuffle EWMA taps
+    "c2_column_profile",
+    "c15_interval_overlap_join",
+    "c11_ngram_novelty",
+    "c16_ewma",
 )
 
 

@@ -380,3 +380,63 @@ def test_pq_search_broadcasts_adc_and_candidates(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["c10_pq_topk"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_broadcasts_calendar(spark, sf_dir):
+    """The 12-row window calendar must broadcast: the fact side is scanned
+    once with only the two interval columns and never shuffled."""
+    plan = _formatted_plan(
+        REGISTRY["c15_interval_overlap_join"].build(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # column pruning on the fact scan
+    assert "l_extendedprice" not in plan and "l_quantity" not in plan
+
+
+def _plan_nodes(plan: str) -> list[str]:
+    """Unique node list from a formatted plan's detail section — the tree
+    section repeats every node, so raw substring counts double-count."""
+    import re
+
+    out = []
+    for ln in plan.splitlines():
+        m = re.match(r"^\(\d+\) (\S+)", ln.strip())
+        if m:
+            out.append(m.group(1))
+    return out
+
+
+def test_column_profile_expand_carries_only_distincts(spark, sf_dir):
+    """The registered profile deliberately splits the multi-count-distinct
+    aggregate (Expand path) from the min/max/count aggregate: one Expand,
+    two scans, and no min/max branch inside the expanded aggregate
+    (SCALE.md: the fused form is 5.8x slower at 1.5M rows)."""
+    plan = _formatted_plan(REGISTRY["c2_column_profile"].build(spark, sf_dir))
+    nodes = _plan_nodes(plan)
+    assert nodes.count("Scan") == 2  # distinct agg + basic agg scans
+    assert nodes.count("Expand") == 1
+    # the Expand's aggregate must not compute min/max (those live in the
+    # basic-agg branch); formatted plans list agg functions per node
+    import re
+
+    expand_aggs = re.findall(r"Functions \[.*\]", plan)
+    fused = [
+        a
+        for a in expand_aggs
+        if "count(distinct" in a and ("min(" in a or "max(" in a)
+    ]
+    assert not fused
+
+
+def test_ewma_single_partition_shuffle(spark, sf_dir):
+    """All lag taps share ONE window spec: exactly one hash exchange on
+    user_id and one Window node — no per-tap re-shuffles."""
+    plan = _formatted_plan(REGISTRY["c16_ewma"].build(spark, sf_dir))
+    nodes = _plan_nodes(plan)
+    assert nodes.count("Window") == 1
+    assert nodes.count("Exchange") == 1
+    exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(user_id" in ln
+    ]
+    assert exchanges  # the one exchange is the window's partition key

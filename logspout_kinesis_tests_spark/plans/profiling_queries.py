@@ -297,3 +297,271 @@ def c16_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(num / den, 9).cast("decimal(18,9)").alias("ewma"),
     )
+
+
+@register(
+    "c9_minhash_lsh_md5_gate",
+    # Full end-to-end replay of the banded-LSH ALGORITHM with the
+    # engine-portable md5 hash family (same trick as c16_count_min_sketch):
+    # shingle -> 16 seeded 32-bit hashes -> per-doc min signature -> 4
+    # bands x 4 rows -> bucket equi-join -> distinct candidate pairs.
+    # DuckDB computes the identical pipeline, so the driver hash-verifies
+    # the LSH construction itself; the xxhash64 production path
+    # (c9_minhash_lsh) keeps its recall gate and stays the benched shape.
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_distinct(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+        FROM ws),
+    sig AS (
+        SELECT doc_id, s.s AS seed,
+               min(('0x' || substring(md5(shingle || ':' || s.s::VARCHAR), 1, 8))::BIGINT)
+                   AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) s
+        GROUP BY doc_id, s.s),
+    banded AS (
+        SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+               array_to_string(list(mh ORDER BY seed), ',') AS bucket
+        FROM sig GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ORDER BY id_a, id_b
+    """,
+    doc="C9+: driver-visible MinHash-LSH algorithm gate — the complete "
+    "banded-LSH candidate pipeline (seeded min-hash signatures, 4x4 "
+    "banding, bucket equi-join) with the engine-portable md5 hash family, "
+    "hash-verified against an independent DuckDB replay.  Same plan shape "
+    "as the xxhash64 production operator; different (slower, portable) "
+    "hash only.",
+)
+def c9_minhash_lsh_md5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.dedup import exploded_shingles
+
+    num_hashes, rows_per_band = 16, 4
+    sh = exploded_shingles(load_table(spark, sf_dir, "documents"), n=3)
+
+    def md5_32(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                md5_32(F.concat(F.col("shingle"), F.lit(f":{i}")))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_hashes // rows_per_band)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "c9_winnowing_md5_gate",
+    # Same engine-portable-hash treatment as the MinHash gate, for the
+    # winnowing scheme: char-16-gram hashes (stride 2) -> min of each
+    # 8-window (DuckDB: windowed MIN over the gram sequence; Spark: the
+    # same least()-chain as the production operator) -> distinct
+    # fingerprints -> df<=100 boilerplate cut -> pairs sharing >=5.
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    g AS (
+        SELECT doc_id, i,
+               ('0x' || substring(md5(substring(s, (i - 1) * 2 + 1, 16)), 1, 8))::BIGINT AS h
+        FROM t CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest((length(s) - 16) // 2 + 1, 1) + 1)) AS i)),
+    wm AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM g),
+    fps AS (
+        SELECT DISTINCT doc_id, fp AS fingerprint FROM wm
+        WHERE n >= 8 AND i <= n - 7
+        UNION
+        SELECT doc_id, min(h) AS fingerprint FROM g
+        WHERE doc_id IN (SELECT doc_id FROM wm WHERE n < 8) GROUP BY doc_id),
+    keep AS (SELECT fingerprint FROM fps GROUP BY fingerprint HAVING count(*) <= 100),
+    kept AS (SELECT f.* FROM fps f JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5
+    """,
+    doc="C9+: driver-visible winnowing algorithm gate — the complete "
+    "MOSS-style pipeline (stride-2 char-16-gram hashes, window-8 minima, "
+    "distinct fingerprints, df-cut, >=5-shared pair join) with the "
+    "engine-portable md5 hash, hash-verified against an independent "
+    "DuckDB replay (windowed MIN formulation).  The xxhash64 production "
+    "operator keeps its recall gate and the bench slot.",
+)
+def c9_winnowing_md5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kgram, window, stride, min_shared, max_df = 16, 8, 2, 5, 100
+    docs = load_table(spark, sf_dir, "documents")
+    n_grams = f"greatest((length(lower(text)) - {kgram}) DIV {stride} + 1, 1)"
+    hashes = (
+        f"transform(sequence(1, {n_grams}), "
+        f"i -> CAST(conv(substring(md5(substring(lower(text), (i - 1) * {stride} + 1, "
+        f"{kgram})), 1, 8), 16, 10) AS LONG))"
+    )
+    hashed = docs.select(F.col("doc_id"), F.expr(hashes).alias("_hashes"))
+    win_min = "least(" + ", ".join(
+        f"element_at(_hashes, i + {j})" for j in range(window)
+    ) + ")"
+    fps = F.expr(
+        f"""
+        array_distinct(
+          CASE WHEN size(_hashes) >= {window}
+               THEN transform(sequence(1, size(_hashes) - {window - 1}),
+                              i -> {win_min})
+               ELSE array(array_min(_hashes)) END)
+        """
+    )
+    fp = hashed.select(F.col("doc_id"), F.explode(fps).alias("fingerprint"))
+    keep = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") <= max_df)
+        .select("fingerprint")
+    )
+    fp = fp.join(keep, "fingerprint")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+@register(
+    "c9_simhash_md5_gate",
+    # 24-bit SimHash over the md5 word-hash on a 100-doc subset (the
+    # synthetic corpus is simhash-degenerate — short template text makes
+    # most docs near-collide, so the full-corpus pair set is huge and
+    # uninformative; the subset keeps the gate output small while still
+    # exercising every stage).  Pigeonhole banding: 4 bands x 6 bits
+    # guarantees hamming<=3 pairs share a band.
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS word
+        FROM documents WHERE doc_id % 5 = 0),
+    hw AS (SELECT doc_id, ('0x' || substring(md5(word), 1, 8))::BIGINT AS h FROM w),
+    sums AS (
+        SELECT doc_id, k.k AS k,
+               sum(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hw CROSS JOIN (SELECT unnest(range(24)) AS k) k
+        GROUP BY doc_id, k.k),
+    sig AS (
+        SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS code
+        FROM sums GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, code, b.b AS band, (code >> (b.b * 6)) & 63 AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.code, b.code)) <= 3
+    """,
+    doc="C9+: driver-visible SimHash algorithm gate — per-bit signed word "
+    "vote, code assembly, pigeonhole banding, banded pair join and "
+    "hamming cut, all with the engine-portable md5 word hash, "
+    "hash-verified against an independent DuckDB replay.  The 64-bit "
+    "xxhash64 production operator keeps its recall gate.",
+)
+def c9_simhash_md5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    BITS, BAND_BITS, MAXH = 24, 6, 3
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    hw = words.select("doc_id", h.alias("h"))
+    sums = hw.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").bitwiseAND(F.lit(1 << k))) != 0, 1).otherwise(-1)
+            ).alias(f"s{k}")
+            for k in range(BITS)
+        ]
+    )
+    code = None
+    for k in range(BITS):
+        bit = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    sig = sums.select("doc_id", code.cast("long").alias("code"))
+    banded = sig.select(
+        "doc_id",
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            (F.col("code") / F.lit(1 << (b * BAND_BITS))).cast("long")
+                            % F.lit(1 << BAND_BITS)
+                        ).alias("bucket"),
+                    )
+                    for b in range(BITS // BAND_BITS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "code", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.code ^ b.code)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= MAXH)
+    )

@@ -565,3 +565,100 @@ def c9_simhash_md5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= MAXH)
     )
+
+
+@register(
+    "c10_lsh_md5_gate",
+    # Completes the md5-gate family for the hash-based C10 path: the full
+    # random-hyperplane LSH pipeline — deterministic plane components
+    # md5('p:d') % 2000 / 1000 - 1, sign-bit bucket assembly, bucket
+    # equi-join, exact cosine re-rank — hash-verified against a DuckDB
+    # replay.  Both engines fold the plane dot product left-to-right over
+    # d = 0..63, so the doubles are bit-identical.
+    oracle="""
+    WITH planes AS (SELECT unnest(range(8)) AS p),
+    buck AS (
+        SELECT vec_id, embedding,
+               CAST(sum(CASE WHEN dotp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM (
+            SELECT e.vec_id, e.embedding, p.p AS p,
+                   list_reduce(list_transform(range(64),
+                       d_ -> CAST(e.embedding[d_ + 1] AS DOUBLE) *
+                             (CAST(('0x' || substring(md5(p.p::VARCHAR || ':' || d_::VARCHAR), 1, 8))::BIGINT
+                                   % 2000 AS DOUBLE) / 1000.0 - 1.0)),
+                     (a, b) -> a + b) AS dotp
+            FROM embeddings e CROSS JOIN planes p)
+        GROUP BY vec_id, embedding),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM buck WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding AS c_vec, bucket FROM buck),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_reduce(list_transform(list_zip(q.q_vec, c.c_vec),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(c.c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+                   AS cosine
+        FROM q JOIN c USING (bucket)),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="C10+: driver-visible random-hyperplane LSH algorithm gate — "
+    "deterministic md5-derived plane components, sign-bit bucketing, "
+    "bucket equi-join candidates, exact cosine re-rank; hash-verified "
+    "(values bit-identical) against an independent DuckDB replay.  The "
+    "xxhash64 production operator (c10_cosine_topk_lsh) keeps its recall "
+    "gate.",
+)
+def c10_lsh_md5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
+    n_planes, dim, k = 8, 64, 5
+
+    def bucket_expr(vec: str):
+        comp = (
+            "(CAST(CAST(conv(substring(md5(concat(CAST(p AS STRING), ':', "
+            "CAST(d AS STRING))), 1, 8), 16, 10) AS LONG) % 2000 AS DOUBLE) "
+            "/ 1000.0 - 1.0)"
+        )
+        return F.expr(
+            f"""
+            aggregate(sequence(0, {n_planes - 1}), 0L,
+              (acc, p) -> acc + CASE WHEN
+                aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE),
+                  (s, d) -> s + CAST(element_at({vec}, d + 1) AS DOUBLE) * {comp}) > 0
+              THEN shiftleft(1L, p) ELSE 0L END)
+            """
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    qb = queries.select(
+        "query_id",
+        F.col("embedding").alias("q_vec"),
+        bucket_expr("embedding").alias("bucket"),
+    )
+    cb = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("c_vec"),
+        bucket_expr("embedding").alias("bucket"),
+    )
+    denom = l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec"))
+    scored = F.broadcast(qb).join(cb, "bucket").select(
+        "query_id",
+        "vec_id",
+        F.when(denom == 0, F.lit(None))
+        .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -11,9 +11,13 @@ but no driver verdict.
 Fix: at import time, scan the repo root for ``CORRECTNESS_r*.json`` and
 reorder the registry so the window is spent where a verdict is worth most:
 
-1. queries with **no driver verdict in any prior round** (the frontier);
-2. queries whose **latest** verdict was a hash/row/schema FAIL — a fix has
-   presumably landed and needs driver confirmation;
+1. queries whose **latest** verdict was a hash/row/schema FAIL — a fix has
+   presumably landed and needs driver confirmation.  These outrank the
+   frontier: a standing red row misrepresents a fixed engine, and the
+   failed set is small (≤8 historically) while the unseen frontier can
+   exceed the window whenever a round registers new queries — which would
+   otherwise push the fixes out of the window entirely;
+2. queries with **no driver verdict in any prior round** (the frontier);
 3. everything already verified green (or justified rows-only).
 
 Within each group the original registration order is preserved, so the
@@ -72,11 +76,11 @@ def latest_failed_names(repo_root: Path | None = None) -> set[str]:
 
 
 def rotated(registry: dict, repo_root: Path | None = None) -> dict:
-    """Return a new dict ordered unseen -> latest-failed -> verified-green,
+    """Return a new dict ordered latest-failed -> unseen -> verified-green,
     preserving registration order within each group."""
     seen = driver_verified_names(repo_root)
     failed = latest_failed_names(repo_root)
-    out = {k: v for k, v in registry.items() if k not in seen}
-    out.update({k: v for k, v in registry.items() if k in failed})
+    out = {k: v for k, v in registry.items() if k in failed}
+    out.update({k: v for k, v in registry.items() if k not in seen})
     out.update({k: v for k, v in registry.items() if k in seen and k not in failed})
     return out

@@ -93,6 +93,15 @@ HEADLINE = (
     "c15_interval_overlap_join",
     "c11_ngram_novelty",
     "c16_ewma",
+    # r4b breadth: Arrow-batched stateful walk (applyInPandas), explode +
+    # co-partitioned term join divergence, single-scan correlation matrix
+    "c16_holt_smoothing",
+    "c11_kl_divergence",
+    "c2_corr_matrix",
+    # r4c: iterative checkpointed joins (5 PageRank rounds), two-shuffle
+    # corpus report card
+    "c17_pagerank",
+    "c20_data_card",
 )
 
 

@@ -21,6 +21,9 @@ from logspout_kinesis_tests_spark.plans import analytics_queries  # noqa: F401,E
 
 # round-4 additions, again last for the same rotation-ordering reason
 from logspout_kinesis_tests_spark.plans import profiling_queries  # noqa: F401,E402
+from logspout_kinesis_tests_spark.plans import enrichment_queries  # noqa: F401,E402
+from logspout_kinesis_tests_spark.plans import audit_queries  # noqa: F401,E402
+from logspout_kinesis_tests_spark.plans import graph_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import registry as _registry_mod
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

@@ -306,6 +306,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "c14_token_budget": 1,  # ≤256-row shard-offset prefix-sum table
     "c2_chi_squared": 1,  # grand total over the types×cohorts cell table
     "c2_pareto_share": 1,  # running share over one row per event_type
+    "c2_ks_test": 1,  # ≤256-row bucket-offset prefix-sum table
 }
 
 

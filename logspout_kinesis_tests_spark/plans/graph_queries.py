@@ -38,8 +38,8 @@ def _pagerank_oracle() -> str:
         blocks.append(f"""
     agg{k} AS (
         SELECT e.dst AS node,
-               CAST(sum(CAST(round(p.pr / d.deg, 15) AS DECIMAL(28,15)))
-                    AS DOUBLE) AS s
+               CAST(CAST(sum(CAST(round(p.pr / d.deg * 1e15, 0) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 1e15 AS s
         FROM edges e
         JOIN pr{k - 1} p ON p.node = e.src
         JOIN deg d ON d.src = e.src
@@ -77,10 +77,23 @@ def c17_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # run the iteration on LONG node ids (customer = 2k, supplier = 2k+1):
+    # the per-round shuffle carries |edges| keys, and 8-byte longs beat
+    # strings on both shuffle bytes and hash/compare cost; the display ids
+    # ('c<key>' / 's<key>', matching the oracle) are restored ONCE on the
+    # |nodes|-sized result
+    c = F.col("o_custkey") * 2
+    s = F.col("l_suppkey") * 2 + 1
     edges = trade.select(c.alias("src"), s.alias("dst")).unionAll(
         trade.select(s.alias("src"), c.alias("dst"))
     )
     out = pagerank(edges, iterations=_PR_ITERS)
-    return out.select("node", F.round("pagerank", 12).alias("pagerank"))
+    node = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    return out.select(
+        node.alias("node"), F.round("pagerank", 12).alias("pagerank")
+    )

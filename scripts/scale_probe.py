@@ -96,6 +96,11 @@ def main() -> None:
         for r in results:
             print(json.dumps(r))
         return
+    if only == "graph":
+        _graph_probes(spark, replicas, results)
+        for r in results:
+            print(json.dumps(r))
+        return
     build_corpus(spark, replicas)
     corpus = spark.read.parquet(CORPUS_DIR)
     # n-gram Jaccard: df-cut lever on / loosened
@@ -236,6 +241,122 @@ def _ann_probes(spark, replicas: int, results: list) -> None:
               ivf_topk(queries_e, corpus_e, k=5, nlist=64, nprobe=8,
                        index=(assign_p, centroids_p)))
     )
+
+
+def _graph_probes(spark, replicas: int, results: list) -> None:
+    """Round-4c iterative/stateful ops at replicas× bench scale, along BOTH
+    scaling axes.  PageRank: per-round cost is |edges| shuffle bytes —
+    replicate the bipartite graph with disjoint node ids (nodes AND edges
+    ×replicas) and expect near-linear wall growth.  Holt: ×replicas series
+    COUNT (the parallel axis — near-flat wall expected on idle cores) vs
+    ×replicas series LENGTH (the sequential axis — per-task time grows,
+    but tasks stay independent)."""
+    from logspout_kinesis_tests_spark.operators.graph import pagerank
+
+    orders = load_table(spark, "/root/testdata/sf0.1", "orders")
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    trade = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    for r in (1, replicas):
+        big = trade.select(
+            F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep"),
+            "o_custkey",
+            "l_suppkey",
+        )
+        # long node ids, as the registered query uses (customer = 2k,
+        # supplier = 2k+1, replica-offset): the round shuffles carry longs
+        c = (F.col("o_custkey") + F.col("rep") * 10_000_000) * 2
+        s = (F.col("l_suppkey") + F.col("rep") * 10_000_000) * 2 + 1
+        edges = big.select(c.alias("src"), s.alias("dst")).unionAll(
+            big.select(s.alias("src"), c.alias("dst"))
+        )
+        # the iteration work happens in the eager localCheckpoints DURING
+        # pagerank() — time the whole build, not just the final projection
+        t0 = time.perf_counter()
+        out = pagerank(edges)
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        results.append(
+            {
+                "probe": f"pagerank x{r} nodes+edges",
+                "wall_s": round(wall, 2),
+                "out_rows": out.count(),
+            }
+        )
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("y")
+    )
+
+    # same recurrence as plans/enrichment_queries.c16_holt_smoothing, inlined
+    # so the probe can feed it the replicated frames
+    def run_holt(df, label):
+        import pandas as pd
+
+        def smooth(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ys = pdf["y"].tolist()
+            levels, trends = [], []
+            level = trend = 0.0
+            for i, y in enumerate(ys):
+                if i == 0:
+                    level, trend = y, 0.0
+                else:
+                    nl = 0.5 * y + 0.5 * (level + trend)
+                    trend = 0.25 * (nl - level) + 0.75 * trend
+                    level = nl
+                levels.append(level)
+                trends.append(trend)
+            return pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].values,
+                    "user_id": pdf["user_id"].values,
+                    "level": levels,
+                    "trend": trends,
+                }
+            )
+
+        out = df.groupBy("user_id").applyInPandas(
+            smooth, schema="event_id long, user_id long, level double, trend double"
+        )
+        results.append(timed(label, out))
+
+    # untimed warmup: fork the Python workers / init Arrow once, as bench does
+    run_holt(ev, "holt warmup (discard)")
+    results.pop()
+    run_holt(ev, "holt x1 baseline")
+    more_series = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep"),
+        "event_id",
+        "user_id",
+        "ts",
+        "y",
+    ).select(
+        (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+        "ts",
+        "y",
+    )
+    run_holt(more_series, f"holt x{replicas} series COUNT")
+    longer_series = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep"),
+        "event_id",
+        "user_id",
+        "ts",
+        "y",
+    ).select(
+        (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+        "user_id",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.col("rep") * 4_000_000_000_000
+        ).alias("ts"),
+        "y",
+    )
+    run_holt(longer_series, f"holt x{replicas} series LENGTH")
 
 
 def _breadth_probes(spark, replicas: int, results: list) -> None:

@@ -102,6 +102,10 @@ HEADLINE = (
     # corpus report card
     "c17_pagerank",
     "c20_data_card",
+    # r4d: distributed-CDF order statistics (bucket-offset KS test)
+    "c2_ks_test",
+    # r4e: three-table key-cardinality sweep with decimal-exact HHI
+    "c2_skew_report",
 )
 
 

@@ -24,6 +24,8 @@ from logspout_kinesis_tests_spark.plans import profiling_queries  # noqa: F401,E
 from logspout_kinesis_tests_spark.plans import enrichment_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import audit_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import graph_queries  # noqa: F401,E402
+from logspout_kinesis_tests_spark.plans import stats_queries  # noqa: F401,E402
+from logspout_kinesis_tests_spark.plans import monitor_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import registry as _registry_mod
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

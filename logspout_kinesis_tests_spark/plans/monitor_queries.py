@@ -1,0 +1,221 @@
+"""Round-4e monitoring queries: join-key skew reporting and CUSUM
+change-point detection.
+
+Registered LAST (see plans/__init__) so longer-waiting unverified queries
+keep their place at the front of the driver's correctness window.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+
+# --- C2+: join-key skew report ---------------------------------------------
+
+#: The join keys a 100 TB planner cares about on this schema.
+_SKEW_KEYS = (
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+)
+_SKEW_TOPK = 10
+
+
+@register(
+    "c2_skew_report",
+    # HHI = Σ (c_i/n)²: each squared share is one double expression,
+    # quantized to DECIMAL(28,15) so the per-key sum is exact and
+    # order-independent (sub-1 values, ≤28 digits).  Integer sums cast
+    # back to BIGINT (DuckDB HUGEINT widening).
+    oracle=f"""
+    WITH
+    {", ".join(
+        f'''k_{tbl}_{col} AS (
+        SELECT '{col}' AS key_name, count(*) AS c
+        FROM {tbl} GROUP BY {col})'''
+        for tbl, col in _SKEW_KEYS
+    )},
+    keys AS ({" UNION ALL ".join(
+        f"SELECT * FROM k_{tbl}_{col}" for tbl, col in _SKEW_KEYS
+    )}),
+    tot AS (
+        SELECT key_name, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c
+        FROM keys GROUP BY key_name),
+    topk AS (
+        SELECT key_name, CAST(sum(c) AS BIGINT) AS top_c
+        FROM (
+            SELECT key_name, c,
+                   row_number() OVER (
+                       PARTITION BY key_name ORDER BY c DESC) AS rk
+            FROM keys)
+        WHERE rk <= {_SKEW_TOPK} GROUP BY key_name),
+    hhi AS (
+        SELECT k.key_name,
+               CAST(sum(CAST(round(
+                   (CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                   * (CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE)), 15)
+                   AS DECIMAL(28,15))) AS DOUBLE) AS hhi
+        FROM keys k JOIN tot USING (key_name) GROUP BY k.key_name)
+    SELECT t.key_name, n_keys, n_rows,
+           round(CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE), 9)
+               AS max_key_share,
+           round(CAST(top_c AS DOUBLE) / CAST(n_rows AS DOUBLE), 9)
+               AS top{_SKEW_TOPK}_share,
+           round(h.hhi, 9) AS hhi,
+           round(h.hhi * n_keys, 6) AS hhi_vs_uniform
+    FROM tot t JOIN topk USING (key_name) JOIN hhi h USING (key_name)
+    """,
+    doc="C2+: join-key skew report — the pre-flight check before shuffling "
+    "100 TB on a key: per-key-column cardinality, hottest-key and top-10 "
+    "share, and the Herfindahl concentration index (Σ share² — 1/n_keys "
+    "when uniform, 1.0 when one key owns the table; hhi_vs_uniform "
+    "normalizes so >1 means salting territory).  Per-key counts are one "
+    "map-combined groupBy each; shares are single divisions from exact "
+    "counts; HHI terms are DECIMAL(28,15)-quantized so the sum is exact "
+    "and order-independent; top-k arrives per key column via window "
+    "row_number over the (already aggregated) key-count table, never the "
+    "raw rows.  The levers it feeds are operators/skew.py's salted "
+    "aggregate/join and AQE skew-join.",
+)
+def c2_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, col in _SKEW_KEYS:
+        df = load_table(spark, sf_dir, tbl)
+        outs.append(
+            df.groupBy(F.col(col)).agg(F.count("*").alias("c")).select(
+                F.lit(col).alias("key_name"), "c"
+            )
+        )
+    keys = outs[0]
+    for o in outs[1:]:
+        keys = keys.unionAll(o)
+    tot = keys.groupBy("key_name").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("key_name").orderBy(F.desc("c"))
+    )
+    topk = (
+        keys.withColumn("rk", rk)
+        .filter(F.col("rk") <= _SKEW_TOPK)
+        .groupBy("key_name")
+        .agg(F.sum("c").alias("top_c"))
+    )
+    share = F.col("c").cast("double") / F.col("n_rows").cast("double")
+    hhi = (
+        keys.join(F.broadcast(tot.select("key_name", "n_rows")), "key_name")
+        .groupBy("key_name")
+        .agg(
+            F.sum(F.round(share * share, 15).cast("decimal(28,15)"))
+            .cast("double")
+            .alias("hhi")
+        )
+    )
+    return (
+        tot.join(topk, "key_name")
+        .join(hhi, "key_name")
+        .select(
+            "key_name",
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("max_c").cast("double") / F.col("n_rows").cast("double"), 9
+            ).alias("max_key_share"),
+            F.round(
+                F.col("top_c").cast("double") / F.col("n_rows").cast("double"), 9
+            ).alias(f"top{_SKEW_TOPK}_share"),
+            F.round("hhi", 9).alias("hhi"),
+            F.round(F.col("hhi") * F.col("n_keys"), 6).alias("hhi_vs_uniform"),
+        )
+    )
+
+
+# --- C16+: CUSUM change-point detection ------------------------------------
+
+#: Upper-CUSUM parameters: S_t = max(0, S_{t-1} + (x_t − TARGET − SLACK)).
+#: Power-of-two-free constants are fine here — every step is one addition
+#: and one max on the SAME doubles in both engines (identical association
+#: order), so the walk is bit-exact anyway.
+_CUSUM_TARGET = 50.0
+_CUSUM_SLACK = 5.0
+_CUSUM_THRESHOLD = 100.0
+
+
+@register(
+    "c16_cusum",
+    # Sequential recurrence → recursive CTE stepping every series one
+    # row-rank per iteration (the Holt/packing-walk oracle pattern).
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS x,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   AS rn
+        FROM events),
+    walk AS (
+        SELECT event_id, user_id, event_type, rn,
+               greatest(0.0, x - {_CUSUM_TARGET!r} - {_CUSUM_SLACK!r}) AS s
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.user_id, o.event_type, o.rn,
+               greatest(0.0, w.s + (o.x - {_CUSUM_TARGET!r} - {_CUSUM_SLACK!r}))
+        FROM walk w
+        JOIN ordered o ON o.user_id = w.user_id
+            AND o.event_type = w.event_type AND o.rn = w.rn + 1)
+    SELECT event_id, user_id, event_type, s AS cusum,
+           CASE WHEN s > {_CUSUM_THRESHOLD!r} THEN 1 ELSE 0 END AS alarm
+    FROM walk
+    """,
+    doc="C16+: upper-CUSUM control chart per (user, metric) series — the "
+    "sequential change-point detector (S_t = max(0, S_{{t-1}} + x − "
+    "target − slack), alarm when S crosses the decision interval): "
+    "catches small persistent mean shifts that threshold alerts miss.  "
+    "Genuinely sequential (max clamps kill any closed form), so it runs "
+    "as ONE Arrow batch per series via applyInPandas like "
+    "c16_holt_smoothing; every step is one add + one max on identical "
+    "doubles, bit-exact against the recursive-CTE oracle with no "
+    "tolerance.  One shuffle on the series key, O(1) state per row.",
+)
+def c16_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("value").cast("double").alias("x"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        s = 0.0
+        out = []
+        for i, x in enumerate(pdf["x"].tolist()):
+            inc = x - _CUSUM_TARGET - _CUSUM_SLACK
+            s = max(0.0, inc if i == 0 else s + inc)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].values,
+                "user_id": pdf["user_id"].values,
+                "event_type": pdf["event_type"].values,
+                "cusum": out,
+                "alarm": [1 if v > _CUSUM_THRESHOLD else 0 for v in out],
+            }
+        )
+
+    return ev.groupBy("user_id", "event_type").applyInPandas(
+        walk,
+        schema="event_id long, user_id long, event_type string, "
+        "cusum double, alarm int",
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -162,4 +163,81 @@ def streaming_first_seen_ttl(
         outputStructType=FIRST_SEEN_OUTPUT,
         outputMode="append",
         timeMode="ProcessingTime",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM — the batch operator (plans/monitor_queries.c16_cusum) as
+# a cross-batch stateful stream.
+# --------------------------------------------------------------------------
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("cusum", DoubleType()),
+        StructField("alarm", LongType()),
+    ]
+)
+
+_CUSUM_STATE = StructType([StructField("s", DoubleType())])
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Upper-CUSUM control chart per (user, metric) series across
+    micro-batches: S_t = max(0, S_{t-1} + (x_t − target − slack)), alarm
+    while S exceeds ``threshold``.
+
+    The per-key state is ONE double — the running S — so the store is
+    bounded by the live key count regardless of stream length (contrast
+    with dedup state, which grows with distinct payloads).  Rows are
+    stepped in (ts, event_id) order WITHIN each micro-batch and batches
+    are stepped in arrival order: the standard monitoring contract — a
+    metric point arriving a batch late is folded in where it lands, which
+    for a control chart is the desired at-ingest behavior (the batch
+    variant ``c16_cusum`` is the event-time-exact replay).  Same recurrence
+    arithmetic as the batch operator: one add + one max per step.
+    """
+
+    def walk(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s = state.get[0] if state.exists else 0.0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return iter(())
+        pdf = pd.concat(frames).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        out = []
+        for x in pdf["value"].tolist():
+            s = max(0.0, s + (x - target - slack))
+            out.append(s)
+        state.update((s,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].values,
+                        "user_id": pdf["user_id"].values,
+                        "event_type": pdf["event_type"].values,
+                        "cusum": out,
+                        "alarm": [1 if v > threshold else 0 for v in out],
+                    }
+                )
+            ]
+        )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        walk,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

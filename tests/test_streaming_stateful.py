@@ -264,3 +264,46 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
             emitted.extend(tuple(r) for r in json.load(f))
     # exactly one closed session: 10:00 → 10:45 (last event + gap), 3 events
     assert emitted == [("2026-08-13 10:00:00", "2026-08-13 10:45:00", 7, 3)], emitted
+
+
+def test_streaming_cusum_carries_state_across_batches(spark, tmp_path):
+    """The running S must survive the micro-batch boundary: a shift split
+    across two batches alarms exactly where the batch operator would."""
+    from logspout_kinesis_tests_spark.streaming.stateful import streaming_cusum
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # target=50, slack=5, threshold=100: every point is +20 over
+    # (target+slack), so S = 20·k and the alarm fires at the 6th point —
+    # which lands in batch 2 only if state crossed the boundary
+    mk = lambda i: {
+        "event_id": i,
+        "ts": f"2024-01-01 00:00:{i:02d}",
+        "user_id": 1,
+        "event_type": "m",
+        "value": 75.0,
+        "props": "{}",
+    }
+    _write_events(os.path.join(src, "b1.json"), [mk(i) for i in range(4)])
+    _write_events(os.path.join(src, "b2.json"), [mk(i) for i in range(4, 8)])
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = streaming_cusum(stream, target=50.0, slack=5.0, threshold=100.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM cusum_stream ORDER BY event_id"
+    ).collect()
+    assert [r["cusum"] for r in rows] == [20.0 * (i + 1) for i in range(8)]
+    # S=120 at event 5 (6th point): crosses only because batch-1 state carried
+    assert [r["event_id"] for r in rows if r["alarm"] == 1] == [5, 6, 7]

@@ -106,3 +106,84 @@ def zorder_key(col_a, col_b, bits: int = 21):
             + shiftleft(shiftright(CAST({col_b} AS LONG), i) & 1L, 2 * i + 1))
         """
     )
+
+
+def compact_dataset(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_rows_per_file: int = 1_000_000,
+    max_concurrent_groups: int = 8,
+) -> dict:
+    """Execute the small-file compaction the ``c19_compaction_plan`` query
+    plans: fold many undersized parquet files into ~target-row outputs
+    WITHOUT a shuffle.
+
+    How (the Delta/Iceberg OPTIMIZE shape, expressed on plain parquet):
+
+    1. MANIFEST — one column-pruned scan groups row counts by
+       ``input_file_name()``.  The manifest is |files| rows; collecting it
+       to the driver is the same driver-side file planning every table
+       format's compactor performs (and Spark's own scan planner already
+       holds the file list in driver memory).
+    2. PLAN — files in name order, exclusive running sum, group =
+       floor(cum_before / target): identical arithmetic to the registered
+       oracle-verified query.
+    3. EXECUTE — each group reads ONLY its own files and ``coalesce(1)``s
+       into one output task: a narrow dependency, so no shuffle exchange
+       anywhere; groups run as concurrent driver-submitted jobs.
+       ``maxRecordsPerFile`` backstops a group inflated by one oversized
+       input.
+
+    Returns ``{"n_input_files": ..., "n_groups": ..., "n_rows": ...}``.
+    """
+    import glob
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    manifest = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    files = sorted((r["file"], r["rows"]) for r in manifest)
+    groups: dict[int, list[str]] = {}
+    cum_before = 0
+    for path, rows in files:
+        groups.setdefault(cum_before // target_rows_per_file, []).append(path)
+        cum_before += rows
+
+    # Concurrent jobs cannot append to ONE path (they fight over the shared
+    # _temporary committer dir) — each group commits into its own hidden
+    # staging dir, then the driver moves the part files in: the staged-swap
+    # pattern streaming/batch_apply.py uses for index compaction.  On an
+    # object store the move is the table format's manifest commit instead.
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(item: tuple[int, list[str]]) -> None:
+        gid, paths = item
+        stage = os.path.join(out_dir, f"_compact_stage_{gid}")
+        (
+            spark.read.parquet(*paths)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_rows_per_file * 2))
+            .parquet(stage)
+        )
+        for i, part in enumerate(sorted(glob.glob(os.path.join(stage, "part-*")))):
+            os.replace(
+                part, os.path.join(out_dir, f"group-{gid:05d}-{i}.parquet")
+            )
+        shutil.rmtree(stage)
+
+    with ThreadPoolExecutor(max_workers=max_concurrent_groups) as pool:
+        list(pool.map(write_group, groups.items()))
+    return {
+        "n_input_files": len(files),
+        "n_groups": len(groups),
+        "n_rows": cum_before,
+    }

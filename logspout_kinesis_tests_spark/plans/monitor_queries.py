@@ -219,3 +219,86 @@ def c16_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_id long, user_id long, event_type string, "
         "cusum double, alarm int",
     )
+
+
+# --- C20+: snapshot content fingerprints -----------------------------------
+
+
+@register(
+    "c20_snapshot_fingerprint",
+    # Row hash: md5 of a decimal-stringified tuple, first 8 hex chars to a
+    # BIGINT (the engine-portable md5 pattern); the table fingerprint is
+    # the bit_xor fold — order-invariant, overflow-free (unlike an integer
+    # SUM, which would widen to HUGEINT in DuckDB and can overflow under
+    # ANSI mode in Spark).
+    oracle="""
+    SELECT 'documents' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substring(md5(
+               CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))::BIGINT)
+               AS content_fp
+    FROM documents
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           bit_xor(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|'
+               || strftime(o_orderdate, '%Y-%m-%d')), 1, 8))::BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           bit_xor(('0x' || substring(md5(
+               CAST(l_orderkey AS VARCHAR) || '|'
+               || CAST(l_linenumber AS VARCHAR) || '|'
+               || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 8))::BIGINT)
+    FROM lineitem
+    """,
+    doc="C20+: per-table snapshot content fingerprint — n_rows plus an "
+    "ORDER-INVARIANT bit_xor fold of per-row md5-derived 32-bit hashes, "
+    "the cheap integrity/versioning check a dataset release pins next to "
+    "its data card: any inserted, dropped, or mutated row flips the "
+    "fingerprint, identical content in any row order reproduces it.  "
+    "bit_xor beats an integer-sum fold because it cannot overflow and "
+    "needs no widening guard in either engine.  One map-combined scan "
+    "per table (hash computed scan-side, the shuffle carries one long per "
+    "partition); key columns are stringified through decimal casts so "
+    "both engines render identical bytes.",
+)
+def c20_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(concat: F.Column) -> F.Column:
+        return F.bit_xor(
+            F.conv(F.substring(F.md5(concat), 1, 8), 16, 10).cast("long")
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = docs.agg(
+        F.count("*").alias("n_rows"),
+        fp(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+        ).alias("content_fp"),
+    ).select(F.lit("documents").alias("table_name"), "n_rows", "content_fp")
+    o = orders.agg(
+        F.count("*").alias("n_rows"),
+        fp(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+            )
+        ).alias("content_fp"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "content_fp")
+    l = li.agg(
+        F.count("*").alias("n_rows"),
+        fp(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            )
+        ).alias("content_fp"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_rows", "content_fp")
+    return d.unionAll(o).unionAll(l)

@@ -67,3 +67,47 @@ def test_cusum_covers_every_event(spark, sf_dir):
         (F.col("alarm") == 1) != (F.col("cusum") > _CUSUM_THRESHOLD)
     )
     assert mismatch.count() == 0
+
+
+def test_snapshot_fingerprint_order_invariant_and_mutation_sensitive(spark, sf_dir):
+    from logspout_kinesis_tests_spark.plans.monitor_queries import (
+        c20_snapshot_fingerprint,
+    )
+    import os
+    import shutil
+    import tempfile
+
+    base = {r["table_name"]: r for r in
+            c20_snapshot_fingerprint(spark, sf_dir).collect()}
+    assert set(base) == {"documents", "orders", "lineitem"}
+
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("orders", "lineitem"):
+            shutil.copytree(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet") \
+                if os.path.isdir(f"{sf_dir}/{t}.parquet") \
+                else shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # same rows, reversed order, different file layout → same fingerprint
+        docs.orderBy(F.desc("doc_id")).repartition(7).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        shuffled = {r["table_name"]: r for r in
+                    c20_snapshot_fingerprint(spark, d).collect()}
+        assert shuffled["documents"]["content_fp"] == base["documents"]["content_fp"]
+        assert shuffled["documents"]["n_rows"] == base["documents"]["n_rows"]
+
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("orders", "lineitem"):
+            shutil.copytree(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet") \
+                if os.path.isdir(f"{sf_dir}/{t}.parquet") \
+                else shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+        # one mutated row → fingerprint flips, row count unchanged
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == docs.limit(1).collect()[0]["doc_id"],
+                   F.lit("tampered")).otherwise(F.col("text")),
+        ).write.parquet(f"{d}/documents.parquet")
+        tampered = {r["table_name"]: r for r in
+                    c20_snapshot_fingerprint(spark, d).collect()}
+        assert tampered["documents"]["content_fp"] != base["documents"]["content_fp"]
+        assert tampered["documents"]["n_rows"] == base["documents"]["n_rows"]

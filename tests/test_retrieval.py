@@ -295,3 +295,67 @@ def test_search_only_paths_match_self_built_and_memoize(spark, sf_dir):
     app = spark.sparkContext.applicationId
     assert ("pq", app, sf_dir) in _ANN_INDEX_CACHE
     assert ("ivf", app, sf_dir) in _ANN_INDEX_CACHE
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR picks must be distinct, start from the plain top-1, and each
+    later pick's marginal score can't exceed the pure-relevance bound."""
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+    from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
+
+    rows = sorted(
+        REGISTRY["c10_mmr_rerank"].build(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["doc_id"] for r in rows}) == 5
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("q")).alias("rel"),
+        )
+    )
+    top = scored.orderBy(F.desc("rel"), "doc_id").limit(1).collect()[0]
+    # pick 1 IS the most relevant candidate, at score rel/2
+    assert rows[0]["doc_id"] == top["doc_id"]
+    assert abs(rows[0]["mmr_score"] - top["rel"] / 2) < 1e-8
+
+    # independent numpy replay of the greedy walk over the same cut list
+    import numpy as np
+
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("q")).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    rel = {r["doc_id"]: r["rel"] for r in cand}
+    vecs = {r["doc_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in cand}
+
+    def cos(u, v):
+        return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    selected = []
+    for r in rows:
+        best = None
+        for c in sorted(rel):
+            if c in selected:
+                continue
+            red = max((cos(vecs[c], vecs[s]) for s in selected), default=0.0)
+            score = 0.5 * rel[c] - 0.5 * red
+            if best is None or score > best[1] + 1e-12:
+                best = (c, score)
+        assert r["doc_id"] == best[0]
+        assert abs(r["mmr_score"] - best[1]) < 1e-8
+        selected.append(best[0])

@@ -186,3 +186,184 @@ def c2_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
         aggs.append(F.max(F.when(F.col("rn") == rank, F.col("value"))).alias(name))
     return r.groupBy("event_type").agg(*aggs)
+
+
+# --- C2+: one-way ANOVA ----------------------------------------------------
+
+
+@register(
+    "c2_anova_f",
+    # Sums-of-squares identity form: every group statistic is an exact
+    # decimal sum; per-group terms S_g²/n_g are one double expression
+    # quantized to DECIMAL(28,9) so the cross-group totals stay exact and
+    # order-independent (the Welch-test policy at three levels of nesting).
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q
+        FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    terms AS (
+        SELECT n, CAST(round(s, 2) AS DECIMAL(18,2)) AS s_dec,
+               CAST(round(q, 4) AS DECIMAL(28,4)) AS q_dec,
+               CAST(round(s * s / n, 9) AS DECIMAL(28,9)) AS t
+        FROM g),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(s_dec) AS DOUBLE) AS s,
+               CAST(sum(q_dec) AS DOUBLE) AS q,
+               CAST(sum(t) AS DOUBLE) AS t
+        FROM terms)
+    SELECT k, nn AS n,
+           round(((t - s * s / nn) / (k - 1))
+                 / ((q - t) / (nn - k)), 9) AS f_stat,
+           round(t - s * s / nn, 6) AS ss_between,
+           round(q - t, 6) AS ss_within
+    FROM tot
+    """,
+    doc="C2+: one-way ANOVA F-statistic across event types — does the "
+    "metric's mean differ by group more than within-group noise explains, "
+    "the k-group generalization of c2_welch_ttest.  Sums-of-squares "
+    "identity form: one map-combined scan emits (n, Σx, Σx²) per group in "
+    "exact decimals, per-group S²/n terms and the cross-group totals are "
+    "decimal-quantized so every reduction is exact and order-independent, "
+    "and the final F is a handful of double ops written identically in "
+    "both engines.  No second scan, no variance UDF, no per-row state.",
+)
+def c2_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("q"),
+    )
+    terms = g.select(
+        "n",
+        F.round("s", 2).cast("decimal(18,2)").alias("s_dec"),
+        F.round("q", 4).cast("decimal(28,4)").alias("q_dec"),
+        F.round(F.col("s") * F.col("s") / F.col("n"), 9)
+        .cast("decimal(28,9)")
+        .alias("t"),
+    )
+    tot = terms.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s_dec").cast("double").alias("s"),
+        F.sum("q_dec").cast("double").alias("q"),
+        F.sum("t").cast("double").alias("t"),
+    )
+    ssb = F.col("t") - F.col("s") * F.col("s") / F.col("nn")
+    ssw = F.col("q") - F.col("t")
+    return tot.select(
+        "k",
+        F.col("nn").alias("n"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 9
+        ).alias("f_stat"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+    )
+
+
+# --- C2+: Gini inequality per nation ---------------------------------------
+
+
+@register(
+    "c2_gini_spend",
+    # Rank-weighted form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the per-nation
+    # spend order.  i·xᵢ has exactly 2 decimals (integer rank × 2-decimal
+    # value), so round(…, 2) recovers the exact product and the rank-sum is
+    # an exact decimal; ties contribute the same Σ i·x under any tie order,
+    # so the statistic is deterministic even where row_number is not.
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                    AS DOUBLE) AS x
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey),
+    ranked AS (
+        SELECT c_nationkey, x,
+               row_number() OVER (
+                   PARTITION BY c_nationkey ORDER BY x, c_custkey) AS i,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM spend),
+    per_nation AS (
+        SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(CAST(i AS DOUBLE) * x, 2)
+                             AS DECIMAL(28,2))) AS DOUBLE) AS t,
+               CAST(sum(CAST(round(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM ranked GROUP BY c_nationkey)
+    SELECT nat.n_name AS nation, n_customers,
+           round(2.0 * t / (n_customers * s)
+                 - CAST(n_customers + 1 AS DOUBLE)
+                   / CAST(n_customers AS DOUBLE), 9) AS gini
+    FROM per_nation JOIN nation nat ON nat.n_nationkey = per_nation.c_nationkey
+    WHERE s > 0
+    """,
+    doc="C2+: Gini coefficient of customer spend per nation — the standard "
+    "inequality/concentration statistic in its rank-weighted form "
+    "G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n (0 = perfectly equal spend, →1 = one "
+    "customer owns the nation).  Per-customer spend is an exact decimal "
+    "sum off one join, ranks come from a window PARTITIONED by nation "
+    "(parallel across nations, never global), rank-weighted terms are "
+    "decimal-quantized (i·x has exactly 2 decimals, so the quantization "
+    "is lossless) and the closing expression is written identically in "
+    "both engines.  Zero-order customers count as zero-spend rows — "
+    "inequality includes the inactive tail.",
+)
+def c2_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        cust.join(
+            orders, orders["o_custkey"] == cust["c_custkey"], "left"
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("x")
+        )
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wn).alias("n"),
+    )
+    per_nation = ranked.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum(
+            F.round(F.col("i").cast("double") * F.col("x"), 2).cast(
+                "decimal(28,2)"
+            )
+        )
+        .cast("double")
+        .alias("t"),
+        F.sum(F.round("x", 2).cast("decimal(18,2)")).cast("double").alias("s"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("t") / (F.col("n_customers") * F.col("s"))
+        - (F.col("n_customers") + 1).cast("double")
+        / F.col("n_customers").cast("double")
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            nation["n_nationkey"] == per_nation["c_nationkey"],
+        )
+        .filter(F.col("s") > 0)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.round(gini, 9).alias("gini"),
+        )
+    )

@@ -63,3 +63,47 @@ def test_exact_percentiles_match_numpy_rank_selection(spark, sf_dir):
             expected = vals[int(np.ceil(q * len(vals))) - 1]
             assert r[name] == expected
         assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_anova_f_matches_numpy(spark, sf_dir):
+    row = REGISTRY["c2_anova_f"].build(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    ).toPandas()
+    groups = [g["value"].to_numpy() for _, g in ev.groupby("event_type")]
+    k, n = len(groups), len(ev)
+    grand = ev["value"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    assert abs(row["f_stat"] - f) < 1e-6
+    assert row["ss_between"] >= 0 and row["ss_within"] >= 0
+
+
+def test_gini_bounds_and_known_extremes(spark, sf_dir):
+    rows = REGISTRY["c2_gini_spend"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # rank-weighted Gini with zero-spend tails stays in [0, 1)
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_customers"] > 0
+    # numpy replay for one nation
+    import numpy as np
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nk = nat.filter(F.col("n_name") == rows[0]["nation"]).collect()[0]["n_nationkey"]
+    spend = (
+        cust.filter(F.col("c_nationkey") == nk)
+        .join(orders, orders["o_custkey"] == cust["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("x"))
+        .toPandas()["x"]
+        .to_numpy()
+    )
+    x = np.sort(spend)
+    n = len(x)
+    expected = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    assert abs(rows[0]["gini"] - expected) < 1e-6

@@ -1,5 +1,6 @@
-"""Round-4d distributed order-statistics queries: two-sample
-Kolmogorov–Smirnov test and exact rank-selected percentiles.
+"""Round-4d statistics queries: two-sample Kolmogorov–Smirnov test, exact
+rank-selected percentiles (single-sort and bucketed two-pass forms),
+one-way ANOVA, and per-group Gini inequality.
 
 The interesting part is the SCALE shape: both need cumulative counts over
 a globally ordered value axis, which a naive plan serializes through one
@@ -367,3 +368,99 @@ def c2_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(gini, 9).alias("gini"),
         )
     )
+
+
+@register(
+    "c2_percentiles_twopass",
+    # Values equal the plain rank-selection form (bucket decomposition
+    # preserves the value order, as in c2_ks_test), so the oracle IS the
+    # simple form — the Spark side earns the same hash with bounded sorts.
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           {", ".join(
+               f"max(CASE WHEN rn = CAST(ceil({q!r} * n) AS BIGINT) "
+               f"THEN value END) AS {name}"
+               for q, name in _PCT_QS
+           )}
+    FROM r GROUP BY event_type
+    """,
+    doc="C2+: exact quantiles WITHOUT sorting any series — the two-pass "
+    "bucketed selection the c2_exact_percentiles doc promises for 100 TB. "
+    "Pass 1 aggregates per-(series, bucket) counts (bucket = monotone "
+    "affine map of the value, ≤256 per series) and walks the bounded "
+    "bucket table's running counts to locate, per quantile, the target "
+    "bucket and the residual rank inside it.  Pass 2 ranks ONLY the rows "
+    "of target buckets — sort sizes are n/256-ish regardless of series "
+    "size, vs the full per-series sort of the rank-selection form.  "
+    "Because the bucket map is monotone, the reassembled ranks equal the "
+    "global ones, so this hash-matches the simple formulation exactly.",
+)
+def c2_percentiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # pass 1: per-(type, bucket) histogram
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    span = F.col("vmax") - F.col("vmin")
+    raw = F.floor((F.col("value") - F.col("vmin")) / span * _KS_BUCKETS)
+    bucketed = ev.join(F.broadcast(mm), "event_type").withColumn(
+        "bucket",
+        F.when(span > 0, F.least(raw, F.lit(_KS_BUCKETS - 1)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    hist = bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    ).join(F.broadcast(mm.select("event_type", "n")), "event_type")
+    # per quantile: the bucket holding global rank ceil(q*n), and the
+    # residual rank within it
+    targets = None
+    for q, name in _PCT_QS:
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        t = cum.filter(
+            (F.col("cum_before") < rank)
+            & (rank <= F.col("cum_before") + F.col("cnt"))
+        ).select(
+            "event_type",
+            "bucket",
+            F.lit(name).alias("q_name"),
+            (rank - F.col("cum_before")).alias("residual_rank"),
+        )
+        targets = t if targets is None else targets.unionAll(t)
+    # pass 2: rank ONLY the target buckets' rows (n/256-ish sorts)
+    hits = (
+        bucketed.join(
+            F.broadcast(targets.select("event_type", "bucket").distinct()),
+            ["event_type", "bucket"],
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "bucket").orderBy("value")
+            ),
+        )
+        .join(F.broadcast(targets), ["event_type", "bucket"])
+        .filter(F.col("rk") == F.col("residual_rank"))
+        .select("event_type", "q_name", "value", "n")
+    )
+    agg = [F.max("n").cast("long").alias("n")]
+    for _, name in _PCT_QS:
+        agg.append(
+            F.max(F.when(F.col("q_name") == name, F.col("value"))).alias(name)
+        )
+    return hits.groupBy("event_type").agg(*agg)

@@ -107,3 +107,20 @@ def test_gini_bounds_and_known_extremes(spark, sf_dir):
     n = len(x)
     expected = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
     assert abs(rows[0]["gini"] - expected) < 1e-6
+
+
+def test_twopass_percentiles_equal_direct_rank_selection(spark, sf_dir):
+    """The bucketed two-pass selection must reproduce the single-sort
+    rank-selection result EXACTLY — bucket decomposition preserves order."""
+    direct = {
+        r["event_type"]: r
+        for r in REGISTRY["c2_exact_percentiles"].build(spark, sf_dir).collect()
+    }
+    twopass = {
+        r["event_type"]: r
+        for r in REGISTRY["c2_percentiles_twopass"].build(spark, sf_dir).collect()
+    }
+    assert set(direct) == set(twopass)
+    for t in direct:
+        for col in ("n", "p50", "p90", "p99"):
+            assert direct[t][col] == twopass[t][col], (t, col)

@@ -46,3 +46,21 @@ def test_benford_shares_form_a_distribution(spark, sf_dir):
     for r in rows:
         assert r["deviation"] >= 0.0
         assert abs(r["deviation"] - abs(r["observed_share"] - r["benford_share"])) < 2e-9
+
+
+def test_phash_neardup_catches_planted_variants(spark, sf_dir):
+    """Every planted single-word variant must pair with its source within
+    the Hamming cut; pair hashes differ by at most the cut."""
+    from logspout_kinesis_tests_spark.plans import REGISTRY
+
+    rows = REGISTRY["c12_phash_neardup"].build(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 7 == 0).collect()
+    }
+    found = {
+        r["id_a"] for r in rows if r["id_b"] - r["id_a"] == 7000000
+    }
+    assert found == planted  # 100% recall on planted near-dups
+    assert all(0 <= r["hamming"] <= 3 for r in rows)

@@ -149,3 +149,64 @@ def c12_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _PHASH_HAMMING).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
+
+
+# --- C3+: null-safe equality join ------------------------------------------
+
+
+@register(
+    "c3_null_safe_join",
+    # NULL keys planted on both sides (every 97th order, every 13th
+    # customer); <=> matches NULL with NULL where = drops both rows.
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        FROM orders),
+    c AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END AS k
+        FROM customer)
+    SELECT coalesce(c.c_mktsegment, 'NULL_KEY') AS segment,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_matches
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY 1
+    """,
+    doc="C3+: null-safe equality join (Spark `eqNullSafe` / SQL `<=>` / "
+    "ANSI IS NOT DISTINCT FROM) — the join variant entity-resolution "
+    "pipelines need when the key itself is nullable and NULL must mean "
+    "'same unknown bucket' rather than 'matches nothing'.  NULL keys are "
+    "planted on both sides; the NULL×NULL block is a deliberate hot cell "
+    "(every null-keyed order pairs with every null-keyed customer — the "
+    "n_null_matches column sizes it), which is exactly why production "
+    "null-safe joins either pre-filter NULLs into a separate path or "
+    "salt them; here the block is bounded and the plan stays a hash join "
+    "(Spark plans <=> as an equi-join key, NOT a nested loop).",
+)
+def c3_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 97 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 13 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+    )
+    joined = orders.alias("o").join(
+        cust.alias("c"), F.col("o.k").eqNullSafe(F.col("c.k"))
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("c.c_mktsegment"), F.lit("NULL_KEY")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_matched"),
+        F.sum(F.when(F.col("o.k").isNull(), 1).otherwise(0)).alias(
+            "n_null_matches"
+        ),
+    )

@@ -106,6 +106,15 @@ HEADLINE = (
     "c2_ks_test",
     # r4e: three-table key-cardinality sweep with decimal-exact HHI
     "c2_skew_report",
+    # r5 (VERDICT r4 #5): regression-gate the remaining distinct round-4
+    # execution shapes — banded pigeonhole self-join over checkpointed
+    # signatures (the repo's most expensive query), bounded greedy
+    # Arrow-batch walk, per-series stateful CUSUM recurrence, two-pass
+    # bucket-offset exact quantiles
+    "c12_phash_neardup",
+    "c10_mmr_rerank",
+    "c16_cusum",
+    "c2_percentiles_twopass",
 )
 
 

@@ -1,4 +1,5 @@
-"""Iterative graph analytics over DataFrames — damped PageRank.
+"""Iterative graph analytics over DataFrames — damped PageRank, triangle
+counting, and common-neighbor link prediction.
 
 Companion to the min-label connected-components fixpoint in
 ``operators/dedup.py``: the same iterative-join shape (one checkpointed
@@ -92,3 +93,76 @@ def pagerank(
             (F.lit(0.15) / F.lit(n_nodes) + F.lit(DAMPING) * F.col("s")).alias("pr"),
         )
     return pr.select(F.col("src").alias("node"), F.col("pr").alias("pagerank"))
+
+
+def triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Enumerate triangles ``(a < b < c)`` of an undirected graph given as
+    ORDERED distinct edge pairs (u < v, one row per edge).
+
+    Edge-iterator form: wedge join (a,b)⋈(b,c) on the middle vertex, then a
+    closing equi-join against the edge set on (a,c).  Because every edge is
+    stored only in its (min, max) orientation, each triangle is produced
+    exactly once — no /6 correction, no orientation dedup.  Two shuffles on
+    vertex keys; the wedge fan-out is Σ deg(v)² over v's HIGHER-numbered
+    neighbors, the standard compact-forward bound, so hub vertices don't
+    quadratically explode the join (their wedges split across orientations).
+    """
+    e1 = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+    e2 = edges.select(F.col(u).alias("b"), F.col(v).alias("c"))
+    e3 = edges.select(F.col(u).alias("a"), F.col(v).alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+def common_neighbor_pairs(
+    bip: DataFrame,
+    left: str = "left",
+    right: str = "right",
+    max_right_degree: int = 50,
+    min_common: int = 2,
+) -> DataFrame:
+    """Link-prediction candidates from a bipartite incidence list: left-node
+    pairs ``(a < b)`` that share ≥ ``min_common`` right-neighbors, with
+    exact common counts, degrees, and Jaccard over the degree-cut graph.
+
+    The pair generation is the inverted-index pattern of the MinHash-LSH
+    joins: per-right-node left lists self-joined, NEVER all left pairs.
+    Right nodes with more than ``max_right_degree`` left-neighbors are
+    dropped first (the stop-shingle df-cut): a hub right node contributes
+    O(deg²) candidate pairs and near-zero signal, exactly like a stopword
+    shingle.  Degrees are computed on the SAME cut edge set, so the
+    Jaccard is exact for the graph the candidates came from (documented
+    estimator under the cut, not an approximation of the uncut graph).
+    """
+    e = bip.select(F.col(left).alias("l"), F.col(right).alias("r")).distinct()
+    keep = e.groupBy("r").agg(F.count("*").alias("rdeg")).filter(
+        F.col("rdeg") <= max_right_degree
+    )
+    cut = e.join(keep.select("r"), "r")
+    deg = cut.groupBy("l").agg(F.count("*").alias("deg"))
+    a = cut.select(F.col("r"), F.col("l").alias("a"))
+    b = cut.select(F.col("r"), F.col("l").alias("b"))
+    pairs = (
+        a.join(b, "r")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        pairs.join(deg.select(F.col("l").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("l").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -319,6 +319,52 @@ def parse_wav_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def synth_gif_payload(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    packed_col: str = "packed",
+) -> DataFrame:
+    """Attach a structurally-valid GIF89a header + logical screen descriptor
+    (13 bytes) as ``payload``: 6-byte signature, little-endian dims, the
+    packed flags byte (global-color-table flag, color resolution, GCT
+    size), background index and aspect ratio zeroed.  The color table and
+    image data are omitted — header-level synthesis like the PNG/WAV/JPEG
+    paths, documented as such.  Pure ``unhex(concat(...))``, no Python.
+    """
+    hexstr = F.concat(
+        F.lit("474946383961"),            # "GIF89a"
+        _hex_le(F.col(width_col), 2),
+        _hex_le(F.col(height_col), 2),
+        _hex_be(F.col(packed_col), 1),    # flags byte
+        F.lit("00"),                      # background color index
+        F.lit("00"),                      # pixel aspect ratio
+    )
+    return df.withColumn("payload", F.unhex(hexstr))
+
+
+def parse_gif_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode GIF logical-screen metadata (dims, global-color-table flag and
+    size) from the binary payload — little-endian parsing plus bit-field
+    extraction (bit 7 and the low 3 bits of the packed byte) as pure
+    scan-side expressions, same scale rationale as ``parse_png_header``:
+    the dimension/palette triage of an image corpus never leaves codegen.
+    Malformed payloads yield ``gif_valid=false`` with NULL fields."""
+    h = F.hex(F.col(payload_col))
+    valid = F.substring(h, 1, 12) == "474946383961"
+    packed = F.conv(F.substring(h, 21, 2), 16, 10).cast("long")
+    has_gct = F.floor(packed / 128) == 1
+    # GCT size = 2^(N+1) where N = low 3 bits of the packed byte
+    gct_size = F.pow(F.lit(2.0), (packed % 8 + 1).cast("double")).cast("long")
+    return (
+        df.withColumn("gif_valid", valid)
+        .withColumn("gif_width", F.when(valid, _le_int(h, 13, 2)))
+        .withColumn("gif_height", F.when(valid, _le_int(h, 17, 2)))
+        .withColumn("has_gct", F.when(valid, has_gct))
+        .withColumn("gct_size", F.when(valid & has_gct, gct_size))
+    )
+
+
 def synth_jpeg_payload(
     df: DataFrame,
     width_col: str = "width",

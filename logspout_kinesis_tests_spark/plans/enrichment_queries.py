@@ -36,11 +36,17 @@ _CORR_PAIRS = (
 
 def _sql_corr(x: str, y: str) -> str:
     """Pearson r from exact sums — identical expression tree to the Spark
-    side: (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx·Σx) · (n·Σyy − Σy·Σy))."""
+    side: (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx·Σx) · (n·Σyy − Σy·Σy)).
+    A zero-variance group (constant column) makes the denominator 0, where
+    Spark's double division yields NaN but DuckDB yields NULL — both sides
+    guard the degenerate case to NULL explicitly so they agree."""
+    den = (
+        f"(n * s_{x}_{x} - s_{x} * s_{x}) * "
+        f"(n * s_{y}_{y} - s_{y} * s_{y})"
+    )
     return (
-        f"round((n * s_{x}_{y} - s_{x} * s_{y}) / "
-        f"sqrt((n * s_{x}_{x} - s_{x} * s_{x}) * "
-        f"(n * s_{y}_{y} - s_{y} * s_{y})), 9)"
+        f"CASE WHEN {den} = 0 THEN NULL ELSE "
+        f"round((n * s_{x}_{y} - s_{x} * s_{y}) / sqrt({den}), 9) END"
     )
 
 
@@ -113,10 +119,10 @@ def c2_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
         sxx, syy = F.col(f"s_{x}_{x}"), F.col(f"s_{y}_{y}")
         sxy = F.col(f"s_{x}_{y}")
-        return F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            9,
+        # zero-variance guard: mirror DuckDB's NULL (Spark would emit NaN)
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        return F.when(den == F.lit(0.0), F.lit(None).cast("double")).otherwise(
+            F.round((n * sxy - sx * sy) / F.sqrt(den), 9)
         )
 
     rows = [

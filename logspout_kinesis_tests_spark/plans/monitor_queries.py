@@ -7,7 +7,6 @@ keep their place at the front of the driver's correctness window.
 
 from __future__ import annotations
 
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,72 +151,95 @@ _CUSUM_SLACK = 5.0
 _CUSUM_THRESHOLD = 100.0
 
 
+#: Fixed-point cents: value carries exactly 2 decimals, so
+#: round(value·100) is the exact integer reading and the whole walk runs
+#: on longs.
+_CUSUM_DRIFT_CENTS = int(round((_CUSUM_TARGET + _CUSUM_SLACK) * 100))
+_CUSUM_THRESHOLD_CENTS = int(round(_CUSUM_THRESHOLD * 100))
+
+
 @register(
     "c16_cusum",
-    # Sequential recurrence → recursive CTE stepping every series one
-    # row-rank per iteration (the Holt/packing-walk oracle pattern).
+    # The no-reset upper CUSUM has a CLOSED FORM: with y_t = x_t − target −
+    # slack and prefix sums C_t (C_0 = 0), S_t = max(0, S_{t-1} + y_t)
+    # equals C_t − min(0, min_{j≤t} C_j) — running sum minus running min.
+    # Both engines compute it on exact integer cents, so no recursive CTE,
+    # no recursion-depth ceiling, and bit-exact parity by construction.
+    # Window SUM over BIGINT widens to HUGEINT in DuckDB — cast back.
     oracle=f"""
-    WITH RECURSIVE ordered AS (
-        SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS x,
-               row_number() OVER (
-                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
-                   AS rn
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(round(value * 100, 0) AS BIGINT) - {_CUSUM_DRIFT_CENTS}
+                   AS y
         FROM events),
-    walk AS (
-        SELECT event_id, user_id, event_type, rn,
-               greatest(0.0, x - {_CUSUM_TARGET!r} - {_CUSUM_SLACK!r}) AS s
-        FROM ordered WHERE rn = 1
-        UNION ALL
-        SELECT o.event_id, o.user_id, o.event_type, o.rn,
-               greatest(0.0, w.s + (o.x - {_CUSUM_TARGET!r} - {_CUSUM_SLACK!r}))
-        FROM walk w
-        JOIN ordered o ON o.user_id = w.user_id
-            AND o.event_type = w.event_type AND o.rn = w.rn + 1)
-    SELECT event_id, user_id, event_type, s AS cusum,
-           CASE WHEN s > {_CUSUM_THRESHOLD!r} THEN 1 ELSE 0 END AS alarm
-    FROM walk
+    pre AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(sum(y) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+        FROM ordered),
+    s AS (
+        SELECT event_id, user_id, event_type,
+               c - least(0, CAST(min(c) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)) AS s_cents
+        FROM pre)
+    SELECT event_id, user_id, event_type,
+           CAST(s_cents AS DOUBLE) / 100 AS cusum,
+           CASE WHEN s_cents > {_CUSUM_THRESHOLD_CENTS} THEN 1 ELSE 0 END
+               AS alarm
+    FROM s
     """,
     doc="C16+: upper-CUSUM control chart per (user, metric) series — the "
     "sequential change-point detector (S_t = max(0, S_{{t-1}} + x − "
     "target − slack), alarm when S crosses the decision interval): "
     "catches small persistent mean shifts that threshold alerts miss.  "
-    "Genuinely sequential (max clamps kill any closed form), so it runs "
-    "as ONE Arrow batch per series via applyInPandas like "
-    "c16_holt_smoothing; every step is one add + one max on identical "
-    "doubles, bit-exact against the recursive-CTE oracle with no "
-    "tolerance.  One shuffle on the series key, O(1) state per row.",
+    "The max clamp looks sequential but has a prefix closed form — "
+    "S_t = C_t − min(0, min_{{j≤t}} C_j) — so the whole chart is TWO "
+    "running windows (sum + min) over exact integer cents: fully "
+    "parallel, one shuffle on the series key, no applyInPandas, no "
+    "per-group Arrow overhead (the r4 walk formulation cost 8.4 s at "
+    "sf0.1 across ~25 k series; this runs in the window-query floor), "
+    "and no recursion-depth ceiling in the oracle.  streaming_cusum "
+    "keeps the stateful step form — the identity needs the full prefix, "
+    "which a watermarked stream doesn't retain.",
 )
 def c16_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "event_type",
         "ts",
-        F.col("value").cast("double").alias("x"),
+        (
+            F.round(F.col("value") * 100, 0).cast("long")
+            - F.lit(_CUSUM_DRIFT_CENTS)
+        ).alias("y"),
     )
-
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        s = 0.0
-        out = []
-        for i, x in enumerate(pdf["x"].tolist()):
-            inc = x - _CUSUM_TARGET - _CUSUM_SLACK
-            s = max(0.0, inc if i == 0 else s + inc)
-            out.append(s)
-        return pd.DataFrame(
-            {
-                "event_id": pdf["event_id"].values,
-                "user_id": pdf["user_id"].values,
-                "event_type": pdf["event_type"].values,
-                "cusum": out,
-                "alarm": [1 if v > _CUSUM_THRESHOLD else 0 for v in out],
-            }
-        )
-
-    return ev.groupBy("user_id", "event_type").applyInPandas(
-        walk,
-        schema="event_id long, user_id long, event_type string, "
-        "cusum double, alarm int",
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("y").over(w).alias("c"),
+    )
+    s_cents = F.col("c") - F.least(
+        F.lit(0).cast("long"), F.min("c").over(w)
+    )
+    return pre.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (s_cents.cast("double") / 100).alias("cusum"),
+        F.when(s_cents > _CUSUM_THRESHOLD_CENTS, 1).otherwise(0).alias("alarm"),
     )
 
 
@@ -235,22 +257,23 @@ def c16_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'documents' AS table_name,
            CAST(count(*) AS BIGINT) AS n_rows,
            bit_xor(('0x' || substring(md5(
-               CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))::BIGINT)
+               coalesce(CAST(doc_id AS VARCHAR), '') || '|'
+               || coalesce(text, '')), 1, 8))::BIGINT)
                AS content_fp
     FROM documents
     UNION ALL
     SELECT 'orders', CAST(count(*) AS BIGINT),
            bit_xor(('0x' || substring(md5(
-               CAST(o_orderkey AS VARCHAR) || '|'
-               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|'
-               || strftime(o_orderdate, '%Y-%m-%d')), 1, 8))::BIGINT)
+               coalesce(CAST(o_orderkey AS VARCHAR), '') || '|'
+               || coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '') || '|'
+               || coalesce(strftime(o_orderdate, '%Y-%m-%d'), '')), 1, 8))::BIGINT)
     FROM orders
     UNION ALL
     SELECT 'lineitem', CAST(count(*) AS BIGINT),
            bit_xor(('0x' || substring(md5(
-               CAST(l_orderkey AS VARCHAR) || '|'
-               || CAST(l_linenumber AS VARCHAR) || '|'
-               || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 8))::BIGINT)
+               coalesce(CAST(l_orderkey AS VARCHAR), '') || '|'
+               || coalesce(CAST(l_linenumber AS VARCHAR), '') || '|'
+               || coalesce(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), '')), 1, 8))::BIGINT)
     FROM lineitem
     """,
     doc="C20+: per-table snapshot content fingerprint — n_rows plus an "
@@ -262,7 +285,12 @@ def c16_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "needs no widening guard in either engine.  One map-combined scan "
     "per table (hash computed scan-side, the shuffle carries one long per "
     "partition); key columns are stringified through decimal casts so "
-    "both engines render identical bytes.",
+    "both engines render identical bytes.  Every field is wrapped in "
+    "coalesce(CAST(... AS string), '') on BOTH sides: Spark's concat_ws "
+    "would silently SKIP a NULL field (collapsing 'a||b' to 'a|b') while "
+    "DuckDB's || would NULL the whole row hash — with the wrap, both "
+    "engines hash identical bytes and a nulled field still flips the "
+    "fingerprint.",
 )
 def c20_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fp(concat: F.Column) -> F.Column:
@@ -270,13 +298,16 @@ def c20_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(concat), 1, 8), 16, 10).cast("long")
         )
 
+    def nz(col: F.Column) -> F.Column:
+        return F.coalesce(col.cast("string"), F.lit(""))
+
     docs = load_table(spark, sf_dir, "documents")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     d = docs.agg(
         F.count("*").alias("n_rows"),
         fp(
-            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+            F.concat_ws("|", nz(F.col("doc_id")), nz(F.col("text")))
         ).alias("content_fp"),
     ).select(F.lit("documents").alias("table_name"), "n_rows", "content_fp")
     o = orders.agg(
@@ -284,9 +315,9 @@ def c20_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp(
             F.concat_ws(
                 "|",
-                F.col("o_orderkey").cast("string"),
-                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                nz(F.col("o_orderkey")),
+                nz(F.col("o_totalprice").cast("decimal(18,2)")),
+                nz(F.date_format("o_orderdate", "yyyy-MM-dd")),
             )
         ).alias("content_fp"),
     ).select(F.lit("orders").alias("table_name"), "n_rows", "content_fp")
@@ -295,9 +326,9 @@ def c20_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp(
             F.concat_ws(
                 "|",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_linenumber").cast("string"),
-                F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+                nz(F.col("l_orderkey")),
+                nz(F.col("l_linenumber")),
+                nz(F.col("l_extendedprice").cast("decimal(18,2)")),
             )
         ).alias("content_fp"),
     ).select(F.lit("lineitem").alias("table_name"), "n_rows", "content_fp")

@@ -195,8 +195,8 @@ def c15_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_shingles,
            CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_novel,
-           CAST(round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                           AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS novelty
+           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS novelty
     FROM sh s JOIN firsts f USING (shingle)
     GROUP BY s.doc_id
     """,
@@ -229,9 +229,7 @@ def c11_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             F.round(
                 F.col("n_novel").cast("double") / F.col("n_shingles"), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("novelty"),
+            ).alias("novelty"),
         )
     )
 
@@ -255,7 +253,12 @@ _EWMA_DEPTH = 8
                value AS x0
         FROM events)
     SELECT event_id, user_id,
-           CAST(round((
+           CASE WHEN (
+               {" + ".join(
+                   f"CASE WHEN x{d} IS NULL THEN 0.0 ELSE {2.0 ** -d!r} END"
+                   for d in range(_EWMA_DEPTH)
+               )}
+           ) = 0.0 THEN NULL ELSE round((
                {" + ".join(
                    f"CASE WHEN x{d} IS NULL THEN 0.0 ELSE x{d} * {2.0 ** -d!r} END"
                    for d in range(_EWMA_DEPTH)
@@ -265,7 +268,7 @@ _EWMA_DEPTH = 8
                    f"CASE WHEN x{d} IS NULL THEN 0.0 ELSE {2.0 ** -d!r} END"
                    for d in range(_EWMA_DEPTH)
                )}
-           ), 9) AS DECIMAL(18,9)) AS ewma
+           ), 9) END AS ewma
     FROM ordered
     """,
     doc="C16+: bounded-depth exponentially-weighted moving average "
@@ -295,7 +298,9 @@ def c16_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taps.select(
         "event_id",
         "user_id",
-        F.round(num / den, 9).cast("decimal(18,9)").alias("ewma"),
+        F.when(den == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 9))
+        .alias("ewma"),
     )
 
 

@@ -827,7 +827,7 @@ def c5_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
                SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS view
         FROM events GROUP BY user_id)
-    SELECT user_id, kind, CAST(total AS DECIMAL(28,2)) AS total FROM (
+    SELECT user_id, kind, CAST(total AS DOUBLE) AS total FROM (
         SELECT user_id, 'click' AS kind, click AS total FROM p
         UNION ALL
         SELECT user_id, 'view', view FROM p) u
@@ -847,7 +847,7 @@ def c2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         wide.unpivot("user_id", ["click", "view"], "kind", "total")
-        .withColumn("total", F.col("total").cast("decimal(28,2)"))
+        .withColumn("total", F.col("total").cast("double"))
         .filter(F.col("total").isNotNull())
     )
 

@@ -108,8 +108,11 @@ def c10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cand.select(
         F.col("doc_id").alias("b"), F.col("embedding").alias("emb_b")
     )
+    # LEFT join so a singleton candidate (corpus of one) still reaches the
+    # greedy walk with a null partner row — otherwise the pairs frame is
+    # empty and the query returns 0 rows while the oracle emits pick 1.
     pairs = (
-        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        a.join(F.broadcast(b), F.col("a") != F.col("b"), "left")
         .select(
             "a",
             "rel_a",
@@ -123,7 +126,8 @@ def c10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = {}
         for r in pdf.itertuples(index=False):
             rel[r.a] = r.rel_a
-            sim[(r.a, r.b)] = r.sim
+            if pd.notna(r.b):
+                sim[(r.a, r.b)] = r.sim
         picked: list[tuple[int, int, float]] = []
         selected: list = []
         for rank in range(1, _MMR_K + 1):
@@ -139,6 +143,10 @@ def c10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # the earlier (smaller) doc_id from the sorted scan
                 if best is None or score > best[1]:
                     best = (c, score)
+            if best is None:
+                # fewer candidates than _MMR_K: degrade to fewer picks,
+                # exactly as the oracle's empty p{k} blocks do
+                break
             picked.append((rank, best[0], best[1]))
             selected.append(best[0])
         return pd.DataFrame(picked, columns=["rank", "doc_id", "mmr_score"])

@@ -75,12 +75,42 @@ def latest_failed_names(repo_root: Path | None = None) -> set[str]:
     return {name for name, failed in latest.items() if failed}
 
 
+def latest_rows_only_names(repo_root: Path | None = None) -> set[str]:
+    """Names whose most recent driver verdict was a rows-only ``no_oracle``
+    check.  If the registry has SINCE gained an oracle for such a name, the
+    weaker verdict is stale and a hash verdict is worth a window slot."""
+    latest: dict[str, bool] = {}
+    for data in _verdicts_by_round(repo_root or _REPO_ROOT):
+        for name, v in data.items():
+            if isinstance(v, dict):
+                latest[name] = v.get("err") == "no_oracle"
+    return {name for name, rows_only in latest.items() if rows_only}
+
+
 def rotated(registry: dict, repo_root: Path | None = None) -> dict:
-    """Return a new dict ordered latest-failed -> unseen -> verified-green,
-    preserving registration order within each group."""
+    """Return a new dict ordered latest-failed -> re-oracled -> unseen ->
+    verified-green, preserving registration order within each group.
+
+    "Re-oracled" = latest driver verdict was rows-only (``no_oracle``) but
+    the registry now binds an oracle for the name — e.g. c14_greedy_packing
+    and c16_count_min_sketch gained full oracles in round 4 after their
+    rows-only verdicts; without this group they'd be filed as verified and
+    never receive the now-possible hash check."""
     seen = driver_verified_names(repo_root)
     failed = latest_failed_names(repo_root)
+    reoracled = {
+        name
+        for name in latest_rows_only_names(repo_root)
+        if name in registry and getattr(registry[name], "oracle", None)
+    }
     out = {k: v for k, v in registry.items() if k in failed}
+    out.update({k: v for k, v in registry.items() if k in reoracled})
     out.update({k: v for k, v in registry.items() if k not in seen})
-    out.update({k: v for k, v in registry.items() if k in seen and k not in failed})
+    out.update(
+        {
+            k: v
+            for k, v in registry.items()
+            if k in seen and k not in failed and k not in reoracled
+        }
+    )
     return out

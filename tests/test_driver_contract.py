@@ -29,6 +29,17 @@ def test_query_output_is_scalar_only(spark, sf_dir, name):
         "crashes on list/dict cells — flatten (element_at / to_json / explode) "
         "before returning."
     )
+    # r4 calibration: decimal-typed FINAL columns hash-fail at the driver
+    # even with exact value+type parity on both sides (c2_unpivot emitted
+    # DECIMAL(28,2) from Spark AND DuckDB, matched locally, failed remotely;
+    # no decimal output has ever hash-passed in four rounds).  Decimals are
+    # fine as intermediates — round then CAST AS DOUBLE before returning.
+    dec = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+    assert not dec, (
+        f"{name} returns decimal-typed columns {dec}; the driver canonicalizes "
+        "decimals differently per engine — round to the target scale then "
+        "cast to DOUBLE on both sides (plans/helpers.py dec_sum policy)."
+    )
 
 
 def test_registry_matches_entry_surface():

@@ -37,7 +37,10 @@ def test_oracle_type_lint(con):
             f"{c}:{t}"
             for c, t in zip(rel.columns, rel.types)
             if canon_duck_type(t) in ("int128", "uint64")
-            or canon_duck_type(t).startswith("decimal(38")
+            # r4 calibration: ANY decimal final column is driver-unsafe —
+            # c2_unpivot matched DECIMAL(28,2) exactly on both sides and
+            # still hash-failed.  Round then CAST AS DOUBLE instead.
+            or canon_duck_type(t).startswith("decimal")
         ]
         if offenders:
             bad[name] = offenders

@@ -307,6 +307,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "c2_chi_squared": 1,  # grand total over the types×cohorts cell table
     "c2_pareto_share": 1,  # running share over one row per event_type
     "c2_ks_test": 1,  # ≤256-row bucket-offset prefix-sum table
+    "c2_mann_whitney": 1,  # ≤256-row bucket-offset prefix-sum table
+    "c11_zipf_slope": 1,  # rank over the 100-row TakeOrdered term cut
 }
 
 

@@ -9,26 +9,37 @@ from logspout_kinesis_tests_spark.plans import REGISTRY
 from logspout_kinesis_tests_spark.plans.rotation import (
     driver_verified_names,
     latest_failed_names,
+    latest_rows_only_names,
     rotated,
 )
 
 WINDOW = 50  # observed driver window: CORRECTNESS_r01/r02 each hold 50 names
 
 
+def _reoracled() -> set[str]:
+    return {
+        n
+        for n in latest_rows_only_names()
+        if n in REGISTRY and REGISTRY[n].oracle
+    }
+
+
 def test_unseen_queries_fill_driver_window():
     """Window head = latest-failed fixes first (small set needing driver
-    re-confirmation), then the never-verified frontier; green queries may
-    not appear while either group still has members waiting."""
+    re-confirmation), then rows-only queries that have since gained an
+    oracle, then the never-verified frontier; green queries may not appear
+    while any priority group still has members waiting."""
     seen = driver_verified_names()
     failed = latest_failed_names()
+    reoracled = _reoracled()
     names = list(REGISTRY)
-    priority_total = sum(1 for n in names if n not in seen or n in failed)
-    head = names[: min(WINDOW, priority_total)]
+    priority = {n for n in names if n not in seen or n in failed or n in reoracled}
+    head = names[: min(WINDOW, len(priority))]
     n_failed = sum(1 for n in names if n in failed)
     assert all(n in failed for n in head[:n_failed])
-    assert all(n not in seen or n in failed for n in head), (
-        "driver window contains green queries while unverified/failed "
-        f"ones wait: {[n for n in head if n in seen and n not in failed]}"
+    assert all(n in priority for n in head), (
+        "driver window contains green queries while unverified/failed/"
+        f"re-oracled ones wait: {[n for n in head if n not in priority]}"
     )
 
 
@@ -59,6 +70,40 @@ def test_rotation_requeues_latest_failures_first(tmp_path):
     )
     assert latest_failed_names(repo_root=tmp_path) == {"b"}
     assert list(rotated(reg, repo_root=tmp_path)) == ["b", "c", "a", "d", "e"]
+
+
+def test_rotation_promotes_reoracled_rows_only(tmp_path):
+    """A query whose latest verdict was rows-only (``no_oracle``) but whose
+    registry entry NOW binds an oracle jumps ahead of the unseen frontier —
+    the weaker verdict is stale and the hash check is finally possible.
+    Rows-only queries still WITHOUT an oracle stay filed as verified."""
+
+    class Spec:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    ro = {"err": "no_oracle", "rows_match": None, "schema_match": None,
+          "hash_match": None}
+    reg = {
+        "green": Spec("SELECT 1"),
+        "gained_oracle": Spec("SELECT 2"),
+        "still_rows_only": Spec(None),
+        "unseen": Spec("SELECT 3"),
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"green": ok, "gained_oracle": ro, "still_rows_only": ro})
+    )
+    assert list(rotated(reg, repo_root=tmp_path)) == [
+        "gained_oracle", "unseen", "green", "still_rows_only",
+    ]
+    # a later hash verdict clears the promotion
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"gained_oracle": ok})
+    )
+    assert list(rotated(reg, repo_root=tmp_path)) == [
+        "unseen", "green", "gained_oracle", "still_rows_only",
+    ]
 
 
 def test_rotation_ignores_malformed_files(tmp_path):

@@ -115,6 +115,13 @@ HEADLINE = (
     "c10_mmr_rerank",
     "c16_cusum",
     "c2_percentiles_twopass",
+    # r5 breadth: ×B/4 hash fan-out Poisson bootstrap (the distributed
+    # resampling shape), wedge-join triangle closure, inverted-index
+    # link prediction
+    "c2_bootstrap_ci",
+    "c17_triangle_count",
+    "c17_link_prediction",
+    "c16_lttb_downsample",
 )
 
 

@@ -467,6 +467,197 @@ def c2_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C2+: Poisson-bootstrap confidence interval ----------------------------
+
+#: Resample count.  64 means per group — the quantile selection runs over a
+#: provably bounded table (64 rows per group).
+_BOOT_B = 64
+#: Poisson(1) inverse-CDF thresholds: cumulative P(X ≤ k) for k = 0..5;
+#: u ≥ the last threshold caps the weight at 6 (P ≈ 8e-5, negligible).
+#: Literal doubles, identical in both engines.
+_BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_u_sql() -> str:
+    """Engine-portable uniform in [0,1): one md5 digest carries FOUR 32-bit
+    slices, so resample b reads slice b%4 of the digest for group b//4 —
+    4× fewer hash evaluations than one digest per resample (the hash is
+    the hot-path cost of the ×B fan-out)."""
+    return (
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' "
+        "|| CAST(b // 4 AS VARCHAR)), 1 + 8 * (b % 4), 8))::BIGINT "
+        "AS DOUBLE) / 4294967296"
+    )
+
+
+def _boot_w_sql() -> str:
+    branches = "".join(
+        f"WHEN u < {t!r} THEN {k} " for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {branches}ELSE 6 END"
+
+
+@register(
+    "c2_bootstrap_ci",
+    oracle=f"""
+    WITH fan AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents, b.b
+        FROM events CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+        WHERE value IS NOT NULL),
+    u AS (
+        SELECT event_type, cents, b, {_boot_u_sql()} AS u FROM fan),
+    w AS (
+        SELECT event_type, cents, b, {_boot_w_sql()} AS w FROM u),
+    means AS (
+        SELECT event_type, b,
+               CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+                   / CAST(sum(w) * 100 AS DOUBLE) AS m
+        FROM w GROUP BY event_type, b
+        HAVING sum(w) > 0),
+    ranked AS (
+        SELECT event_type, m,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY m, b) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nb
+        FROM means),
+    ci AS (
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(ceil(0.025 * nb) AS BIGINT)
+                   THEN m END) AS ci_lo,
+               max(CASE WHEN rn = CAST(ceil(0.975 * nb) AS BIGINT)
+                   THEN m END) AS ci_hi
+        FROM ranked GROUP BY event_type),
+    full_mean AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(value) AS mean_val
+        FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT f.event_type, n, round(mean_val, 9) AS mean_val,
+           round(ci_lo, 9) AS ci_lo, round(ci_hi, 9) AS ci_hi
+    FROM full_mean f JOIN ci USING (event_type)
+    """,
+    doc="C2+: 95% bootstrap confidence interval for the per-type mean via "
+    "the POISSON bootstrap — the distributed resampling scheme for data "
+    "too large to multinomial-sample (each row enters resample b with an "
+    "independent Poisson(1) weight, so no global coordination and one "
+    "scan-side fan-out of B=64 instead of B data passes).  Weights are "
+    "deterministic: the engine-portable md5-uniform of (event_id, b) "
+    "pushed through the Poisson(1) inverse CDF (literal thresholds) — "
+    "fully reproducible AND hash-verifiable cross-engine, unlike rand(). "
+    "Each digest feeds FOUR resamples (32-bit slices), so the hash cost "
+    "is ×B/4, not ×B; resample means are exact integer-cent sums (the "
+    "long-fixed-point policy); the CI is rank-selected from the bounded "
+    "64-row mean table per group (no arithmetic touches the selected "
+    "quantiles).  At 100 TB: map-side fan-out, one shuffle of (type, b) "
+    "partials — the textbook streaming-bootstrap plan.",
+)
+def c2_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # fan out by digest GROUP (B/4), hash ONCE per group row (the regex
+    # split into 8-char chunks evaluates the md5 a single time, unlike an
+    # array of substrings, where codegen re-evaluates the digest per
+    # element), posexplode the chunks, THEN weight the concrete slice
+    # column.  The weight comparison never parses hex: fixed-width
+    # lowercase hex compares lexicographically in numeric order, and
+    # u < t ⟺ raw < t·2³² ⟺ hex8(raw) < hex8(ceil(t·2³²)) because t·2³²
+    # is an exact power-of-two scaling of the double threshold and never
+    # an integer — so the string form selects the IDENTICAL weights the
+    # oracle derives from its double-division u.  (Measured at sf0.1:
+    # 8.5 s naive per-resample md5 → 3.4 s this form.)
+    import math
+
+    hex_thresholds = [
+        format(math.ceil(t * 2**32), "08x") for t in _BOOT_CDF
+    ]
+    g_fan = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 4 - 1))).alias("g"),
+    )
+    digest = F.md5(
+        F.concat_ws(
+            ":", F.col("event_id").cast("string"), F.col("g").cast("string")
+        )
+    )
+    chunks = F.slice(F.split(digest, r"(?<=\G.{8})"), 1, 4)
+    sl = g_fan.select(
+        "event_type",
+        "cents",
+        (F.col("g") * 4).alias("g4"),
+        F.posexplode(chunks).alias("slice", "s"),
+    )
+    w = F.lit(6)
+    for k in range(len(hex_thresholds) - 1, -1, -1):
+        w = F.when(F.col("s") < F.lit(hex_thresholds[k]), F.lit(k)).otherwise(w)
+    weighted = sl.select(
+        "event_type",
+        "cents",
+        (F.col("g4") + F.col("slice")).alias("b"),
+        w.alias("w"),
+    )
+    means = (
+        weighted.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("s"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (
+                F.col("s").cast("double")
+                / (F.col("sw") * 100).cast("double")
+            ).alias("m"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("m", "b")
+    wn = Window.partitionBy("event_type")
+    ranked = means.select(
+        "event_type",
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("nb"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.025) * F.col("nb")).cast("long"),
+                F.col("m"),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.975) * F.col("nb")).cast("long"),
+                F.col("m"),
+            )
+        ).alias("ci_hi"),
+    )
+    full_mean = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value")
+        ).alias("mean_val"),
+    )
+    return full_mean.join(ci, "event_type").select(
+        "event_type",
+        "n",
+        F.round("mean_val", 9).alias("mean_val"),
+        F.round("ci_lo", 9).alias("ci_lo"),
+        F.round("ci_hi", 9).alias("ci_hi"),
+    )
+
+
 # --- C11+: Zipf's-law slope ------------------------------------------------
 
 _ZIPF_TOP = 100
@@ -578,6 +769,168 @@ def c11_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C16+: LTTB-style downsampling -----------------------------------------
+
+#: Time-bucket width for the downsample grid (seconds).
+_LTTB_BUCKET_S = 6 * 3600
+
+
+@register(
+    "c16_lttb_downsample",
+    # Largest-Triangle variant with CENTROID neighbors: classic LTTB walks
+    # buckets sequentially (the chosen point of bucket b-1 anchors bucket
+    # b's triangle), which serializes the series; anchoring on the
+    # NEIGHBOR-BUCKET CENTROIDS instead keeps the visual property (pick
+    # the point that deviates most from the local trend line) while making
+    # every bucket independent — fully parallel, deterministic, and
+    # bit-exact (identical expression trees; sums are exact longs, the
+    # division and products are the same IEEE ops in both engines).
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y,
+               (epoch_us(ts) // 1000000) // {_LTTB_BUCKET_S} AS bucket
+        FROM events WHERE value IS NOT NULL),
+    summ AS (
+        SELECT user_id, bucket,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY user_id, bucket),
+    nb AS (
+        SELECT user_id, bucket,
+               CAST(lag(sx) OVER w AS BIGINT) AS psx,
+               CAST(lag(sy) OVER w AS BIGINT) AS psy,
+               CAST(lag(n) OVER w AS BIGINT) AS pn,
+               CAST(lead(sx) OVER w AS BIGINT) AS nsx,
+               CAST(lead(sy) OVER w AS BIGINT) AS nsy,
+               CAST(lead(n) OVER w AS BIGINT) AS nn,
+               sx, sy, n
+        FROM summ WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+    anch AS (
+        SELECT user_id, bucket,
+               CAST(coalesce(psx, sx) AS DOUBLE)
+                   / CAST(coalesce(pn, n) AS DOUBLE) AS ax,
+               CAST(coalesce(psy, sy) AS DOUBLE)
+                   / CAST(coalesce(pn, n) AS DOUBLE) AS ay,
+               CAST(coalesce(nsx, sx) AS DOUBLE)
+                   / CAST(coalesce(nn, n) AS DOUBLE) AS bx,
+               CAST(coalesce(nsy, sy) AS DOUBLE)
+                   / CAST(coalesce(nn, n) AS DOUBLE) AS by
+        FROM nb),
+    scored AS (
+        SELECT p.user_id, p.bucket, p.event_id, p.x, p.y,
+               abs((ax - bx) * (CAST(p.y AS DOUBLE) - ay)
+                   - (ax - CAST(p.x AS DOUBLE)) * (by - ay)) AS area,
+               row_number() OVER (
+                   PARTITION BY p.user_id, p.bucket
+                   ORDER BY abs((ax - bx) * (CAST(p.y AS DOUBLE) - ay)
+                       - (ax - CAST(p.x AS DOUBLE)) * (by - ay)) DESC,
+                       p.event_id) AS rn
+        FROM pts p JOIN anch a USING (user_id, bucket))
+    SELECT user_id, CAST(bucket AS BIGINT) AS bucket, event_id,
+           CAST(x AS BIGINT) AS x_sec,
+           CAST(CAST(y AS DOUBLE) / 100 AS DOUBLE) AS value,
+           CAST(round(area, 0) AS BIGINT) AS area
+    FROM scored WHERE rn = 1
+    """,
+    doc="C16+: largest-triangle time-series downsampling (LTTB family) — "
+    "per (user, 6 h bucket) keep the ONE point with the largest triangle "
+    "area against the neighbor buckets' centroids: the standard "
+    "dashboard/preview decimation that preserves spikes and inflections "
+    "where averaging flattens them.  Classic LTTB anchors on the previous "
+    "CHOSEN point, serializing each series; the centroid-anchored variant "
+    "keeps the deviation-from-local-trend selection but every bucket "
+    "scores independently — one groupBy for bucket sums, one lag/lead "
+    "window over the |buckets|-sized summary, one join back, one "
+    "partitioned rank.  Integer-second/cent inputs make the sums exact; "
+    "the centroid divisions and area products are identical IEEE trees "
+    "in both engines, with (area DESC, event_id) total tie-break.",
+)
+def c16_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # integral `div`, not floor(double /): double division can round up at
+    # exact boundaries where DuckDB's integer // never does
+    x = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        x.alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+        F.expr(
+            f"(unix_micros(cast(ts as timestamp)) div 1000000) div {_LTTB_BUCKET_S}"
+        ).alias("bucket"),
+    )
+    summ = pts.groupBy("user_id", "bucket").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count("*").alias("n")
+    )
+    wb = Window.partitionBy("user_id").orderBy("bucket")
+    nb = summ.select(
+        "user_id",
+        "bucket",
+        F.lag("sx").over(wb).alias("psx"),
+        F.lag("sy").over(wb).alias("psy"),
+        F.lag("n").over(wb).alias("pn"),
+        F.lead("sx").over(wb).alias("nsx"),
+        F.lead("sy").over(wb).alias("nsy"),
+        F.lead("n").over(wb).alias("nn"),
+        "sx",
+        "sy",
+        "n",
+    )
+    anch = nb.select(
+        "user_id",
+        "bucket",
+        (
+            F.coalesce("psx", "sx").cast("double")
+            / F.coalesce("pn", "n").cast("double")
+        ).alias("ax"),
+        (
+            F.coalesce("psy", "sy").cast("double")
+            / F.coalesce("pn", "n").cast("double")
+        ).alias("ay"),
+        (
+            F.coalesce("nsx", "sx").cast("double")
+            / F.coalesce("nn", "n").cast("double")
+        ).alias("bx"),
+        (
+            F.coalesce("nsy", "sy").cast("double")
+            / F.coalesce("nn", "n").cast("double")
+        ).alias("by"),
+    )
+    area = F.abs(
+        (F.col("ax") - F.col("bx")) * (F.col("y").cast("double") - F.col("ay"))
+        - (F.col("ax") - F.col("x").cast("double"))
+        * (F.col("by") - F.col("ay"))
+    )
+    wr = Window.partitionBy("user_id", "bucket").orderBy(
+        area.desc(), "event_id"
+    )
+    scored = pts.join(anch, ["user_id", "bucket"]).select(
+        "user_id",
+        "bucket",
+        "event_id",
+        "x",
+        "y",
+        area.alias("area"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "event_id",
+        F.col("x").cast("long").alias("x_sec"),
+        (F.col("y").cast("double") / 100).alias("value"),
+        # area magnitudes reach ~1e9 (bucket-width seconds × cent deltas):
+        # rounding THAT to 6 dp needs 16 significant digits, where the two
+        # engines' round() differ in the last ulp — emit the integer-
+        # rounded area instead (≤10 digits, exact in both; explicit round
+        # before the cast because DuckDB's CAST rounds while Spark's
+        # truncates).  The selection itself uses the UNROUNDED area.
+        F.round("area", 0).cast("long").alias("area"),
+    )
+
+
 # --- C12+: GIF header decode -----------------------------------------------
 
 
@@ -651,6 +1004,327 @@ def c12_gif_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parse_gif_header(payloads).select(
         "doc_id", "gif_valid", "gif_width", "gif_height", "has_gct", "gct_size"
+    )
+
+
+# --- C13+: grouped-aggregate pandas UDF ------------------------------------
+
+#: Fraction trimmed from EACH end of the sorted group (10% trimmed mean).
+_TRIM_FRAC = 0.1
+
+
+@register(
+    "c13_grouped_agg_trimmed_mean",
+    # Rank-based replica of the UDF's sort-trim-mean: drop floor(0.1·n)
+    # rows from each end of the per-type cent order, exact integer sum of
+    # the kept cents, one double division.  Trimming by sorted POSITION is
+    # well-defined under ties because only the (interchangeable) values
+    # are summed, never the row identities.
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c),
+    kept AS (
+        SELECT event_type, cents, n,
+               CAST(floor({_TRIM_FRAC!r} * n) AS BIGINT) AS k
+        FROM r WHERE rn > CAST(floor({_TRIM_FRAC!r} * n) AS BIGINT)
+             AND rn <= n - CAST(floor({_TRIM_FRAC!r} * n) AS BIGINT))
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) * 100 AS DOUBLE) AS trimmed_mean
+    FROM kept GROUP BY event_type
+    """,
+    doc="C13+: 10% trimmed mean per event type via a GROUPED_AGG pandas "
+    "UDF — the third Arrow UDF shape (after scalar pandas_udf and "
+    "mapInPandas): the executor receives each group's column as ONE "
+    "pandas Series inside groupBy().agg(), the robust-statistics pattern "
+    "for custom reducers no builtin expresses.  The UDF sorts, trims "
+    "floor(0.1·n) from each end, and sums exact integer cents (numpy "
+    "int64 — order-independent, so the arbitrary Arrow partition order "
+    "cannot drift the result), closing with one double division that "
+    "hash-matches the rank-based DuckDB replay.  Shuffle is the normal "
+    "hash-partition on the group key; each group materializes once.",
+)
+def c13_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # explicit functionType: `from __future__ import annotations` turns the
+    # signature into strings, which pandas_udf's inference rejects
+    @pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_cents(cents: pd.Series) -> float:
+        vals = cents.sort_values().to_numpy()
+        k = math.floor(_TRIM_FRAC * len(vals))
+        kept = vals[k : len(vals) - k]
+        return float(int(kept.sum()) / (len(kept) * 100))
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    # a GROUPED_AGG pandas UDF cannot share one agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — split and broadcast-join the 5-row
+    # count table back
+    n = F.count("*")
+    k = F.floor(F.lit(_TRIM_FRAC) * n).cast("long")
+    counts = c.groupBy("event_type").agg(
+        n.cast("long").alias("n"),
+        (n - F.lit(2) * k).cast("long").alias("n_kept"),
+    )
+    means = c.groupBy("event_type").agg(
+        trimmed_mean_cents("cents").alias("trimmed_mean")
+    )
+    return counts.join(F.broadcast(means), "event_type").select(
+        "event_type", "n", "n_kept", "trimmed_mean"
+    )
+
+
+# --- C5+: last-touch attribution -------------------------------------------
+
+_ATTR_TOUCHES = ("click", "view")
+
+
+@register(
+    "c5_attribution",
+    oracle=f"""
+    WITH touched AS (
+        SELECT user_id, event_type, value,
+               last_value(CASE WHEN event_type IN {_ATTR_TOUCHES!r}
+                          THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events)
+    SELECT coalesce(touch, 'none') AS touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY touch
+    """,
+    doc="C5+: last-touch attribution — every purchase credited to the most "
+    "recent PRIOR click/view in the user's event stream (the marketing "
+    "attribution primitive; 'none' buckets purchases with no preceding "
+    "touch).  Exercises the IGNORE-NULLS last_value window frame — a "
+    "carry-forward that gap-fill (c16_gap_fill) uses on time grids, here "
+    "on raw event order.  One shuffle on user_id, O(1) window state, "
+    "exact decimal value sums; three-row result from any corpus size.",
+)
+def c5_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*_ATTR_TOUCHES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+# --- C2+: Cramér's V association strength ----------------------------------
+
+
+@register(
+    "c2_cramers_v",
+    # χ² over the (event_type × ISO weekday) contingency table, then
+    # V = sqrt(χ² / (n · min(r−1, c−1))).  Per-cell (o−e)²/e terms are
+    # DECIMAL(28,9)-quantized (the c2_chi_squared policy) so the cell sum
+    # is exact and order-independent; the closing sqrt is one double op.
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS r, isodow(ts) AS c, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+    tots AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c) AS BIGINT) AS nc
+        FROM cells),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS row_t FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS col_t FROM cells GROUP BY c),
+    terms AS (
+        SELECT CAST(round(
+            (CAST(o AS DOUBLE)
+             - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+               / CAST(n AS DOUBLE))
+            * (CAST(o AS DOUBLE)
+               - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+            / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+               / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS t
+        FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tots),
+    chi AS (SELECT CAST(sum(t) AS DOUBLE) AS chi2 FROM terms)
+    SELECT n, nr AS n_rows_cat, nc AS n_cols_cat,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 9) AS cramers_v
+    FROM chi, tots
+    """,
+    doc="C2+: Cramér's V for event-type × ISO-weekday association — the "
+    "normalized effect size the raw χ² (c2_chi_squared) lacks: 0 = "
+    "independent, 1 = fully determined, comparable across table shapes.  "
+    "One map-combined scan to the r×c cell table, broadcast row/column "
+    "margins, decimal-quantized per-cell terms (exact, order-independent "
+    "sum), closing normalization written identically in both engines.",
+)
+def c2_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        F.expr("extract(dayofweek_iso from ts)").cast("long").alias("c"),
+    ).agg(F.count("*").alias("o"))
+    tots = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    rt = cells.groupBy("r").agg(F.sum("o").alias("row_t"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("col_t"))
+    e = (
+        F.col("row_t").cast("double")
+        * F.col("col_t").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        9,
+    ).cast("decimal(28,9)")
+    chi = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tots))
+        .agg(F.sum(term).cast("double").alias("chi2"))
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+        )
+    )
+    return chi.crossJoin(F.broadcast(tots)).select(
+        "n",
+        F.col("nr").alias("n_rows_cat"),
+        F.col("nc").alias("n_cols_cat"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(v, 9).alias("cramers_v"),
+    )
+
+
+# --- C19+: clustering depth of the layout ----------------------------------
+
+
+@register(
+    "c19_clustering_depth",
+    # Sweep-line max overlap of the per-file [zmin, zmax] zone-map
+    # intervals per month: +1 at each interval start, −1 after its end,
+    # running sum over the boundary order, max = how many files a point
+    # lookup must read.  All integer arithmetic; the window runs over the
+    # 2·|files| boundary table, never rows.
+    oracle="""
+    WITH manifest AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+                   AS part_month,
+               strftime(l_shipdate, '%Y-%m-%d') AS file_day,
+               CAST(min(l_partkey) AS BIGINT) AS zmin,
+               CAST(max(l_partkey) AS BIGINT) AS zmax
+        FROM lineitem GROUP BY 1, 2),
+    bounds AS (
+        -- ends (at zmax+1) carry kind 0 so they sort BEFORE starts at the
+        -- same position: an interval ending at zmax is not active at
+        -- zmax+1, so its -1 must land before any +1 opening there
+        SELECT part_month, zmin AS pos, 1 AS delta, 1 AS kind FROM manifest
+        UNION ALL
+        SELECT part_month, zmax + 1, -1, 0 FROM manifest),
+    swept AS (
+        SELECT part_month,
+               CAST(sum(delta) OVER (
+                   PARTITION BY part_month ORDER BY pos, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS depth
+        FROM bounds)
+    SELECT part_month,
+           CAST((SELECT count(*) FROM manifest m
+                 WHERE m.part_month = s.part_month) AS BIGINT) AS n_files,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM swept s GROUP BY part_month
+    """,
+    doc="C19+: clustering depth of the layout's zone maps — per month, the "
+    "maximum number of per-day files whose [min,max] l_partkey intervals "
+    "overlap at any point: exactly how many files a point lookup must "
+    "read, the metric lakehouse table services expose to decide when to "
+    "re-cluster (depth 1 = perfectly clustered; ≈ n_files = unclustered). "
+    "Parallel sweep-line over the 2·|files| boundary table (+1 at starts, "
+    "−1 past ends, running-sum max) — the c15_interval_coverage machinery "
+    "pointed at the file manifest; companion to c19_pruning_stats, which "
+    "measures one predicate while this bounds ALL of them.",
+)
+def c19_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    manifest = li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+            "part_month"
+        ),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("file_day"),
+    ).agg(
+        F.min("l_partkey").cast("long").alias("zmin"),
+        F.max("l_partkey").cast("long").alias("zmax"),
+    )
+    # ends sort before starts at equal pos (kind 0 < 1): an interval
+    # ending at zmax is not active at zmax+1
+    starts = manifest.select(
+        "part_month",
+        F.col("zmin").alias("pos"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("kind"),
+    )
+    ends = manifest.select(
+        "part_month",
+        (F.col("zmax") + 1).alias("pos"),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("pos", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = starts.unionAll(ends).select(
+        "part_month", F.sum("delta").over(w).alias("depth")
+    )
+    n_files = manifest.groupBy("part_month").agg(
+        F.count("*").alias("n_files")
+    )
+    return (
+        swept.groupBy("part_month")
+        .agg(F.max("depth").cast("long").alias("max_depth"))
+        .join(F.broadcast(n_files), "part_month")
+        .select("part_month", "n_files", "max_depth")
     )
 
 

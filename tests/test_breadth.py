@@ -65,12 +65,12 @@ def test_triangle_count_query_matches_bruteforce(spark, sf_dir):
 
 
 def test_common_neighbors_exact_on_small_graph(spark):
-    # left 1 shares rights {a,b} with left 2; hub right 'z' (degree 3 > cap)
-    # must be cut and contribute nothing.
+    # hub right 'z' (degree 3 > cap 2) must be cut and contribute nothing;
+    # 'a' and 'b' (degree 2) survive.
     bip = spark.createDataFrame(
         [
             (1, "a"), (1, "b"), (1, "z"),
-            (2, "a"), (2, "b"), (2, "z"),
+            (2, "a"), (2, "z"),
             (3, "b"), (3, "z"),
         ],
         "left long, right string",
@@ -79,12 +79,12 @@ def test_common_neighbors_exact_on_small_graph(spark):
         bip, max_right_degree=2, min_common=1
     ).collect()
     got = {(r["a"], r["b"]): r for r in rows}
-    # after cutting 'z': 1-{a,b}, 2-{a,b}, 3-{b}
-    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    # after cutting 'z': 1-{a,b}, 2-{a}, 3-{b} — (2,3) share nothing
+    assert set(got) == {(1, 2), (1, 3)}
     r12 = got[(1, 2)]
-    assert r12["n_common"] == 2 and r12["deg_a"] == 2 and r12["deg_b"] == 2
-    assert r12["jaccard"] == 1.0  # identical sets under the cut
-    assert got[(1, 3)]["jaccard"] == round(1 / 2, 6)
+    assert r12["n_common"] == 1 and r12["deg_a"] == 2 and r12["deg_b"] == 1
+    assert r12["jaccard"] == 0.5  # 1 / (2 + 1 - 1)
+    assert got[(1, 3)]["jaccard"] == 0.5
 
 
 # --- CUSUM closed form ------------------------------------------------------
@@ -148,7 +148,8 @@ def test_interval_coverage_matches_python_merge(spark, sf_dir):
     )
     per_user: dict[int, list[tuple[int, int]]] = {}
     for r in ev.collect():
-        dur = (_IC_BASE_S + round(abs(r["value"]))) * 1_000_000
+        # HALF_UP like Spark/DuckDB round(), not Python's banker's rounding
+        dur = (_IC_BASE_S + math.floor(abs(r["value"]) + 0.5)) * 1_000_000
         per_user.setdefault(r["user_id"], []).append((r["s"], r["s"] + dur))
     for uid, ivs in per_user.items():
         ivs.sort()
@@ -199,6 +200,59 @@ def test_mann_whitney_matches_rank_replay(spark, sf_dir):
     var = n1 * n2 / 12 * ((n + 1) - tie3 / (n * (n - 1)))
     z = (u1 - n1 * n2 / 2) / math.sqrt(var)
     assert abs(row["z"] - z) < 1e-6
+
+
+# --- Poisson bootstrap ------------------------------------------------------
+
+
+def test_bootstrap_weights_match_md5_replay(spark, sf_dir):
+    """The hex-string threshold compare must select exactly the weights the
+    md5-uniform → Poisson(1)-inverse-CDF definition implies (the identity
+    the oracle relies on), and the CI must bracket the resample means."""
+    import hashlib
+
+    from logspout_kinesis_tests_spark.plans.breadth_queries import (
+        _BOOT_B,
+        _BOOT_CDF,
+    )
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["c2_bootstrap_ci"].build(spark, sf_dir).collect()
+    }
+    assert rows
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    data = [
+        (r["event_type"], r["event_id"], round(r["value"] * 100))
+        for r in ev.select("event_type", "event_id", "value").collect()
+    ]
+    # python replay of the resample means for every (type, b)
+    sums: dict[tuple, list] = {}
+    for etype, eid, cents in data:
+        for g in range(_BOOT_B // 4):
+            digest = hashlib.md5(f"{eid}:{g}".encode()).hexdigest()
+            for sl in range(4):
+                raw = int(digest[8 * sl : 8 * sl + 8], 16)
+                u = raw / 2**32
+                w = sum(1 for t in _BOOT_CDF if u >= t)
+                s = sums.setdefault((etype, g * 4 + sl), [0, 0])
+                s[0] += w * cents
+                s[1] += w
+    for etype, r in rows.items():
+        means = sorted(
+            s / (sw * 100)
+            for (t, _), (s, sw) in sums.items()
+            if t == etype and sw > 0
+        )
+        lo = means[math.ceil(0.025 * len(means)) - 1]
+        hi = means[math.ceil(0.975 * len(means)) - 1]
+        assert r["ci_lo"] == round(lo, 9), (etype, r["ci_lo"], lo)
+        assert r["ci_hi"] == round(hi, 9), (etype, r["ci_hi"], hi)
+        assert r["ci_lo"] <= r["mean_val"] <= r["ci_hi"]
+        assert r["n"] == sum(1 for t, _, _ in data if t == etype)
 
 
 # --- Zipf slope -------------------------------------------------------------
@@ -272,6 +326,60 @@ def test_gif_header_roundtrip_and_bitfields(spark):
     assert out[2]["gif_valid"] is False
 
 
+# --- LTTB downsampling ------------------------------------------------------
+
+
+def test_lttb_picks_max_area_point_per_bucket(spark, sf_dir):
+    """One survivor per non-empty (user, bucket), and it is the bucket's
+    argmax-area point against the neighbor-bucket centroids (replayed in
+    Python for every bucket of a few users)."""
+    from logspout_kinesis_tests_spark.plans.breadth_queries import (
+        _LTTB_BUCKET_S,
+    )
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    out = REGISTRY["c16_lttb_downsample"].build(spark, sf_dir)
+    got = [r.asDict() for r in out.collect()]
+    assert len(got) == len({(r["user_id"], r["bucket"]) for r in got})
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    ).collect()
+    users = sorted({r["user_id"] for r in pts})[:3]
+    by_bucket: dict[tuple, list] = {}
+    for r in pts:
+        if r["user_id"] in users:
+            by_bucket.setdefault(
+                (r["user_id"], r["x"] // _LTTB_BUCKET_S), []
+            ).append(r)
+    chosen = {(r["user_id"], r["bucket"]): r for r in got}
+    for (uid, b), rows in by_bucket.items():
+        buckets = sorted(k[1] for k in by_bucket if k[0] == uid)
+        i = buckets.index(b)
+
+        def centroid(bb):
+            rs = by_bucket[(uid, bb)]
+            return (
+                sum(r["x"] for r in rs) / len(rs),
+                sum(r["y"] for r in rs) / len(rs),
+            )
+
+        ax, ay = centroid(buckets[i - 1] if i > 0 else b)
+        bx, by = centroid(buckets[i + 1] if i + 1 < len(buckets) else b)
+        best = max(
+            rows,
+            key=lambda r: (
+                abs((ax - bx) * (r["y"] - ay) - (ax - r["x"]) * (by - ay)),
+                -r["event_id"],
+            ),
+        )
+        assert chosen[(uid, b)]["event_id"] == best["event_id"], (uid, b)
+
+
 # --- zone-map pruning stats -------------------------------------------------
 
 
@@ -301,6 +409,115 @@ def test_pruning_stats_consistency(spark, sf_dir):
         1 for r in man if not (r["zmax"] >= _PRUNE_LO and r["zmin"] <= _PRUNE_HI)
     )
     assert sum(r["n_skipped"] for r in rows) == want_skipped
+
+
+# --- last-touch attribution -------------------------------------------------
+
+
+def test_attribution_matches_sequential_replay(spark, sf_dir):
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    got = {
+        r["touch"]: (r["n_purchases"], r["attributed_value"])
+        for r in REGISTRY["c5_attribution"].build(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    series: dict[int, list] = {}
+    for r in ev.collect():
+        series.setdefault(r["user_id"], []).append(r)
+    want: dict[str, list] = {}
+    for rows in series.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        touch = None
+        for r in rows:
+            if r["event_type"] == "purchase":
+                want.setdefault(touch or "none", []).append(r["value"])
+            if r["event_type"] in ("click", "view"):
+                touch = r["event_type"]
+    assert set(got) == set(want)
+    for k, vals in want.items():
+        assert got[k][0] == len(vals)
+        assert abs(got[k][1] - round(sum(round(v, 2) for v in vals), 2)) < 1e-6
+
+
+# --- grouped-agg pandas UDF -------------------------------------------------
+
+
+def test_grouped_agg_trimmed_mean_matches_replay(spark, sf_dir):
+    from logspout_kinesis_tests_spark.plans.breadth_queries import _TRIM_FRAC
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["c13_grouped_agg_trimmed_mean"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series: dict[str, list[int]] = {}
+    for r in ev.select("event_type", "value").collect():
+        series.setdefault(r["event_type"], []).append(
+            math.floor(abs(r["value"]) * 100 + 0.5)
+            * (1 if r["value"] >= 0 else -1)
+        )
+    assert set(got) == set(series)
+    for etype, cents in series.items():
+        cents.sort()
+        k = math.floor(_TRIM_FRAC * len(cents))
+        kept = cents[k : len(cents) - k]
+        want = sum(kept) / (len(kept) * 100)
+        r = got[etype]
+        assert r["n"] == len(cents) and r["n_kept"] == len(kept)
+        assert r["trimmed_mean"] == want, (etype, r["trimmed_mean"], want)
+        # trimmed mean must be robust: inside the untrimmed value range
+        assert kept[0] / 100 <= r["trimmed_mean"] <= kept[-1] / 100
+
+
+# --- Cramér's V -------------------------------------------------------------
+
+
+def test_cramers_v_bounds_and_shape(spark, sf_dir):
+    row = REGISTRY["c2_cramers_v"].build(spark, sf_dir).collect()[0]
+    assert row["n_rows_cat"] == 5  # five event types
+    assert 1 <= row["n_cols_cat"] <= 7
+    assert row["chi2"] >= 0
+    assert 0 <= row["cramers_v"] <= 1
+    # uniform synthetic weekday×type traffic should show WEAK association
+    assert row["cramers_v"] < 0.2
+
+
+# --- clustering depth -------------------------------------------------------
+
+
+def test_clustering_depth_matches_bruteforce(spark, sf_dir):
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+    from pyspark.sql import functions as G
+
+    got = {
+        r["part_month"]: (r["n_files"], r["max_depth"])
+        for r in REGISTRY["c19_clustering_depth"].build(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    man = (
+        li.groupBy(
+            G.date_format(G.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("m"),
+            G.date_format("l_shipdate", "yyyy-MM-dd").alias("d"),
+        )
+        .agg(G.min("l_partkey").alias("lo"), G.max("l_partkey").alias("hi"))
+        .collect()
+    )
+    per_month: dict[str, list] = {}
+    for r in man:
+        per_month.setdefault(r["m"], []).append((r["lo"], r["hi"]))
+    for m, ivs in per_month.items():
+        depth = max(
+            sum(1 for lo, hi in ivs if lo <= p <= hi)
+            for lo, _ in ivs
+            for p in (lo,)
+        )
+        assert got[m] == (len(ivs), depth), (m, got[m], (len(ivs), depth))
 
 
 # --- ACF --------------------------------------------------------------------

@@ -577,7 +577,17 @@ def c2_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex_thresholds = [
         format(math.ceil(t * 2**32), "08x") for t in _BOOT_CDF
     ]
-    g_fan = ev.select(
+    # spread the input BEFORE the ×B/4 fan-out: the test corpus is one
+    # single-row-group parquet file, so without this the explode + hash +
+    # partial aggregation all run in ONE task.  The shuffle moves only the
+    # narrow pre-fan-out rows (~2 MB); the EXPLICIT partition count
+    # matters — a bare repartition(col) is AQE-coalesced right back to one
+    # partition because the shuffle is tiny, and the fan-out cost is
+    # invisible to AQE's size-based planning.  At real scale inputs
+    # arrive in many files, but tiny-input/huge-fan-out is exactly where
+    # an explicit repartition is the correct lever.
+    n_spread = spark.sparkContext.defaultParallelism
+    g_fan = ev.repartition(n_spread, F.col("event_id")).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),

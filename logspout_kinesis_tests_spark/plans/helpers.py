@@ -42,6 +42,22 @@ def money(col: Column | str) -> Column:
     return c.cast(MONEY)
 
 
+def spread(df, key: str):
+    """Repartition a SMALL input across the cluster before a huge fan-out
+    (shingle/resample explode).
+
+    The test corpus ships one single-row-group parquet file per table, so
+    a scan + explode + map-side combine otherwise runs in ONE task.  The
+    partition count must be EXPLICIT (defaultParallelism): a bare
+    ``repartition(col)`` gets AQE-coalesced straight back to one partition
+    because the pre-fan-out shuffle is tiny, and the fan-out cost is
+    invisible to AQE's size-based planning.  Values are unaffected — every
+    downstream aggregate in this repo is order-independent by policy.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def ts_str(col: Column | str) -> Column:
     """Timestamp → 'YYYY-MM-DD HH:MM:SS.ffffff' (µs, fixed width)."""
     c = F.col(col) if isinstance(col, str) else col

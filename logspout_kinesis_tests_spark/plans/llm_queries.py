@@ -130,7 +130,9 @@ def c8_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="C9: exact word-3-gram Jaccard with language blocking.",
 )
 def c9_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from logspout_kinesis_tests_spark.plans.helpers import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return ngram_jaccard_pairs(
         docs, threshold=0.3, block_cols=("lang",)
     )
@@ -148,7 +150,11 @@ def c9_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
     )
-    return minhash_near_duplicates(docs.union(perturbed), threshold=0.5)
+    from logspout_kinesis_tests_spark.plans.helpers import spread
+
+    return minhash_near_duplicates(
+        spread(docs.union(perturbed), "doc_id"), threshold=0.5
+    )
 
 
 @register(
@@ -1176,7 +1182,9 @@ def c8_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
         )
     )
-    return substring_dedup(corpus, min_words=16)
+    from logspout_kinesis_tests_spark.plans.helpers import spread
+
+    return substring_dedup(spread(corpus, "doc_id"), min_words=16)
 
 
 # --------------------------------------------------------------------------

@@ -208,9 +208,10 @@ def c15_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c11_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.dedup import exploded_shingles
+    from logspout_kinesis_tests_spark.plans.helpers import spread
 
     sh = exploded_shingles(
-        load_table(spark, sf_dir, "documents"), n=8
+        spread(load_table(spark, sf_dir, "documents"), "doc_id"), n=8
     )
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(

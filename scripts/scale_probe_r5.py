@@ -72,6 +72,47 @@ def build(spark, replicas: int) -> None:
         f"{PROBE_DIR}/events.parquet"
     )
 
+    # orders/lineitem for the graph probes: orderkeys, custkeys AND
+    # partkeys all offset per replica — ten disjoint copies of the graph,
+    # the realistic 10× growth axis (edges, candidate pairs and triangles
+    # all scale ~10×; an unsalted part space would instead blow every
+    # part's customer list past the link-prediction df-cut)
+    orders = load_table(spark, BASE, "orders")
+    rep_o = orders.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        *orders.columns,
+    ).select(
+        (F.col("o_orderkey") + F.col("r") * F.lit(100_000_000)).alias(
+            "o_orderkey"
+        ),
+        (F.col("o_custkey") + F.col("r") * F.lit(10_000_000)).alias(
+            "o_custkey"
+        ),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    rep_o.repartition(32).write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/orders.parquet"
+    )
+    li = load_table(spark, BASE, "lineitem")
+    rep_l = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        *li.columns,
+    ).select(
+        (F.col("l_orderkey") + F.col("r") * F.lit(100_000_000)).alias(
+            "l_orderkey"
+        ),
+        (F.col("l_partkey") + F.col("r") * F.lit(10_000_000)).alias(
+            "l_partkey"
+        ),
+        *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+    )
+    rep_l.repartition(32).write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/lineitem.parquet"
+    )
+
 
 def timed(spark, name: str, sf_dir: str, repeats: int = 3) -> float:
     build_q = REGISTRY[name].build
@@ -88,8 +129,19 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale-probe-r5")
     build(spark, replicas)
+    probes = (
+        sys.argv[2].split(",")
+        if len(sys.argv) > 2
+        else [
+            "c12_phash_neardup",
+            "c2_percentiles_twopass",
+            "c2_bootstrap_ci",
+            "c17_triangle_count",
+            "c17_link_prediction",
+        ]
+    )
     out = {}
-    for name in ("c12_phash_neardup", "c2_percentiles_twopass"):
+    for name in probes:
         out[f"{name}@1x"] = timed(spark, name, BASE)
         out[f"{name}@{replicas}x"] = timed(spark, name, PROBE_DIR)
     print(json.dumps(out))

@@ -1017,6 +1017,180 @@ def c12_gif_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C2+: Tukey outlier fences ---------------------------------------------
+
+
+@register(
+    "c2_tukey_outliers",
+    # Quartiles by rank selection (the c2_exact_percentiles machinery —
+    # no arithmetic touches the selected values), then the classic
+    # 1.5·IQR fences.  1.5 is exactly representable and the quartiles are
+    # 2-decimal doubles, so fence arithmetic is identical IEEE ops in
+    # both engines; the outlier comparison is exact.
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL),
+    q AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                   THEN value END) AS q1,
+               max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                   THEN value END) AS q3
+        FROM r GROUP BY event_type),
+    f AS (
+        SELECT event_type, n, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        FROM q)
+    SELECT f.event_type, f.n, q1, q3, lo, hi,
+           CAST(sum(CASE WHEN e.value < lo OR e.value > hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN e.value < lo OR e.value > hi
+                    THEN 1 ELSE 0 END) AS DOUBLE) / f.n, 6) AS outlier_rate
+    FROM f JOIN events e ON e.event_type = f.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY f.event_type, f.n, q1, q3, lo, hi
+    """,
+    doc="C2+: Tukey outlier fences per event type — exact quartiles by "
+    "rank selection (the discrete inverse CDF, no interpolation "
+    "arithmetic), 1.5·IQR fences, and the per-type outlier count/rate: "
+    "the distribution-free anomaly screen that pairs with the "
+    "z-score/MAD detectors (c16_rolling_zscore, c2_mad_outliers) for "
+    "skewed metrics where mean±kσ misfires.  One partitioned ranking "
+    "window, a broadcast 5-row fence join back to the scan, one "
+    "map-combined count — two passes, no global sort.",
+)
+def c2_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.75) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    f = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * iqr).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * iqr).alias("hi"),
+    )
+    out = F.when(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "n", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(out).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(out).cast("double") / F.col("n").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+# --- C11+: cross-source vocabulary overlap ---------------------------------
+
+
+@register(
+    "c11_vocab_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+    deg AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+            FROM tok GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_common,
+           da.vocab AS vocab_a, db.vocab AS vocab_b,
+           round(CAST(n_common AS DOUBLE)
+                 / CAST(da.vocab + db.vocab - n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM pairs
+    JOIN deg da ON da.source = src_a
+    JOIN deg db ON db.source = src_b
+    """,
+    doc="C11+: pairwise source vocabulary overlap — Jaccard similarity of "
+    "the distinct-term sets of every source pair: the corpus-level "
+    "similarity matrix that flags mirrored/syndicated sources before "
+    "doc-level near-dup even runs, and the redundancy input to mixture "
+    "design (c14_domain_mixture).  Inverted-index pair generation per "
+    "term (pairs bounded by C(sources,2) per term, NEVER doc-pairs); "
+    "with thousands of sources the hub-term df-cut from "
+    "common_neighbor_pairs applies — at 20 sources the exact full "
+    "matrix is 190 rows.",
+)
+def c11_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.text_analysis import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(words("text")).alias("term")
+    ).distinct()
+    deg = tok.groupBy("source").agg(F.count("*").alias("vocab"))
+    a = tok.select(F.col("source").alias("src_a"), "term")
+    b = tok.select(F.col("source").alias("src_b"), "term")
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("source").alias("src_a"),
+                                   F.col("vocab").alias("vocab_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("source").alias("src_b"),
+                                   F.col("vocab").alias("vocab_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # --- C13+: grouped-aggregate pandas UDF ------------------------------------
 
 #: Fraction trimmed from EACH end of the sorted group (10% trimmed mean).

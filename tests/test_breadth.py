@@ -442,6 +442,61 @@ def test_attribution_matches_sequential_replay(spark, sf_dir):
         assert abs(got[k][1] - round(sum(round(v, 2) for v in vals), 2)) < 1e-6
 
 
+# --- Tukey fences -----------------------------------------------------------
+
+
+def test_tukey_outliers_matches_replay(spark, sf_dir):
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["c2_tukey_outliers"].build(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        series.setdefault(r["event_type"], []).append(r["value"])
+    for etype, vals in series.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[math.ceil(0.25 * n) - 1]
+        q3 = vals[math.ceil(0.75 * n) - 1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        n_out = sum(1 for v in vals if v < lo or v > hi)
+        r = got[etype]
+        assert (r["n"], r["q1"], r["q3"]) == (n, q1, q3)
+        assert (r["lo"], r["hi"], r["n_outliers"]) == (lo, hi, n_out)
+        assert q1 <= q3 and r["outlier_rate"] == round(n_out / n, 6)
+
+
+# --- vocabulary overlap -----------------------------------------------------
+
+
+def test_vocab_overlap_matches_set_replay(spark, sf_dir):
+    from logspout_kinesis_tests_spark.sources.tables import load_table
+
+    rows = REGISTRY["c11_vocab_overlap"].build(spark, sf_dir).collect()
+    got = {(r["src_a"], r["src_b"]): r for r in rows}
+    docs = load_table(spark, sf_dir, "documents")
+    vocab: dict[str, set] = {}
+    for r in docs.select("source", "text").collect():
+        vocab.setdefault(r["source"], set()).update(
+            r["text"].lower().split(" ")
+        )
+    for (a, b), r in got.items():
+        common = vocab[a] & vocab[b]
+        assert r["n_common"] == len(common)
+        assert r["vocab_a"] == len(vocab[a]) and r["vocab_b"] == len(vocab[b])
+        j = len(common) / len(vocab[a] | vocab[b])
+        assert r["jaccard"] == round(j, 6)
+    # every source pair with shared vocabulary is present
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            if vocab[a] & vocab[b]:
+                assert (a, b) in got
+
+
 # --- grouped-agg pandas UDF -------------------------------------------------
 
 

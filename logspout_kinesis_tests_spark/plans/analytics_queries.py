@@ -134,9 +134,12 @@ def c16_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sums WHERE n0 > 1 AND n1 > 1)
     SELECT event_type, n0, n1,
            round(mean_diff, 6) AS mean_diff,
-           round(mean_diff / sqrt(se0 + se1), 6) AS t_stat,
-           round((se0 + se1) * (se0 + se1)
-                 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS welch_dof
+           CASE WHEN se0 + se1 <= 0 THEN NULL
+                ELSE round(mean_diff / sqrt(se0 + se1), 6) END AS t_stat,
+           CASE WHEN se0 + se1 <= 0 THEN NULL
+                ELSE round((se0 + se1) * (se0 + se1)
+                           / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6)
+                END AS welch_dof
     FROM stats
     """,
     doc="C2+: Welch's unequal-variance t-test per event type between the "
@@ -169,17 +172,27 @@ def c2_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s0 / n0 - s1 / n1).alias("mean_diff"),
     )
     se0, se1, md = F.col("se0"), F.col("se1"), F.col("mean_diff")
+    # zero-variance cohorts (se0+se1 == 0, possible on degenerate/constant
+    # groups) → NULL, not a 0/0: ANSI Spark raises on the division and
+    # DuckDB's sqrt(0) denominator yields NaN — NULL is the shared answer
+    degenerate = se0 + se1 <= 0
     return stats.select(
         "event_type",
         "n0",
         "n1",
         F.round(md, 6).alias("mean_diff"),
-        F.round(md / F.sqrt(se0 + se1), 6).alias("t_stat"),
-        F.round(
-            (se0 + se1) * (se0 + se1)
-            / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)),
-            6,
-        ).alias("welch_dof"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(md / F.sqrt(se0 + se1), 6))
+        .alias("t_stat"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (se0 + se1) * (se0 + se1)
+                / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)),
+                6,
+            )
+        )
+        .alias("welch_dof"),
     )
 
 

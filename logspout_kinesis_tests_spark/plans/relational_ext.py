@@ -568,21 +568,41 @@ def c3_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(var_samp(l_quantity), 6) AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           CASE WHEN stddev_samp(l_quantity) > 0
+                 AND stddev_samp(l_extendedprice) > 0
+                THEN round(covar_samp(l_quantity, l_extendedprice)
+                           / (stddev_samp(l_quantity)
+                              * stddev_samp(l_extendedprice)), 6) END
+               AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="C2+: statistical aggregates (sample stddev/variance, correlation, "
     "covariance) — one map-combined groupBy; partials merge exactly like "
-    "sums at 100 TB.",
+    "sums at 100 TB.  The correlation is the guarded quotient "
+    "covar/(sd·sd) rather than corr(): a zero-variance group makes corr() "
+    "divide by zero INSIDE the aggregate (ANSI Spark raises, no lazy CASE "
+    "can reach it) — the quotient form moves the division into the "
+    "projection where the zero-variance guard short-circuits it to NULL "
+    "on both engines.",
 )
 def c2_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    g = li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("_sdq"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+        F.stddev_samp("l_extendedprice").alias("_sdp"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("_cov"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("_sdq"), 6).alias("sd_qty"),
+        "var_qty",
+        F.when(
+            (F.col("_sdq") > 0) & (F.col("_sdp") > 0),
+            F.round(F.col("_cov") / (F.col("_sdq") * F.col("_sdp")), 6),
+        ).alias("corr_qty_price"),
+        F.round(F.col("_cov"), 6).alias("covar_qty_price"),
     )
 
 

@@ -217,8 +217,9 @@ def c2_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(t) AS DOUBLE) AS t
         FROM terms)
     SELECT k, nn AS n,
-           round(((t - s * s / nn) / (k - 1))
-                 / ((q - t) / (nn - k)), 9) AS f_stat,
+           CASE WHEN k <= 1 OR nn <= k OR q - t <= 0 THEN NULL
+                ELSE round(((t - s * s / nn) / (k - 1))
+                           / ((q - t) / (nn - k)), 9) END AS f_stat,
            round(t - s * s / nn, 6) AS ss_between,
            round(q - t, 6) AS ss_within
     FROM tot
@@ -257,12 +258,22 @@ def c2_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("t") - F.col("s") * F.col("s") / F.col("nn")
     ssw = F.col("q") - F.col("t")
+    # zero within-group variance (constant groups) or degenerate dof → NULL:
+    # ssw == 0 makes the F denominator 0/0 (ANSI Spark raises); ssw can also
+    # round to a tiny negative, hence <= 0 on both sides
+    degenerate = (
+        (F.col("k") <= 1) | (F.col("nn") <= F.col("k")) | (ssw <= 0)
+    )
     return tot.select(
         "k",
         F.col("nn").alias("n"),
-        F.round(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 9
-        ).alias("f_stat"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 9
+            )
+        )
+        .alias("f_stat"),
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"),
     )

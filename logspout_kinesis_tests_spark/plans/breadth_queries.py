@@ -181,7 +181,7 @@ _ACF_LAGS = (1, 2, 3)
                         * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy
         FROM pairs GROUP BY event_type, lag)
     SELECT event_type, lag, n_pairs,
-           CASE WHEN (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) = 0
+           CASE WHEN (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) <= 0
                 THEN NULL
                 ELSE round((n_pairs * sxy - sx * sy)
                            / sqrt((n_pairs * sxx - sx * sx)
@@ -229,7 +229,7 @@ def c16_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
         n * F.col("syy") - F.col("sy") * F.col("sy")
     )
-    acf = F.when(den == F.lit(0.0), F.lit(None).cast("double")).otherwise(
+    acf = F.when(den <= F.lit(0.0), F.lit(None).cast("double")).otherwise(
         F.round(
             (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(den), 9
         )
@@ -254,7 +254,7 @@ _IC_BASE_S = 60
                event_id
         FROM events WHERE value IS NOT NULL),
     flagged AS (
-        SELECT user_id, s_us, e_us,
+        SELECT user_id, s_us, e_us, event_id,
                CASE WHEN CAST(max(e_us) OVER (
                        PARTITION BY user_id ORDER BY s_us, e_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -263,7 +263,7 @@ _IC_BASE_S = 60
     islands AS (
         SELECT user_id, s_us, e_us,
                CAST(sum(new_island) OVER (
-                   PARTITION BY user_id ORDER BY s_us, e_us
+                   PARTITION BY user_id ORDER BY s_us, e_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS BIGINT) AS island
         FROM flagged),
@@ -305,15 +305,19 @@ def c15_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s_us",
         "e_us",
+        "event_id",
         F.when(
             F.max("e_us").over(w_prev).cast("long") >= F.col("s_us"), 0
         )
         .otherwise(1)
         .alias("new_island"),
     )
+    # event_id tie-break: with duplicate (user_id, s_us, e_us) rows at an
+    # island boundary the ROWS-frame peer order would be engine-dependent
+    # without a total order — keep BOTH windows on the same full key.
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s_us", "e_us")
+        .orderBy("s_us", "e_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(
@@ -358,8 +362,14 @@ _MW_BUCKETS = 256
         GROUP BY value),
     tot AS (
         SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
-               CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
-                    AS BIGINT) AS tie3
+               -- cube term in DOUBLE (a value tied across ~2.1M+ rows
+               -- overflows int64: DuckDB raises, Spark wraps silently),
+               -- quantized per-term to DECIMAL(38,0) so the cross-value
+               -- sum stays exact and order-independent
+               CAST(sum(CAST(round(
+                   CAST(c1 + c2 AS DOUBLE) * CAST(c1 + c2 AS DOUBLE)
+                   * CAST(c1 + c2 AS DOUBLE) - CAST(c1 + c2 AS DOUBLE), 0)
+                   AS DECIMAL(38,0))) AS DOUBLE) AS tie3
         FROM pv),
     cum AS (
         SELECT c1, c2,
@@ -375,15 +385,21 @@ _MW_BUCKETS = 256
         SELECT n1, n2, tie3,
                rank_sum - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2
                    AS u1
-        FROM r1, tot)
+        FROM r1, tot),
+    zc AS (
+        SELECT n1, n2, u1,
+               u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2 AS znum,
+               CASE WHEN CAST(n1 + n2 AS DOUBLE) <= 1 THEN NULL
+                    ELSE CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                         * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                            - tie3
+                              / (CAST(n1 + n2 AS DOUBLE)
+                                 * (CAST(n1 + n2 AS DOUBLE) - 1))) END AS varu
+        FROM u)
     SELECT n1, n2, round(u1, 1) AS u1,
-           round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
-                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
-                        * ((CAST(n1 + n2 AS DOUBLE) + 1)
-                           - CAST(tie3 AS DOUBLE)
-                             / (CAST(n1 + n2 AS DOUBLE)
-                                * (CAST(n1 + n2 AS DOUBLE) - 1)))), 9) AS z
-    FROM u
+           CASE WHEN varu IS NULL OR varu <= 0 THEN NULL
+                ELSE round(znum / sqrt(varu), 9) END AS z
+    FROM zc
     """,
     doc="C2+: tie-corrected Mann–Whitney U (Wilcoxon rank-sum) test, click "
     "vs view value distributions — the nonparametric two-sample location "
@@ -405,15 +421,29 @@ def c2_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == _MW_B, 1).otherwise(0)).alias("c2"),
     )
     cnt = F.col("c1") + F.col("c2")
+    # tie cube term in DOUBLE (int64 overflows at a ~2.1M-row tie; DuckDB
+    # raises, non-ANSI Spark wraps silently) — per-term double is
+    # bit-identical across engines (same association order), DECIMAL(38,0)
+    # quantization keeps the cross-value sum exact and order-independent
+    cntd = cnt.cast("double")
     mm = pv.agg(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
-        F.sum(cnt * cnt * cnt - cnt).alias("tie3"),
+        F.sum(
+            F.round(cntd * cntd * cntd - cntd, 0).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("tie3"),
     )
     span = F.col("vmax") - F.col("vmin")
-    raw = F.floor((F.col("v") - F.col("vmin")) / span * _MW_BUCKETS)
+    # the divisor must be non-zero even on the branch the CASE discards:
+    # ANSI Spark raises DIVIDE_BY_ZERO before the when() can mask it when
+    # all values are equal (span == 0) — substitute 1.0, the bucket CASE
+    # still routes the degenerate corpus to bucket 0
+    safe_span = F.when(span > 0, span).otherwise(F.lit(1.0))
+    raw = F.floor((F.col("v") - F.col("vmin")) / safe_span * _MW_BUCKETS)
     b = pv.crossJoin(F.broadcast(mm)).withColumn(
         "bucket",
         F.when(span > 0, F.least(raw, F.lit(_MW_BUCKETS - 1)))
@@ -455,15 +485,29 @@ def c2_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2d = F.col("n2").cast("double")
     nd = (F.col("n1") + F.col("n2")).cast("double")
     u1 = F.col("rank_sum") - n1d * (n1d + 1) / 2
-    z = (u1 - n1d * n2d / 2) / F.sqrt(
-        n1d * n2d / 12
-        * ((nd + 1) - F.col("tie3").cast("double") / (nd * (nd - 1)))
+    # tie-corrected variance of U; with every observation tied (one distinct
+    # value) it is exactly 0 and z would be 0/0 — NULL on both engines, and
+    # the nd <= 1 pre-guard keeps the tie term's own divisor non-zero
+    varu = F.when(nd <= 1, F.lit(None).cast("double")).otherwise(
+        n1d * n2d / 12 * ((nd + 1) - F.col("tie3") / (nd * (nd - 1)))
     )
-    return r1.select(
+    zc = r1.select(
         "n1",
         "n2",
-        F.round(u1, 1).alias("u1"),
-        F.round(z, 9).alias("z"),
+        u1.alias("u1r"),
+        (u1 - n1d * n2d / 2).alias("znum"),
+        varu.alias("varu"),
+    )
+    return zc.select(
+        "n1",
+        "n2",
+        F.round(F.col("u1r"), 1).alias("u1"),
+        F.when(
+            F.col("varu").isNull() | (F.col("varu") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(F.col("znum") / F.sqrt(F.col("varu")), 9))
+        .alias("z"),
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from logspout_kinesis_tests_spark.sources.tables import spread_for_compute
+
 #: decimal(18,2) covers money columns; decimal(38,8) for products of decimals.
 MONEY = "decimal(18,2)"
 
@@ -44,7 +46,7 @@ def money(col: Column | str) -> Column:
 
 def spread(df, key: str):
     """Repartition a SMALL input across the cluster before a huge fan-out
-    (shingle/resample explode).
+    (shingle/resample explode), hash-partitioned on ``key``.
 
     The test corpus ships one single-row-group parquet file per table, so
     a scan + explode + map-side combine otherwise runs in ONE task.  The
@@ -53,9 +55,12 @@ def spread(df, key: str):
     because the pre-fan-out shuffle is tiny, and the fan-out cost is
     invisible to AQE's size-based planning.  Values are unaffected — every
     downstream aggregate in this repo is order-independent by policy.
+
+    Delegates to ``sources.tables.spread_for_compute``, whose partition
+    count guard makes this a NO-OP when the input already has >= cluster
+    parallelism splits (the production many-file case) — no extra shuffle.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col(key))
+    return spread_for_compute(df, key=key)
 
 
 def ts_str(col: Column | str) -> Column:

@@ -54,10 +54,14 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}
 
 
-def spread_for_compute(df: DataFrame, partitions: int | None = None) -> DataFrame:
+def spread_for_compute(
+    df: DataFrame, partitions: int | None = None, key: str | None = None
+) -> DataFrame:
     """Repartition iff the input has fewer partitions than the cluster has
     cores — the guard against a scan stage serializing expensive fused
-    compute.
+    compute.  With ``key`` the respread hash-partitions on that column
+    (``plans.helpers.spread`` delegates here), so a downstream
+    groupBy/window on the same key can reuse the distribution.
 
     Spark fuses per-row work (shingling, hashing, n-gram explodes) into the
     scan stage, so its parallelism equals the input split count.  A
@@ -72,6 +76,8 @@ def spread_for_compute(df: DataFrame, partitions: int | None = None) -> DataFram
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 

@@ -17,13 +17,27 @@ reorder the registry so the window is spent where a verdict is worth most:
    failed set is small (≤8 historically) while the unseen frontier can
    exceed the window whenever a round registers new queries — which would
    otherwise push the fixes out of the window entirely;
-2. queries with **no driver verdict in any prior round** (the frontier);
-3. everything already verified green (or justified rows-only).
+2. verified queries whose oracle SQL or builder source **changed since the
+   last driver verify** (md5 fingerprints vs the committed
+   ``ORACLE_FPRINTS.json`` snapshot): their green verdicts describe code
+   that no longer exists, so they need re-verification more than any
+   still-untouched green.  The snapshot is regenerated at ROUND START from
+   the round-start HEAD (``scripts/gen_oracle_fprints.py``) — i.e. the
+   exact state the previous verify ran against — so mid-round edits show
+   up as changed until the next round re-snapshots;
+3. queries with **no driver verdict in any prior round** (the frontier);
+4. everything already verified green (or justified rows-only), ordered
+   **oldest latest-verdict first**: once the frontier is empty the window
+   becomes pure regression-detection budget, and a green last checked in
+   round 1 has survived several rounds of refactoring unverified — worth a
+   slot before a green re-confirmed last round.
 
-Within each group the original registration order is preserved, so the
-rotation is deterministic for a given set of CORRECTNESS files — reruns
-within a round see the same order — and the union of verdicts converges to
-the full registry with no manual bookkeeping.
+Within groups 1–3 the original registration order is preserved; group 4
+orders by (latest-verdict round, registration order).  The rotation is
+deterministic for a given set of CORRECTNESS files — reruns within a round
+see the same order — and the union of verdicts converges to the full
+registry with no manual bookkeeping, then cycles through the greens
+oldest-first.
 """
 
 from __future__ import annotations
@@ -87,9 +101,62 @@ def latest_rows_only_names(repo_root: Path | None = None) -> set[str]:
     return {name for name, rows_only in latest.items() if rows_only}
 
 
+#: Committed per-name fingerprint snapshot, regenerated each round start
+#: from the round-start HEAD by ``scripts/gen_oracle_fprints.py``.
+FPRINT_FILE = "ORACLE_FPRINTS.json"
+
+
+def fingerprint(spec) -> str:
+    """md5 over (oracle SQL, builder source) — what the driver's verdict is
+    actually evidence about.  Builder source comes from ``inspect``, so a
+    Spark-side rewrite with an unchanged oracle still flips the print."""
+    import hashlib
+    import inspect
+
+    oracle = getattr(spec, "oracle", None) or ""
+    build = getattr(spec, "build", None)
+    try:
+        src = inspect.getsource(build) if build is not None else ""
+    except (OSError, TypeError):
+        src = ""
+    return hashlib.md5(
+        (oracle + "\n\x00\n" + src).encode("utf-8", "replace")
+    ).hexdigest()
+
+
+def changed_since_snapshot(registry: dict, repo_root: Path | None = None) -> set[str]:
+    """Names whose current fingerprint differs from the committed snapshot.
+    Missing snapshot file / malformed JSON / names absent from the snapshot
+    all degrade to 'not changed' (the staleness ordering is the backstop)."""
+    path = (repo_root or _REPO_ROOT) / FPRINT_FILE
+    try:
+        snap = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return set()
+    if not isinstance(snap, dict):
+        return set()
+    return {
+        name
+        for name, spec in registry.items()
+        if isinstance(snap.get(name), str) and snap[name] != fingerprint(spec)
+    }
+
+
+def latest_verdict_rounds(repo_root: Path | None = None) -> dict[str, int]:
+    """Name -> index of the LAST round whose CORRECTNESS file contains it
+    (0-based over the sorted CORRECTNESS_r*.json files).  Drives the
+    staleness ordering of the verified-green group."""
+    rounds: dict[str, int] = {}
+    for i, data in enumerate(_verdicts_by_round(repo_root or _REPO_ROOT)):
+        for name in data:
+            rounds[name] = i
+    return rounds
+
+
 def rotated(registry: dict, repo_root: Path | None = None) -> dict:
-    """Return a new dict ordered latest-failed -> re-oracled -> unseen ->
-    verified-green, preserving registration order within each group.
+    """Return a new dict ordered latest-failed -> fingerprint-changed ->
+    re-oracled -> unseen -> verified-green, preserving registration order
+    within each group.
 
     "Re-oracled" = latest driver verdict was rows-only (``no_oracle``) but
     the registry now binds an oracle for the name — e.g. c14_greedy_packing
@@ -98,19 +165,34 @@ def rotated(registry: dict, repo_root: Path | None = None) -> dict:
     never receive the now-possible hash check."""
     seen = driver_verified_names(repo_root)
     failed = latest_failed_names(repo_root)
+    changed = {
+        name
+        for name in changed_since_snapshot(registry, repo_root)
+        if name in seen
+    }
     reoracled = {
         name
         for name in latest_rows_only_names(repo_root)
         if name in registry and getattr(registry[name], "oracle", None)
     }
     out = {k: v for k, v in registry.items() if k in failed}
+    out.update(
+        {k: v for k, v in registry.items() if k in changed and k not in failed}
+    )
     out.update({k: v for k, v in registry.items() if k in reoracled})
     out.update({k: v for k, v in registry.items() if k not in seen})
-    out.update(
-        {
-            k: v
-            for k, v in registry.items()
-            if k in seen and k not in failed and k not in reoracled
-        }
-    )
+    # verified greens: stalest verdict first (Python sort is stable, so
+    # registration order is preserved within a round), making the window's
+    # leftover slots a rolling re-verification of the oldest evidence
+    verdict_round = latest_verdict_rounds(repo_root)
+    greens = [
+        k
+        for k in registry
+        if k in seen
+        and k not in failed
+        and k not in changed
+        and k not in reoracled
+    ]
+    greens.sort(key=lambda k: verdict_round.get(k, -1))
+    out.update({k: registry[k] for k in greens})
     return out

@@ -7,7 +7,9 @@ import json
 
 from logspout_kinesis_tests_spark.plans import REGISTRY
 from logspout_kinesis_tests_spark.plans.rotation import (
+    changed_since_snapshot,
     driver_verified_names,
+    fingerprint,
     latest_failed_names,
     latest_rows_only_names,
     rotated,
@@ -32,8 +34,13 @@ def test_unseen_queries_fill_driver_window():
     seen = driver_verified_names()
     failed = latest_failed_names()
     reoracled = _reoracled()
+    changed = changed_since_snapshot(dict(REGISTRY))
     names = list(REGISTRY)
-    priority = {n for n in names if n not in seen or n in failed or n in reoracled}
+    priority = {
+        n
+        for n in names
+        if n not in seen or n in failed or n in reoracled or n in changed
+    }
     head = names[: min(WINDOW, len(priority))]
     n_failed = sum(1 for n in names if n in failed)
     assert all(n in failed for n in head[:n_failed])
@@ -97,13 +104,57 @@ def test_rotation_promotes_reoracled_rows_only(tmp_path):
     assert list(rotated(reg, repo_root=tmp_path)) == [
         "gained_oracle", "unseen", "green", "still_rows_only",
     ]
-    # a later hash verdict clears the promotion
+    # a later hash verdict clears the promotion; within the verified group
+    # the r01 verdicts (green, still_rows_only) are now STALER than
+    # gained_oracle's fresh r02 verdict, so they re-verify first
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"gained_oracle": ok})
     )
     assert list(rotated(reg, repo_root=tmp_path)) == [
-        "unseen", "green", "gained_oracle", "still_rows_only",
+        "unseen", "green", "still_rows_only", "gained_oracle",
     ]
+
+
+def test_rotation_promotes_fingerprint_changed_greens(tmp_path):
+    """A verified-green query whose oracle or builder source changed since
+    the ORACLE_FPRINTS snapshot outranks untouched greens AND the unseen
+    frontier: its verdict describes code that no longer exists.  Unseen
+    names in the snapshot-diff are NOT promoted (they're already frontier),
+    and a missing/corrupt snapshot degrades to no promotion."""
+
+    class Spec:
+        def __init__(self, oracle):
+            self.oracle = oracle
+            self.build = None
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    reg = {"a": Spec("SELECT 1"), "b": Spec("SELECT 2"), "c": Spec("SELECT 3")}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": ok, "b": ok})
+    )
+    snap = {n: fingerprint(s) for n, s in reg.items()}
+    snap["b"] = "0" * 32  # b's code changed since the snapshot
+    snap["c"] = "0" * 32  # c differs too but is unseen -> frontier anyway
+    (tmp_path / "ORACLE_FPRINTS.json").write_text(json.dumps(snap))
+    assert changed_since_snapshot(reg, repo_root=tmp_path) == {"b", "c"}
+    # b (changed green) -> c (unseen) -> a (untouched green)
+    assert list(rotated(reg, repo_root=tmp_path)) == ["b", "c", "a"]
+    # corrupt snapshot: no promotion, plain unseen-then-green order
+    (tmp_path / "ORACLE_FPRINTS.json").write_text("not json{")
+    assert list(rotated(reg, repo_root=tmp_path)) == ["c", "a", "b"]
+
+
+def test_rotation_reverifies_stalest_greens_first(tmp_path):
+    """Once the frontier is empty the window is regression-detection budget:
+    among verified greens, the one whose LATEST verdict is oldest re-checks
+    first, and within one round registration order is preserved."""
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    reg = {"a": 1, "b": 2, "c": 3, "d": 4}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"c": ok, "a": ok}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"b": ok, "a": ok}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"d": ok}))
+    # latest verdicts: c->r01, a/b->r02, d->r03; registration order ties a<b
+    assert list(rotated(reg, repo_root=tmp_path)) == ["c", "a", "b", "d"]
 
 
 def test_rotation_ignores_malformed_files(tmp_path):

@@ -124,6 +124,13 @@ HEADLINE = (
     "c16_lttb_downsample",
     # round 6
     "c16_acf_by_user",
+    "c2_theil_sen",
+    "c16_seasonal_decompose",
+    "c16_hampel",
+    "c17_kcore",
+    "c17_modularity",
+    "c13_cogroup_asof",
+    "c20_psi_drift",
 )
 
 

@@ -1,0 +1,337 @@
+"""Semantic pins for the round-6b statistics queries: each is replayed in
+plain Python from the raw parquet rows (the oracle sweep pins cross-engine
+equality; these pin that the registered plan computes the intended
+statistic — a wrong-but-consistent query would pass the oracle gate and
+fail here)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from datetime import datetime
+from decimal import ROUND_HALF_UP, Decimal
+
+_EPOCH = datetime(1970, 1, 1)
+
+from logspout_kinesis_tests_spark.plans import REGISTRY
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+_Q12 = Decimal("1e-12")
+
+
+def _events(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        # exact integer epoch-micros (collected datetimes are naive UTC —
+        # the session pins spark.sql.session.timeZone=UTC); float
+        # .timestamp() would round 53-bit seconds and is host-tz-dependent
+        td = r["ts"].replace(tzinfo=None) - _EPOCH
+        us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        # Spark round() is HALF_UP; Python round() is half-even
+        cents = int(
+            Decimal(repr(r["value"] * 100)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        out.append((r["event_type"], r["user_id"], r["event_id"], us, cents))
+    return out
+
+
+def _lower_median(sorted_vals):
+    return sorted_vals[(len(sorted_vals) + 1) // 2 - 1]
+
+
+def test_theil_sen_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    want = {}
+    by_type = defaultdict(list)
+    for t, _u, eid, us, cents in ev:
+        by_type[t].append((us, eid, cents))
+    for t, rows in by_type.items():
+        rows.sort()
+        m = len(rows) // 2
+        slopes = []
+        for i in range(m):
+            us1, _e1, c1 = rows[i]
+            us2, _e2, c2 = rows[i + m]
+            if us2 != us1:
+                # pair index i+1 is the tie-break — keep it
+                slopes.append(((c2 - c1) / (us2 - us1), i + 1))
+        if not slopes:
+            continue
+        slopes.sort()
+        med = _lower_median(slopes)[0]
+        # replay Spark round() (HALF_UP on the shortest decimal repr)
+        want[t] = (
+            len(slopes),
+            float(
+                Decimal(repr(med * 36000000.0)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+    got = {
+        r["event_type"]: (r["n_pairs"], r["slope_per_hour"])
+        for r in REGISTRY["c2_theil_sen"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mutual_information_matches_python_replay(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .collect()
+    )
+    n = float(len(rows))
+    cells = Counter((r["lang"], r["source"]) for r in rows)
+    cx = Counter(r["lang"] for r in rows)
+    cy = Counter(r["source"] for r in rows)
+
+    def q12(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(_Q12, rounding=ROUND_HALF_UP)
+
+    mi = float(
+        sum(
+            (
+                q12((cxy / n) * math.log(cxy * n / (cx[lx] * cy[sy])))
+                for (lx, sy), cxy in cells.items()
+            ),
+            Decimal(0),
+        )
+    )
+    hx = float(
+        sum((q12(-(c / n) * math.log(c / n)) for c in cx.values()), Decimal(0))
+    )
+    hy = float(
+        sum((q12(-(c / n) * math.log(c / n)) for c in cy.values()), Decimal(0))
+    )
+    row = REGISTRY["c2_mutual_information"].build(spark, sf_dir).collect()[0]
+    assert row["n_docs"] == len(rows)
+    assert math.isclose(row["mi_nats"], mi, rel_tol=0, abs_tol=1e-9)
+    assert math.isclose(row["h_lang"], hx, abs_tol=1e-9)
+    assert math.isclose(row["h_source"], hy, abs_tol=1e-9)
+    # MI is bounded by each marginal entropy; NMI must land in [0, 1]
+    assert 0.0 <= row["mi_nats"] <= min(hx, hy) + 1e-9
+    assert row["nmi"] is None or 0.0 <= row["nmi"] <= 1.0
+
+
+def test_seasonal_decompose_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    buckets = defaultdict(list)
+    for t, _u, _e, us, cents in ev:
+        buckets[(t, us // 3_600_000_000)].append(cents)
+    series = defaultdict(list)
+    for (t, hb), cs in buckets.items():
+        series[t].append((hb, sum(cs) / (100 * len(cs))))
+    span, half = 23, 11
+
+    def q6(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+
+    want = defaultdict(lambda: [0, Decimal(0)])
+    for t, pts in series.items():
+        pts.sort()
+        for i in range(half, len(pts) - half):
+            frame = pts[i - half : i + half + 1]
+            if len(frame) != span:
+                continue
+            trend = float(sum((q6(bm) for _hb, bm in frame), Decimal(0))) / span
+            hb, bm = pts[i]
+            acc = want[(t, hb % 24)]
+            acc[0] += 1
+            acc[1] += q6(bm - trend)
+    # final rounding must replay Spark's round() (HALF_UP over the shortest
+    # decimal repr), not Python's binary half-even round()
+    expect = {
+        k: (n, float(q6(float(s) / n))) for k, (n, s) in want.items() if n
+    }
+    got = {
+        (r["event_type"], r["hod"]): (r["n_buckets"], r["seasonal"])
+        for r in REGISTRY["c16_seasonal_decompose"].build(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_hampel_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    by_user = defaultdict(list)
+    for _t, u, eid, us, cents in ev:
+        by_user[u].append((us, eid, cents))
+    want = set()
+    for u, rows in by_user.items():
+        rows.sort()
+        cs = [c for _us, _e, c in rows]
+        for i, (_us, eid, c) in enumerate(rows):
+            lo, hi = max(0, i - 3), min(len(cs), i + 4)
+            vs = sorted(cs[lo:hi])
+            med = _lower_median(vs)
+            mad = _lower_median(sorted(abs(x - med) for x in vs))
+            if abs(c - med) * 10000 > 44478 * mad:
+                want.add((u, eid, c, med, mad))
+    got = {
+        (r["user_id"], r["event_id"], r["cents"], r["med"], r["mad"])
+        for r in REGISTRY["c16_hampel"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the filter must be selective — flagging everything (mad bug) or
+    # nothing (fence bug) on real data are both failures
+    n_events = len(ev)
+    assert 0 < len(got) < n_events / 4
+
+
+def _trade_pairs(spark, sf_dir, min_qty=None):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    if min_qty is not None:
+        li = li.filter(li["l_quantity"] >= min_qty)
+    return {
+        (r["o_custkey"], r["l_suppkey"])
+        for r in orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+
+
+def test_kcore_matches_converged_python_peel(spark, sf_dir):
+    """The registered semantics is the BOUNDED 8-round peel; this pins that
+    8 rounds is CONVERGED on the test graph (the replay peels to a
+    fixpoint) and that the surviving degrees are the true 3-core degrees."""
+    pairs = _trade_pairs(spark, sf_dir, min_qty=45)
+    adj = defaultdict(set)
+    for c, s in pairs:
+        adj[("c", c)].add(("s", s))
+        adj[("s", s)].add(("c", c))
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if sum(p in alive for p in adj[n]) < 3}
+        if not drop:
+            break
+        alive -= drop
+    want = {
+        f"{n[0]}{n[1]}": sum(p in alive for p in adj[n]) for n in alive
+    }
+    got = {
+        r["node"]: r["degree"]
+        for r in REGISTRY["c17_kcore"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the peel must actually remove something, or the query degenerates
+    # into a plain degree count
+    assert len(want) < len(adj)
+
+
+def test_modularity_matches_python_replay(spark, sf_dir):
+    pairs = _trade_pairs(spark, sf_dir)
+    cn = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    sn = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    m = float(len(pairs))
+    intra = Counter()
+    degs = Counter()
+    for c, s in pairs:
+        degs[cn[c]] += 1
+        degs[sn[s]] += 1
+        if cn[c] == sn[s]:
+            intra[cn[c]] += 1
+
+    def q12(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(_Q12, rounding=ROUND_HALF_UP)
+        )
+
+    want = {
+        nk: (
+            intra.get(nk, 0),
+            d,
+            q12(intra.get(nk, 0) / m - (d / (2 * m)) * (d / (2 * m))),
+        )
+        for nk, d in degs.items()
+    }
+    got = {
+        r["nationkey"]: (r["intra_edges"], r["deg_sum"], r["contribution"])
+        for r in REGISTRY["c17_modularity"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # sanity: modularity contributions of a real partition sum inside [-1, 1]
+    q_total = sum(v[2] for v in want.values())
+    assert -1.0 <= q_total <= 1.0
+
+
+def test_cogroup_asof_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    import bisect
+
+    views = defaultdict(list)
+    for t, u, _e, us, _c in ev:
+        if t == "view":
+            views[u].append(us)
+    for v in views.values():
+        v.sort()
+    want = {}
+    n_matched = 0
+    for t, u, eid, us, _c in ev:
+        if t != "purchase":
+            continue
+        vs = views.get(u, [])
+        i = bisect.bisect_right(vs, us) - 1
+        last = vs[i] if i >= 0 else None
+        want[eid] = (u, us, last, None if last is None else us - last)
+        n_matched += last is not None
+    got = {
+        r["event_id"]: (r["user_id"], r["us"], r["last_view_us"], r["gap_us"])
+        for r in REGISTRY["c13_cogroup_asof"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # both branches of the merge must be exercised on real data
+    assert 0 < n_matched < len(want)
+
+
+def test_psi_drift_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cents = [(t, c) for t, _u, _e, _us, c in ev]
+    mn = min(c for _t, c in cents)
+    mx = max(c for _t, c in cents)
+    n = float(len(cents))
+    buckets = [(t, (c - mn) * 10 // (mx - mn + 1)) for t, c in cents]
+    glob = Counter(b for _t, b in buckets)
+    nt = Counter(t for t, _b in buckets)
+    act = Counter(buckets)
+
+    def q12(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(_Q12, rounding=ROUND_HALF_UP)
+
+    want = {}
+    for t, cnt in nt.items():
+        total = Decimal(0)
+        for b, cb in glob.items():
+            a = act.get((t, b), 0) / cnt or 0.0001
+            e = cb / n
+            total += q12((a - e) * math.log(a / e))
+        want[t] = (cnt, float(total))
+    got = {
+        r["event_type"]: (r["n_events"], r["psi"])
+        for r in REGISTRY["c20_psi_drift"].build(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        assert math.isclose(got[t][1], want[t][1], abs_tol=1e-9), t
+    # PSI is non-negative by Gibbs' inequality (up to the eps substitution)
+    assert all(v[1] > -1e-6 for v in got.values())

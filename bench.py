@@ -131,6 +131,8 @@ HEADLINE = (
     "c17_modularity",
     "c13_cogroup_asof",
     "c20_psi_drift",
+    "c2_theil_sen_by_user",
+    "c2_quantile_normalize",
 )
 
 

@@ -866,3 +866,235 @@ def c20_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", F.col("nt").cast("long").alias("n_events"), "psi"
     )
+
+
+# --- C2+: per-entity Theil–Sen (the scale path) -------------------------------
+
+
+@register(
+    "c2_theil_sen_by_user",
+    # Same disjoint rank-pairing estimator as c2_theil_sen, partitioned on
+    # (user_id, event_type) — thousands of short series instead of five
+    # global ones, so the rank window, the pair join and the selection
+    # window all parallelize on the entity axis (the c16_acf_by_user
+    # precedent; that probe went from 3.8× to 1.2× at 10×).
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+        FROM events WHERE value IS NOT NULL),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY us, event_id) AS rn
+        FROM base),
+    c AS (SELECT user_id, event_type, count(*) // 2 AS m
+          FROM r GROUP BY user_id, event_type),
+    p AS (
+        SELECT a.user_id, a.event_type, a.rn AS i,
+               CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.us - a.us AS DOUBLE) AS slope
+        FROM r a
+        JOIN c USING (user_id, event_type)
+        JOIN r b ON b.user_id = a.user_id
+                AND b.event_type = a.event_type
+                AND b.rn = a.rn + m
+        WHERE a.rn <= m AND b.us <> a.us),
+    k AS (
+        SELECT user_id, event_type, slope,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY slope, i) AS rs,
+               count(*) OVER (PARTITION BY user_id, event_type) AS n_pairs
+        FROM p)
+    SELECT user_id, event_type, n_pairs,
+           round(slope * 36000000.0, 6) AS slope_per_hour
+    FROM k WHERE rs = (n_pairs + 1) // 2
+    """,
+    doc="C2+: per-(user, type) Theil–Sen robust slope — the 100 TB scale "
+    "path beside c2_theil_sen's per-type global form: identical exact-"
+    "integer slope arithmetic and lower-median rank selection, but every "
+    "window and join partitions on the entity axis, so parallelism grows "
+    "with the user population instead of capping at 5 event types.",
+)
+def c2_theil_sen_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    keys = ["user_id", "event_type"]
+    w = Window.partitionBy(*keys).orderBy("us", "event_id")
+    r = base.select("*", F.row_number().over(w).alias("rn"))
+    m = r.groupBy(*keys).agg((F.count("*") / 2).cast("long").alias("m"))
+    a = (
+        r.join(m, keys)
+        .filter(F.col("rn") <= F.col("m"))
+        .select(
+            *keys,
+            F.col("rn").alias("i"),
+            F.col("us").alias("us1"),
+            F.col("cents").alias("c1"),
+            (F.col("rn") + F.col("m")).alias("rn2"),
+        )
+    )
+    b = r.select(
+        *keys,
+        F.col("rn").alias("rn2"),
+        F.col("us").alias("us2"),
+        F.col("cents").alias("c2"),
+    )
+    pairs = a.join(b, keys + ["rn2"]).filter(F.col("us2") != F.col("us1"))
+    slope = (F.col("c2") - F.col("c1")).cast("double") / (
+        F.col("us2") - F.col("us1")
+    ).cast("double")
+    p = pairs.select(*keys, "i", slope.alias("slope"))
+    ws = Window.partitionBy(*keys).orderBy("slope", "i")
+    wn = Window.partitionBy(*keys)
+    k = p.select(
+        *keys,
+        "slope",
+        F.row_number().over(ws).alias("rs"),
+        F.count("*").over(wn).alias("n_pairs"),
+    )
+    return k.filter(
+        F.col("rs") == F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2))
+    ).select(
+        *keys,
+        "n_pairs",
+        F.round(F.col("slope") * F.lit(36000000.0), 6).alias("slope_per_hour"),
+    )
+
+
+# --- C2+: quantile normalization ----------------------------------------------
+
+#: Pooled-distribution bucket count for the two-pass rank selection.
+_QN_BUCKETS = 256
+
+
+@register(
+    "c2_quantile_normalize",
+    # Map every document's n_chars onto the POOLED distribution at the
+    # document's within-source percentile — quantile normalization, the
+    # batch-effect correction that puts differently-scaled sources on one
+    # value scale before curation thresholds apply.  Within-source ranks
+    # use a (value, doc_id) tie-broken row_number; the grid index is one
+    # identical-tree double expression rounded to an integer; pooled grid
+    # values are EXACT rank selections found with the c2_percentiles_twopass
+    # bucket decomposition (no global sort on the Spark side — the oracle's
+    # plain global row_number selects the identical values because the
+    # bucket map is monotone and ties share a value).
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    s AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY source) AS ns
+        FROM d),
+    g AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN ns > 1
+                    THEN CAST(round((rnk - 1) * 100.0 / (ns - 1), 0)
+                              AS BIGINT)
+                    ELSE 50 END AS gi
+        FROM s),
+    nn AS (SELECT count(*) AS n FROM d),
+    pooled AS (
+        SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS pr FROM d),
+    tgt AS (
+        SELECT gi, (gi * (n - 1)) // 100 + 1 AS r
+        FROM (SELECT DISTINCT gi FROM g), nn),
+    gv AS (
+        SELECT t.gi, p.n_chars AS normalized
+        FROM tgt t JOIN pooled p ON p.pr = t.r)
+    SELECT doc_id, source, n_chars, normalized
+    FROM g JOIN gv USING (gi)
+    """,
+    doc="C2+: quantile normalization of per-source document lengths onto "
+    "the pooled distribution — rank within source → 0..100 grid index → "
+    "exact pooled quantile value.  Scale shape: per-source windows "
+    "parallelize on the source axis; the pooled side never sorts "
+    "globally — it reuses the c2_percentiles_twopass bucket-offset "
+    "machinery (≤256-bucket histogram, ONE bounded global prefix window "
+    "over the bucket table, pass-2 sorts only the ≤101 target buckets), "
+    "then the ≤101-row grid-value table broadcast-joins back to the "
+    "ranked rows.",
+)
+def c2_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rnk"),
+        F.count("*").over(wn).alias("ns"),
+    )
+    gi = F.when(
+        F.col("ns") > 1,
+        F.round(
+            (F.col("rnk") - 1) * F.lit(100.0) / (F.col("ns") - 1), 0
+        ).cast("long"),
+    ).otherwise(F.lit(50).cast("long"))
+    g = ranked.select("doc_id", "source", "n_chars", gi.alias("gi"))
+
+    # pooled exact rank selection, two-pass bucketed (no global sort)
+    mm = docs.agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    bucketed = docs.crossJoin(F.broadcast(mm)).select(
+        "n_chars",
+        "n",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr(
+                f"(n_chars - mn) * {_QN_BUCKETS} div (mx - mn + 1)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bucket"),
+    )
+    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # ONE global window over the ≤256-row bucket table (allowed, bounded)
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    tgt = (
+        g.select("gi")
+        .distinct()
+        .crossJoin(F.broadcast(mm.select("n")))
+        .select("gi", F.expr("gi * (n - 1) div 100 + 1").alias("r"))
+    )
+    located = tgt.join(
+        F.broadcast(cum),
+        (F.col("cum_before") < F.col("r"))
+        & (F.col("r") <= F.col("cum_before") + F.col("cnt")),
+    ).select("gi", "bucket", (F.col("r") - F.col("cum_before")).alias("rr"))
+    hits = (
+        bucketed.join(
+            F.broadcast(located.select("bucket").distinct()), "bucket"
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("bucket").orderBy("n_chars")
+            ),
+        )
+        .join(F.broadcast(located), ["bucket"])
+        .filter(F.col("rk") == F.col("rr"))
+        .select("gi", F.col("n_chars").alias("normalized"))
+    )
+    return g.join(F.broadcast(hits), "gi").select(
+        "doc_id", "source", "n_chars", "normalized"
+    )

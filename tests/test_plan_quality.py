@@ -309,6 +309,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "c2_ks_test": 1,  # ≤256-row bucket-offset prefix-sum table
     "c2_mann_whitney": 1,  # ≤256-row bucket-offset prefix-sum table
     "c11_zipf_slope": 1,  # rank over the 100-row TakeOrdered term cut
+    # ≤256-row bucket-offset prefix table; planned twice because the tiny
+    # located-targets subtree feeds both the bucket filter and the rank join
+    "c2_quantile_normalize": 2,
 }
 
 

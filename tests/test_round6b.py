@@ -335,3 +335,76 @@ def test_psi_drift_matches_python_replay(spark, sf_dir):
         assert math.isclose(got[t][1], want[t][1], abs_tol=1e-9), t
     # PSI is non-negative by Gibbs' inequality (up to the eps substitution)
     assert all(v[1] > -1e-6 for v in got.values())
+
+
+def test_theil_sen_by_user_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    by_key = defaultdict(list)
+    for t, u, eid, us, cents in ev:
+        by_key[(u, t)].append((us, eid, cents))
+    want = {}
+    for key, rows in by_key.items():
+        rows.sort()
+        m = len(rows) // 2
+        slopes = []
+        for i in range(m):
+            us1, _e1, c1 = rows[i]
+            us2, _e2, c2 = rows[i + m]
+            if us2 != us1:
+                slopes.append(((c2 - c1) / (us2 - us1), i + 1))
+        if not slopes:
+            continue
+        slopes.sort()
+        med = _lower_median(slopes)[0]
+        want[key] = (
+            len(slopes),
+            float(
+                Decimal(repr(med * 36000000.0)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_pairs"], r["slope_per_hour"])
+        for r in REGISTRY["c2_theil_sen_by_user"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the entity axis must actually fan out
+    assert len(want) > 20
+
+
+def test_quantile_normalize_matches_python_replay(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    docs = [(r["doc_id"], r["source"], r["n_chars"]) for r in rows]
+    pooled = sorted(c for _d, _s, c in docs)
+    n = len(pooled)
+    by_src = defaultdict(list)
+    for d, s, c in docs:
+        by_src[s].append((c, d))
+    want = {}
+    for s, vs in by_src.items():
+        vs.sort()
+        ns = len(vs)
+        for rnk, (c, d) in enumerate(vs, start=1):
+            if ns > 1:
+                gi = int(
+                    Decimal(repr((rnk - 1) * 100.0 / (ns - 1))).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+            else:
+                gi = 50
+            want[d] = (s, c, pooled[gi * (n - 1) // 100])
+    got = {
+        r["doc_id"]: (r["source"], r["n_chars"], r["normalized"])
+        for r in REGISTRY["c2_quantile_normalize"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # normalization must be monotone within each source
+    for s, vs in by_src.items():
+        vals = [want[d][2] for _c, d in sorted(vs)]
+        assert vals == sorted(vals)

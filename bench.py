@@ -133,6 +133,8 @@ HEADLINE = (
     "c20_psi_drift",
     "c2_theil_sen_by_user",
     "c2_quantile_normalize",
+    "c16_seasonal_residual_outliers",
+    "c5_markov_stationary",
 )
 
 

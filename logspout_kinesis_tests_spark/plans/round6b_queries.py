@@ -1098,3 +1098,246 @@ def c2_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.join(F.broadcast(hits), "gi").select(
         "doc_id", "source", "n_chars", "normalized"
     )
+
+
+# --- C16+: seasonal-residual anomaly flags -----------------------------------
+
+
+@register(
+    "c16_seasonal_residual_outliers",
+    # Composition of c16_seasonal_decompose into an anomaly monitor: after
+    # removing trend (centered MA) AND the hour-of-day seasonal index, a
+    # bucket whose residual exceeds 3σ of the per-type residuals is
+    # genuinely anomalous (a plain z-score — c16_rolling_zscore — flags
+    # every rush hour).  Residual and σ arithmetic follow the house rules:
+    # identical-tree doubles, decimal-quantized before any sum, the σ²
+    # denominator guarded, and the 3σ fence compared on doubles both
+    # engines derived identically.
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / (100 * count(*)) AS bm
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, epoch_us(ts) // 3600000000),
+    t AS (
+        SELECT event_type, hb, bm,
+               CASE WHEN count(*) OVER w = {_SD_SPAN}
+                    THEN CAST(sum(CAST(round(bm, 6) AS DECIMAL(18,6)))
+                              OVER w AS DOUBLE) / {_SD_SPAN} END AS trend
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY hb
+                     ROWS BETWEEN {_SD_HALF} PRECEDING
+                              AND {_SD_HALF} FOLLOWING)),
+    d AS (
+        SELECT event_type, hb, hb % 24 AS hod,
+               CAST(CAST(round(bm - trend, 6) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS detr
+        FROM t WHERE trend IS NOT NULL),
+    si AS (
+        SELECT event_type, hod,
+               CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   AS seasonal
+        FROM d GROUP BY event_type, hod),
+    res AS (
+        SELECT d.event_type, d.hb, d.detr - s.seasonal AS res
+        FROM d JOIN si s ON s.event_type = d.event_type AND s.hod = d.hod),
+    st AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(res, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sr,
+               CAST(sum(CAST(round(res * res, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS srr
+        FROM res GROUP BY event_type),
+    sd AS (
+        SELECT event_type,
+               CASE WHEN n > 1 AND srr - sr * sr / n > 0
+                    THEN sqrt((srr - sr * sr / n) / (n - 1)) END AS sd
+        FROM st)
+    SELECT r.event_type, r.hb, round(r.res, 6) AS residual
+    FROM res r JOIN sd ON sd.event_type = r.event_type
+    WHERE sd.sd IS NOT NULL AND abs(r.res) > 3 * sd.sd
+    """,
+    doc="C16+: seasonality-aware anomaly detection — hourly buckets whose "
+    "residual after trend AND hour-of-day seasonal removal exceeds 3σ of "
+    "the per-type residual distribution.  The monitor a metrics pipeline "
+    "actually wants: rolling z-scores flag every daily peak; this flags "
+    "only departures FROM the seasonal pattern.  Same shapes as "
+    "c16_seasonal_decompose plus two broadcast joins of bounded tables "
+    "(≤|types|·24 seasonal rows, |types| σ rows).",
+)
+def c16_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = (
+        ev.select(
+            "event_type",
+            (us / F.lit(3600000000)).cast("long").alias("hb"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(
+            (
+                F.sum("cents").cast("double") / (F.lit(100) * F.count("*"))
+            ).alias("bm")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-_SD_HALF, _SD_HALF)
+    )
+    bmq = F.round(F.col("bm"), 6).cast("decimal(18,6)")
+    t = b.select(
+        "event_type",
+        "hb",
+        "bm",
+        F.when(
+            F.count("*").over(w) == F.lit(_SD_SPAN),
+            F.sum(bmq).over(w).cast("double") / F.lit(_SD_SPAN),
+        ).alias("trend"),
+    )
+    d = t.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        "hb",
+        (F.col("hb") % 24).alias("hod"),
+        F.round(F.col("bm") - F.col("trend"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("detr"),
+    )
+    si = d.groupBy("event_type", "hod").agg(
+        (
+            F.sum(F.col("detr").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("seasonal")
+    )
+    res = d.join(F.broadcast(si), ["event_type", "hod"]).select(
+        "event_type", "hb", (F.col("detr") - F.col("seasonal")).alias("res")
+    )
+    st = res.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("res", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sr"),
+        F.sum(F.round(F.col("res") * F.col("res"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("srr"),
+    )
+    var = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    sd = st.select(
+        "event_type",
+        F.when(
+            (F.col("n") > 1)
+            & (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n") > 0),
+            F.sqrt(var),
+        ).alias("sd"),
+    )
+    return (
+        res.join(F.broadcast(sd), "event_type")
+        .filter(
+            F.col("sd").isNotNull()
+            & (F.abs(F.col("res")) > F.lit(3) * F.col("sd"))
+        )
+        .select("event_type", "hb", F.round("res", 6).alias("residual"))
+    )
+
+
+# --- C5+: Markov stationary distribution -------------------------------------
+
+_MARKOV_ITERS = 12
+
+
+def _markov_oracle() -> str:
+    """Unrolled power iteration over the row-stochastic transition matrix
+    (same trick as the PageRank oracle): per step one join + grouped sum of
+    1e15-scaled LONG fixed-point contributions."""
+    head = """
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+    pairs AS (
+        SELECT event_type AS src, next_type AS dst, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY src, dst),
+    tot AS (SELECT src, CAST(sum(n) AS DOUBLE) AS n_from
+            FROM pairs GROUP BY src),
+    p AS (
+        SELECT pairs.src, pairs.dst, CAST(n AS DOUBLE) / n_from AS prob
+        FROM pairs JOIN tot USING (src)),
+    states AS (SELECT src AS state FROM tot),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+    pi0 AS (SELECT state, 1.0 / k AS pi FROM states, ns)"""
+    blocks = []
+    for i in range(1, _MARKOV_ITERS + 1):
+        blocks.append(f"""
+    pi{i} AS (
+        SELECT p.dst AS state,
+               CAST(CAST(sum(CAST(round(q.pi * p.prob * 1e15, 0) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 1e15 AS pi
+        FROM p JOIN pi{i - 1} q ON q.state = p.src
+        GROUP BY p.dst)""")
+    return (
+        head
+        + ","
+        + ",".join(blocks)
+        + f"""
+    SELECT state AS event_type, round(pi, 12) AS stationary_prob
+    FROM pi{_MARKOV_ITERS}
+    """
+    )
+
+
+@register(
+    "c5_markov_stationary",
+    oracle=_markov_oracle(),
+    doc="C5+: stationary distribution of the user event-type Markov chain "
+    "(12 power-iteration steps over the row-stochastic transition matrix "
+    "c5_transition_matrix estimates) — where user behavior settles, the "
+    "steady-state companion to the per-transition view.  The transition "
+    "matrix is |types|² ≤ 25 rows, so every iteration is a broadcast "
+    "join + a 25-row grouped sum of 1e15-scaled LONG fixed-point "
+    "contributions (the PageRank quantization, hash-matching an "
+    "unrolled-CTE replay bit-for-bit); only the FIRST aggregation — the "
+    "lead() window and pair counts — touches data volume.",
+)
+def c5_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").cast("double").alias("n_from"))
+    p = (
+        pairs.join(tot, "src")
+        .select("src", "dst", (F.col("n").cast("double") / F.col("n_from")).alias("prob"))
+        .localCheckpoint(eager=True)
+    )
+    states = tot.select(F.col("src").alias("state"))
+    k = float(states.count())
+    pi = states.select("state", (F.lit(1.0) / F.lit(k)).alias("pi"))
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            p.join(pi, p["src"] == pi["state"])
+            .groupBy("dst")
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("pi") * F.col("prob") * F.lit(1.0e15), 0
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(1.0e15)
+                ).alias("pi")
+            )
+            .select(F.col("dst").alias("state"), "pi")
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.round("pi", 12).alias("stationary_prob"),
+    )

@@ -408,3 +408,116 @@ def test_quantile_normalize_matches_python_replay(spark, sf_dir):
     for s, vs in by_src.items():
         vals = [want[d][2] for _c, d in sorted(vs)]
         assert vals == sorted(vals)
+
+
+def test_seasonal_residual_outliers_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    buckets = defaultdict(list)
+    for t, _u, _e, us, cents in ev:
+        buckets[(t, us // 3_600_000_000)].append(cents)
+    series = defaultdict(list)
+    for (t, hb), cs in buckets.items():
+        series[t].append((hb, sum(cs) / (100 * len(cs))))
+    span, half = 23, 11
+
+    def q(x, d):
+        return Decimal(repr(x)).quantize(
+            Decimal(f"1e-{d}"), rounding=ROUND_HALF_UP
+        )
+
+    detr = []  # (type, hb, hod, detr)
+    for t, pts in series.items():
+        pts.sort()
+        for i in range(half, len(pts) - half):
+            frame = pts[i - half : i + half + 1]
+            trend = float(sum((q(bm, 6) for _hb, bm in frame), Decimal(0))) / span
+            hb, bm = pts[i]
+            detr.append((t, hb, hb % 24, float(q(bm - trend, 6))))
+    si = defaultdict(lambda: [0, Decimal(0)])
+    for t, _hb, hod, dv in detr:
+        acc = si[(t, hod)]
+        acc[0] += 1
+        acc[1] += Decimal(repr(dv)).quantize(Decimal("1e-6"))
+    seasonal = {k: float(s) / n for k, (n, s) in si.items()}
+    res = [
+        (t, hb, dv - seasonal[(t, hod)]) for t, hb, hod, dv in detr
+    ]
+    stats = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for t, _hb, r in res:
+        acc = stats[t]
+        acc[0] += 1
+        acc[1] += q(r, 6)
+        acc[2] += q(r * r, 12)
+    want = set()
+    for t, hb, r in res:
+        n, sr, srr = stats[t]
+        if n <= 1:
+            continue
+        num = float(srr) - float(sr) * float(sr) / n
+        if num <= 0:
+            continue
+        sd = math.sqrt(num / (n - 1))
+        if abs(r) > 3 * sd:
+            want.add((t, hb, float(q(r, 6))))
+    got = {
+        (r["event_type"], r["hb"], r["residual"])
+        for r in REGISTRY["c16_seasonal_residual_outliers"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus must produce at least one anomaly
+
+
+def test_markov_stationary_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    by_user = defaultdict(list)
+    for t, u, eid, us, _c in ev:
+        by_user[u].append((us, eid, t))
+    # NB: _events drops NULL values, but the registered query does not
+    # filter; rebuild from the unfiltered table
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        td = r["ts"].replace(tzinfo=None) - _EPOCH
+        us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        by_user[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    pairs = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    tot = Counter()
+    for (a, _b), n in pairs.items():
+        tot[a] += n
+    prob = {(a, b): n / tot[a] for (a, b), n in pairs.items()}
+    states = sorted(tot)
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(12):
+        nxt = defaultdict(int)
+        for (a, b), p in prob.items():
+            nxt[b] += int(
+                Decimal(repr(pi[a] * p * 1.0e15)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+        pi = {s: v / 1.0e15 for s, v in nxt.items()}
+    want = {
+        s: float(
+            Decimal(repr(v)).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
+        )
+        for s, v in pi.items()
+    }
+    got = {
+        r["event_type"]: r["stationary_prob"]
+        for r in REGISTRY["c5_markov_stationary"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # a stationary distribution sums to ~1 (fixed-point rounding aside)
+    assert abs(sum(got.values()) - 1.0) < 1e-6

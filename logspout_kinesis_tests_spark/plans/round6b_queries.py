@@ -1298,13 +1298,17 @@ def _markov_oracle() -> str:
     "(12 power-iteration steps over the row-stochastic transition matrix "
     "c5_transition_matrix estimates) — where user behavior settles, the "
     "steady-state companion to the per-transition view.  The transition "
-    "matrix is |types|² ≤ 25 rows, so every iteration is a broadcast "
-    "join + a 25-row grouped sum of 1e15-scaled LONG fixed-point "
-    "contributions (the PageRank quantization, hash-matching an "
-    "unrolled-CTE replay bit-for-bit); only the FIRST aggregation — the "
-    "lead() window and pair counts — touches data volume.",
+    "matrix is PROVABLY |types|² ≤ 25 rows, so it is collected and the "
+    "fixed point runs driver-side (the bounded-collect altitude of the "
+    "IVF centroid list — 12 rounds of 2-stage 25-row joins cost 3.2 s of "
+    "pure scheduling otherwise; 0.6 s this way), with contributions "
+    "quantized to 1e15-scaled LONG fixed-point exactly as the "
+    "unrolled-CTE oracle replays them; only the lead() window and pair "
+    "counts touch data volume.",
 )
 def c5_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -1313,31 +1317,44 @@ def c5_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
     tot = pairs.groupBy("src").agg(F.sum("n").cast("double").alias("n_from"))
-    p = (
+    # the transition matrix is PROVABLY ≤ |types|² rows — collect it and run
+    # the 12-step fixed point driver-side (the bounded-collect altitude of
+    # the IVF centroid list), instead of paying 12 rounds of 2-stage
+    # scheduling for 25-row joins (measured 3.2 s → 0.6 s at sf0.1; only
+    # the lead() pair counting above touches data volume).  The driver
+    # replay reproduces Spark round() exactly: HALF_UP over the shortest
+    # decimal repr (Decimal(repr(x)) == BigDecimal.valueOf(double)).
+    prob_rows = (
         pairs.join(tot, "src")
-        .select("src", "dst", (F.col("n").cast("double") / F.col("n_from")).alias("prob"))
-        .localCheckpoint(eager=True)
-    )
-    states = tot.select(F.col("src").alias("state"))
-    k = float(states.count())
-    pi = states.select("state", (F.lit(1.0) / F.lit(k)).alias("pi"))
-    for _ in range(_MARKOV_ITERS):
-        pi = (
-            p.join(pi, p["src"] == pi["state"])
-            .groupBy("dst")
-            .agg(
-                (
-                    F.sum(
-                        F.round(
-                            F.col("pi") * F.col("prob") * F.lit(1.0e15), 0
-                        ).cast("long")
-                    ).cast("double")
-                    / F.lit(1.0e15)
-                ).alias("pi")
-            )
-            .select(F.col("dst").alias("state"), "pi")
+        .select(
+            "src",
+            "dst",
+            (F.col("n").cast("double") / F.col("n_from")).alias("prob"),
         )
-    return pi.select(
-        F.col("state").alias("event_type"),
-        F.round("pi", 12).alias("stationary_prob"),
+        .collect()
+    )
+    states = sorted({r["src"] for r in prob_rows})
+    pi = {st: 1.0 / float(len(states)) for st in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt: dict[str, int] = {}
+        for r in prob_rows:
+            scaled = int(
+                Decimal(repr(pi.get(r["src"], 0.0) * r["prob"] * 1.0e15))
+                .quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+            )
+            nxt[r["dst"]] = nxt.get(r["dst"], 0) + scaled
+        pi = {st: v / 1.0e15 for st, v in nxt.items()}
+    out = [
+        (
+            st,
+            float(
+                Decimal(repr(v)).quantize(
+                    Decimal("1e-12"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for st, v in sorted(pi.items())
+    ]
+    return spark.createDataFrame(
+        out, schema="event_type string, stationary_prob double"
     )

@@ -241,3 +241,89 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HAMPEL_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("cents", LongType()),
+        StructField("med", LongType()),
+        StructField("mad", LongType()),
+        StructField("outlier", LongType()),
+    ]
+)
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_HAMPEL_STATE = StructType(
+    [StructField("tail", ArrayType(LongType()))]
+)
+
+#: Same fence as the batch operator (operators note in
+#: plans/round6b_queries.c16_hampel): 3 · 1.4826 × 10⁴ as an exact integer.
+_HAMPEL_FENCE_E4 = 44478
+_HAMPEL_TAPS = 7
+
+
+def streaming_hampel(stream: DataFrame) -> DataFrame:
+    """Streaming Hampel despiker per user: TRAILING 7-tap rolling median +
+    rolling MAD over integer cents, outlier where |x − med| > 3·1.4826·MAD
+    (exact ×10⁴ integer comparison, like the batch ``c16_hampel``).
+
+    The batch operator's frame is CENTERED (±3) — exact, but it needs the
+    future.  The streaming variant trades that for zero latency with the
+    trailing frame, the same at-ingest contract as ``streaming_cusum``.
+    Per-key state is the last 6 values (a bounded ring), so the store is
+    O(live keys), and the integer arithmetic is deterministic across
+    retries/replays — a recovered checkpoint recomputes identical flags.
+    """
+
+    def walk(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tail = list(state.get[0]) if state.exists else []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return iter(())
+        pdf = pd.concat(frames).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        cents = [
+            int(v)
+            for v in (pdf["value"] * 100).round(0).astype("int64").tolist()
+        ]
+        meds, mads, flags = [], [], []
+        for c in cents:
+            vs = sorted(tail[-(_HAMPEL_TAPS - 1) :] + [c])
+            med = vs[(len(vs) + 1) // 2 - 1]
+            mad = sorted(abs(x - med) for x in vs)[(len(vs) + 1) // 2 - 1]
+            meds.append(med)
+            mads.append(mad)
+            flags.append(
+                1 if abs(c - med) * 10000 > _HAMPEL_FENCE_E4 * mad else 0
+            )
+            tail.append(c)
+        state.update((tail[-(_HAMPEL_TAPS - 1) :],))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].values,
+                        "user_id": pdf["user_id"].values,
+                        "cents": cents,
+                        "med": meds,
+                        "mad": mads,
+                        "outlier": flags,
+                    }
+                )
+            ]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        walk,
+        outputStructType=HAMPEL_OUTPUT,
+        stateStructType=_HAMPEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

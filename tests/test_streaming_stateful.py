@@ -307,3 +307,65 @@ def test_streaming_cusum_carries_state_across_batches(spark, tmp_path):
     assert [r["cusum"] for r in rows] == [20.0 * (i + 1) for i in range(8)]
     # S=120 at event 5 (6th point): crosses only because batch-1 state carried
     assert [r["event_id"] for r in rows if r["alarm"] == 1] == [5, 6, 7]
+
+
+def test_streaming_hampel_carries_tail_across_batches(spark, tmp_path):
+    """The trailing-window ring must survive the micro-batch boundary: a
+    spike in batch 2 is judged against context that arrived in batch 1."""
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_hampel,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = lambda i, v: {
+        "event_id": i,
+        "ts": f"2024-01-01 00:00:{i:02d}",
+        "user_id": 1,
+        "event_type": "m",
+        "value": v,
+        "props": "{}",
+    }
+    # batch 1: six flat points (the context); batch 2: a spike then flat —
+    # the spike can only be flagged if batch-1 values are in state
+    _write_events(
+        os.path.join(src, "b1.json"), [base(i, 50.0) for i in range(6)]
+    )
+    _write_events(
+        os.path.join(src, "b2.json"),
+        [base(6, 99.99), base(7, 50.0), base(8, 50.0)],
+    )
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = streaming_hampel(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hampel_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM hampel_stream ORDER BY event_id"
+    ).collect()
+    assert len(rows) == 9
+    # replay the trailing-window semantics in plain Python
+    tail: list[int] = []
+    want_flags = []
+    for c in [5000] * 6 + [9999, 5000, 5000]:
+        vs = sorted(tail[-6:] + [c])
+        med = vs[(len(vs) + 1) // 2 - 1]
+        mad = sorted(abs(x - med) for x in vs)[(len(vs) + 1) // 2 - 1]
+        want_flags.append(1 if abs(c - med) * 10000 > 44478 * mad else 0)
+        tail.append(c)
+    assert [r["outlier"] for r in rows] == want_flags
+    # the spike (and only the spike) is flagged — proves batch-1 context
+    # crossed the boundary: within batch 2 alone the spike is the FIRST
+    # row and a 1-tap window can never flag
+    assert [r["event_id"] for r in rows if r["outlier"] == 1] == [6]
+    assert all(r["med"] == 5000 for r in rows if r["event_id"] >= 6)

@@ -259,3 +259,32 @@ def test_pq_topk_rejects_query_corpus_dim_mismatch(spark, sf_dir):
     corpus = emb.select("vec_id", "embedding")
     with _pytest.raises(ValueError, match="PQ index"):
         pq_topk(queries, corpus, k=5, m=4)
+
+
+def test_pq_finds_planted_exact_duplicates(spark, sf_dir):
+    """PQ geometry pin with no recall band (the IVF twin above): an exact
+    duplicate has identical subvectors, hence identical codes, hence ADC
+    distance equal to the query's own — it must survive the candidate cut
+    and the exact re-rank must place it at rank <= 2.  A wrong subspace
+    split, codebook seed, or distance sign breaks this deterministically."""
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shift = 5_000_000
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").union(planted)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = {
+        r["query_id"]
+        for r in pq_topk(
+            queries, corpus, k=5, m=4, ksub=16, rerank=100
+        ).collect()
+        if r["vec_id"] == r["query_id"] + shift and r["rank"] <= 2
+    }
+    assert hits == set(range(20)), (
+        f"missing planted duplicates: {set(range(20)) - hits}"
+    )

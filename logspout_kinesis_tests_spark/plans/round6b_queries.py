@@ -1358,3 +1358,40 @@ def c5_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="event_type string, stationary_prob double"
     )
+
+
+# --- C14+: soft-dedup training weights ---------------------------------------
+
+
+@register(
+    "c14_soft_dedup_weights",
+    # Instead of DROPPING exact duplicates (c8_exact_dedup / keep-one),
+    # weight every copy by 1/cluster_size so the training distribution is
+    # dedup-equivalent while no document is lost — the standard soft-dedup
+    # reweighting.  The content key is md5 (engine-portable), the weight is
+    # one division of exact integers.
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hk FROM documents),
+    sizes AS (SELECT hk, count(*) AS cluster_size FROM h GROUP BY hk)
+    SELECT doc_id, cluster_size,
+           round(1.0 / cluster_size, 9) AS weight
+    FROM h JOIN sizes USING (hk)
+    """,
+    doc="C14+: soft-dedup sampling weights — every exact-duplicate cluster "
+    "member keeps weight 1/cluster_size, so epochs see the deduplicated "
+    "distribution without discarding any copy (the reweighting alternative "
+    "to c8_dedup_keep_one when provenance or recency metadata on the "
+    "copies still matters).  One scan-side md5, one map-combined count, "
+    "one equi-join on the 32-byte key — shuffle carries hashes and ids, "
+    "never bodies.  Scales like exact dedup.",
+)
+def c14_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hk")
+    )
+    sizes = docs.groupBy("hk").agg(F.count("*").alias("cluster_size"))
+    return docs.join(sizes, "hk").select(
+        "doc_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("weight"),
+    )

@@ -521,3 +521,33 @@ def test_markov_stationary_matches_python_replay(spark, sf_dir):
     assert got == want
     # a stationary distribution sums to ~1 (fixed-point rounding aside)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_soft_dedup_weights_matches_python_replay(spark, sf_dir):
+    import hashlib
+
+    rows = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    sizes = Counter(
+        hashlib.md5(r["text"].encode("utf-8")).hexdigest() for r in rows
+    )
+    want = {}
+    for r in rows:
+        c = sizes[hashlib.md5(r["text"].encode("utf-8")).hexdigest()]
+        want[r["doc_id"]] = (
+            c,
+            float(
+                Decimal(repr(1.0 / c)).quantize(
+                    Decimal("1e-9"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["weight"])
+        for r in REGISTRY["c14_soft_dedup_weights"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the weighted corpus mass equals the deduplicated doc count
+    uniq = len(sizes)
+    assert abs(sum(w for _c, w in got.values()) - uniq) < 1e-6

@@ -30,6 +30,64 @@ from logspout_kinesis_tests_spark.sources.tables import load_table
 # --- C2+: Theil–Sen robust slope ---------------------------------------------
 
 
+def _theil_sen(spark: SparkSession, sf_dir: str, keys: list[str]) -> DataFrame:
+    """Disjoint rank-pairing Theil-Sen over integer cents, partitioned on
+    ``keys`` — shared by the per-type and per-entity variants (identical
+    arithmetic; only the partition axis differs)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        *keys,
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy(*keys).orderBy("us", "event_id")
+    r = base.select("*", F.row_number().over(w).alias("rn"))
+    m = r.groupBy(*keys).agg((F.count("*") / 2).cast("long").alias("m"))
+    # the per-type m table is 5 rows (broadcast); the per-entity one scales
+    # with users — broadcast only when the key set is the bounded one
+    m_side = F.broadcast(m) if keys == ["event_type"] else m
+    a = (
+        r.join(m_side, keys)
+        .filter(F.col("rn") <= F.col("m"))
+        .select(
+            *keys,
+            F.col("rn").alias("i"),
+            F.col("us").alias("us1"),
+            F.col("cents").alias("c1"),
+            (F.col("rn") + F.col("m")).alias("rn2"),
+        )
+    )
+    b = r.select(
+        *keys,
+        F.col("rn").alias("rn2"),
+        F.col("us").alias("us2"),
+        F.col("cents").alias("c2"),
+    )
+    pairs = a.join(b, keys + ["rn2"]).filter(F.col("us2") != F.col("us1"))
+    slope = (F.col("c2") - F.col("c1")).cast("double") / (
+        F.col("us2") - F.col("us1")
+    ).cast("double")
+    p = pairs.select(*keys, "i", slope.alias("slope"))
+    ws = Window.partitionBy(*keys).orderBy("slope", "i")
+    wn = Window.partitionBy(*keys)
+    k = p.select(
+        *keys,
+        "slope",
+        F.row_number().over(ws).alias("rs"),
+        F.count("*").over(wn).alias("n_pairs"),
+    )
+    return k.filter(
+        F.col("rs") == F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2))
+    ).select(
+        *keys,
+        "n_pairs",
+        F.round(F.col("slope") * F.lit(36000000.0), 6).alias("slope_per_hour"),
+    )
+
+
+
+
 @register(
     "c2_theil_sen",
     # Disjoint-pairs Theil–Sen (the Hodges–Lehmann pairing): rank the
@@ -78,57 +136,7 @@ from logspout_kinesis_tests_spark.sources.tables import load_table
     "the 100 TB default (c16_acf_by_user precedent).",
 )
 def c2_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    base = ev.select(
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        "event_id",
-    )
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
-    r = base.select("*", F.row_number().over(w).alias("rn"))
-    m = r.groupBy("event_type").agg(
-        (F.count("*") / 2).cast("long").alias("m")
-    )
-    a = (
-        r.join(F.broadcast(m), "event_type")
-        .filter(F.col("rn") <= F.col("m"))
-        .select(
-            "event_type",
-            F.col("rn").alias("i"),
-            F.col("us").alias("us1"),
-            F.col("cents").alias("c1"),
-            (F.col("rn") + F.col("m")).alias("rn2"),
-        )
-    )
-    b = r.select(
-        "event_type",
-        F.col("rn").alias("rn2"),
-        F.col("us").alias("us2"),
-        F.col("cents").alias("c2"),
-    )
-    pairs = a.join(b, ["event_type", "rn2"]).filter(
-        F.col("us2") != F.col("us1")
-    )
-    slope = (F.col("c2") - F.col("c1")).cast("double") / (
-        F.col("us2") - F.col("us1")
-    ).cast("double")
-    p = pairs.select("event_type", "i", slope.alias("slope"))
-    ws = Window.partitionBy("event_type").orderBy("slope", "i")
-    wn = Window.partitionBy("event_type")
-    k = p.select(
-        "event_type",
-        "slope",
-        F.row_number().over(ws).alias("rs"),
-        F.count("*").over(wn).alias("n_pairs"),
-    )
-    return k.filter(
-        F.col("rs") == F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2))
-    ).select(
-        "event_type",
-        "n_pairs",
-        F.round(F.col("slope") * F.lit(36000000.0), 6).alias("slope_per_hour"),
-    )
+    return _theil_sen(spark, sf_dir, ["event_type"])
 
 
 # --- C2+: mutual information -------------------------------------------------
@@ -239,6 +247,50 @@ _SD_SPAN = 23
 _SD_HALF = _SD_SPAN // 2
 
 
+def _detrended_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hb, hod, detr DECIMAL(18,6)) — the hourly bucket means
+    detrended by the centered 23-bucket moving average (full frames only).
+    Shared by the seasonal-index and residual-anomaly queries."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = (
+        ev.select(
+            "event_type",
+            (us / F.lit(3600000000)).cast("long").alias("hb"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(
+            (
+                F.sum("cents").cast("double") / (F.lit(100) * F.count("*"))
+            ).alias("bm")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-_SD_HALF, _SD_HALF)
+    )
+    bmq = F.round(F.col("bm"), 6).cast("decimal(18,6)")
+    t = b.select(
+        "event_type",
+        "hb",
+        "bm",
+        F.when(
+            F.count("*").over(w) == F.lit(_SD_SPAN),
+            F.sum(bmq).over(w).cast("double") / F.lit(_SD_SPAN),
+        ).alias("trend"),
+    )
+    return t.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        "hb",
+        (F.col("hb") % 24).alias("hod"),
+        F.round(F.col("bm") - F.col("trend"), 6)
+        .cast("decimal(18,6)")
+        .alias("detr"),
+    )
+
+
 @register(
     "c16_seasonal_decompose",
     # Classical additive decomposition on the hourly per-type series:
@@ -283,44 +335,7 @@ _SD_HALF = _SD_SPAN // 2
     "is immaterial here.",
 )
 def c16_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    b = (
-        ev.select(
-            "event_type",
-            (us / F.lit(3600000000)).cast("long").alias("hb"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        )
-        .groupBy("event_type", "hb")
-        .agg(
-            (
-                F.sum("cents").cast("double")
-                / (F.lit(100) * F.count("*"))
-            ).alias("bm")
-        )
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hb")
-        .rowsBetween(-_SD_HALF, _SD_HALF)
-    )
-    bmq = F.round(F.col("bm"), 6).cast("decimal(18,6)")
-    t = b.select(
-        "event_type",
-        "hb",
-        "bm",
-        F.when(
-            F.count("*").over(w) == F.lit(_SD_SPAN),
-            F.sum(bmq).over(w).cast("double") / F.lit(_SD_SPAN),
-        ).alias("trend"),
-    )
-    d = t.filter(F.col("trend").isNotNull()).select(
-        "event_type",
-        (F.col("hb") % 24).alias("hod"),
-        F.round(F.col("bm") - F.col("trend"), 6)
-        .cast("decimal(18,6)")
-        .alias("detr"),
-    )
+    d = _detrended_hourly(spark, sf_dir)
     return d.groupBy("event_type", "hod").agg(
         F.count("*").alias("n_buckets"),
         F.round(F.sum("detr").cast("double") / F.count("*"), 6).alias(
@@ -918,55 +933,7 @@ def c20_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the user population instead of capping at 5 event types.",
 )
 def c2_theil_sen_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    base = ev.select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        "event_id",
-    )
-    keys = ["user_id", "event_type"]
-    w = Window.partitionBy(*keys).orderBy("us", "event_id")
-    r = base.select("*", F.row_number().over(w).alias("rn"))
-    m = r.groupBy(*keys).agg((F.count("*") / 2).cast("long").alias("m"))
-    a = (
-        r.join(m, keys)
-        .filter(F.col("rn") <= F.col("m"))
-        .select(
-            *keys,
-            F.col("rn").alias("i"),
-            F.col("us").alias("us1"),
-            F.col("cents").alias("c1"),
-            (F.col("rn") + F.col("m")).alias("rn2"),
-        )
-    )
-    b = r.select(
-        *keys,
-        F.col("rn").alias("rn2"),
-        F.col("us").alias("us2"),
-        F.col("cents").alias("c2"),
-    )
-    pairs = a.join(b, keys + ["rn2"]).filter(F.col("us2") != F.col("us1"))
-    slope = (F.col("c2") - F.col("c1")).cast("double") / (
-        F.col("us2") - F.col("us1")
-    ).cast("double")
-    p = pairs.select(*keys, "i", slope.alias("slope"))
-    ws = Window.partitionBy(*keys).orderBy("slope", "i")
-    wn = Window.partitionBy(*keys)
-    k = p.select(
-        *keys,
-        "slope",
-        F.row_number().over(ws).alias("rs"),
-        F.count("*").over(wn).alias("n_pairs"),
-    )
-    return k.filter(
-        F.col("rs") == F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2))
-    ).select(
-        *keys,
-        "n_pairs",
-        F.round(F.col("slope") * F.lit(36000000.0), 6).alias("slope_per_hour"),
-    )
+    return _theil_sen(spark, sf_dir, ["user_id", "event_type"])
 
 
 # --- C2+: quantile normalization ----------------------------------------------
@@ -1167,44 +1134,8 @@ def c2_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(≤|types|·24 seasonal rows, |types| σ rows).",
 )
 def c16_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    b = (
-        ev.select(
-            "event_type",
-            (us / F.lit(3600000000)).cast("long").alias("hb"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        )
-        .groupBy("event_type", "hb")
-        .agg(
-            (
-                F.sum("cents").cast("double") / (F.lit(100) * F.count("*"))
-            ).alias("bm")
-        )
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hb")
-        .rowsBetween(-_SD_HALF, _SD_HALF)
-    )
-    bmq = F.round(F.col("bm"), 6).cast("decimal(18,6)")
-    t = b.select(
-        "event_type",
-        "hb",
-        "bm",
-        F.when(
-            F.count("*").over(w) == F.lit(_SD_SPAN),
-            F.sum(bmq).over(w).cast("double") / F.lit(_SD_SPAN),
-        ).alias("trend"),
-    )
-    d = t.filter(F.col("trend").isNotNull()).select(
-        "event_type",
-        "hb",
-        (F.col("hb") % 24).alias("hod"),
-        F.round(F.col("bm") - F.col("trend"), 6)
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("detr"),
+    d = _detrended_hourly(spark, sf_dir).select(
+        "event_type", "hb", "hod", F.col("detr").cast("double").alias("detr")
     )
     si = d.groupBy("event_type", "hod").agg(
         (

@@ -1326,3 +1326,102 @@ def c14_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("weight"),
     )
+
+
+# --- C15+: nearest-direction as-of join --------------------------------------
+
+
+@register(
+    "c15_asof_nearest",
+    # Nearest view in EITHER direction per purchase (tie → backward), as
+    # the composition of the backward and forward as-of joins.  The oracle
+    # replays it as a per-user candidate join ranked by (|Δt|, direction,
+    # the operator's within-tie struct order: max event_id backward, min
+    # forward) — O(per-user purchases × views) pairs, fine for an oracle;
+    # the Spark side stays two single-shuffle as-of merges + one equi-join.
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, ts
+        FROM events WHERE event_type = 'purchase'),
+    v AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, ts
+        FROM events WHERE event_type = 'view'),
+    cand AS (
+        SELECT p.event_id AS pid, v.event_id AS vid, v.ts AS vts,
+               abs(p.us - v.us) AS adt,
+               CASE WHEN v.us <= p.us THEN 0 ELSE 1 END AS dirn
+        FROM p JOIN v USING (user_id)),
+    best AS (
+        SELECT pid, vid, vts
+        FROM (SELECT pid, vid, vts,
+                     row_number() OVER (
+                         PARTITION BY pid
+                         ORDER BY adt, dirn,
+                                  CASE WHEN dirn = 0 THEN -vid ELSE vid END
+                     ) AS rn
+              FROM cand)
+        WHERE rn = 1)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           b.vid AS view_event_id,
+           strftime(b.vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+    FROM p LEFT JOIN best b ON b.pid = p.event_id
+    """,
+    doc="C15+: nearest-in-time as-of join — each purchase attaches its "
+    "closest view in EITHER direction (tie → the earlier one), completing "
+    "the as-of family beside backward (c15_asof_join), forward "
+    "(c15_asof_join_forward) and tolerance (c15_asof_tolerance).  Built "
+    "as the composition both of those already scale to: two "
+    "union-window-carry as-of merges (one shuffle each, no pair "
+    "explosion) and one equi-join on the purchase id — the oracle's "
+    "quadratic candidate ranking exists only on the DuckDB side.",
+)
+def c15_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.temporal import asof_join
+    from logspout_kinesis_tests_spark.plans.helpers import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    bk = asof_join(
+        purchases, views, on="user_id", right_cols=("event_id",)
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_id_right").alias("b_vid"),
+        F.col("ts_right").alias("b_ts"),
+    )
+    fw = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=("event_id",),
+        direction="forward",
+    ).select(
+        "event_id",
+        F.col("event_id_right").alias("f_vid"),
+        F.col("ts_right").alias("f_ts"),
+    )
+    j = bk.join(fw, "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dt_b = us - F.unix_micros(F.col("b_ts").cast("timestamp"))
+    dt_f = F.unix_micros(F.col("f_ts").cast("timestamp")) - us
+    use_b = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (dt_b <= dt_f)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("purchase_ts"),
+        F.when(use_b, F.col("b_vid")).otherwise(F.col("f_vid")).alias(
+            "view_event_id"
+        ),
+        ts_str(
+            F.when(use_b, F.col("b_ts")).otherwise(F.col("f_ts"))
+        ).alias("view_ts"),
+    )

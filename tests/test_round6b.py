@@ -551,3 +551,50 @@ def test_soft_dedup_weights_matches_python_replay(spark, sf_dir):
     # the weighted corpus mass equals the deduplicated doc count
     uniq = len(sizes)
     assert abs(sum(w for _c, w in got.values()) - uniq) < 1e-6
+
+
+def test_asof_nearest_matches_python_replay(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('purchase', 'view')")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    purchases, views = defaultdict(list), defaultdict(list)
+    ts_map = {}
+    for r in rows:
+        td = r["ts"].replace(tzinfo=None) - _EPOCH
+        us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        ts_map[r["event_id"]] = r["ts"]
+        if r["event_type"] == "purchase":
+            purchases[r["user_id"]].append((us, r["event_id"]))
+        else:
+            views[r["user_id"]].append((us, r["event_id"]))
+    want = {}
+    for u, ps in purchases.items():
+        vs = views.get(u, [])
+        for pus, pid in ps:
+            best = None
+            for vus, vid in vs:
+                adt = abs(pus - vus)
+                dirn = 0 if vus <= pus else 1
+                # tie order: (|dt|, backward-first, max vid backward /
+                # min vid forward)
+                key = (adt, dirn, -vid if dirn == 0 else vid)
+                if best is None or key < best[0]:
+                    best = (key, vid)
+            want[pid] = (u, best[1] if best else None)
+    got = {
+        r["event_id"]: (r["user_id"], r["view_event_id"])
+        for r in REGISTRY["c15_asof_nearest"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+    # both directions must win somewhere on real data
+    back = sum(
+        1
+        for pid, (u, vid) in want.items()
+        if vid is not None
+        and dict((eid, us) for us, eid in views[u])[vid]
+        <= dict((eid, us) for us, eid in purchases[u])[pid]
+    )
+    assert 0 < back < len([v for v in want.values() if v[1] is not None])

@@ -135,6 +135,8 @@ HEADLINE = (
     "c2_quantile_normalize",
     "c16_seasonal_residual_outliers",
     "c5_markov_stationary",
+    "c14_soft_dedup_weights",
+    "c15_asof_nearest",
 )
 
 

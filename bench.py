@@ -137,6 +137,7 @@ HEADLINE = (
     "c5_markov_stationary",
     "c14_soft_dedup_weights",
     "c15_asof_nearest",
+    "c2_winsorized_mean",
 )
 
 

@@ -1425,3 +1425,90 @@ def c15_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(use_b, F.col("b_ts")).otherwise(F.col("f_ts"))
         ).alias("view_ts"),
     )
+
+
+# --- C2+: winsorized mean (builtin twin of the GROUPED_AGG trimmed mean) -----
+
+
+@register(
+    "c2_winsorized_mean",
+    # 5%-winsorized mean per type, expressions-first: exact rank-selected
+    # p05/p95 fences (integer cents, pure selection), values CLAMPED to the
+    # fences (not dropped, unlike trimming), mean as an exact long sum.
+    # The deliberate builtin counterpart of c13_grouped_agg_trimmed_mean —
+    # same robust-location family, zero Python.
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+        FROM events WHERE value IS NOT NULL),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base),
+    fence AS (
+        SELECT event_type, max(n) AS n,
+               max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                   THEN cents END) AS lo,
+               max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                   THEN cents END) AS hi
+        FROM r GROUP BY event_type)
+    SELECT b.event_type, CAST(f.n AS BIGINT) AS n,
+           round(CAST(sum(least(greatest(b.cents, f.lo), f.hi)) AS DOUBLE)
+                 / (100 * f.n), 6) AS winsorized_mean
+    FROM base b JOIN fence f USING (event_type)
+    GROUP BY b.event_type, f.n
+    """,
+    doc="C2+: 5%-winsorized mean per event type — the robust location "
+    "estimator that CLAMPS tails to the exact rank-selected p05/p95 "
+    "fences instead of dropping them (c13_grouped_agg_trimmed_mean is "
+    "the trimming sibling, routed through a GROUPED_AGG pandas UDF; this "
+    "is the zero-Python builtin twin).  One rank window per type, a "
+    "broadcast 5-row fence table, one exact long-sum aggregation.",
+)
+def c2_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    fence = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(0.05) * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(0.95) * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        base.join(F.broadcast(fence), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(
+                F.sum(clamped).cast("double") / (F.lit(100) * F.col("n").cast("double")),
+                6,
+            ).alias("winsorized_mean")
+        )
+        .select("event_type", F.col("n").cast("long").alias("n"), "winsorized_mean")
+    )

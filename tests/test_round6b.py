@@ -598,3 +598,33 @@ def test_asof_nearest_matches_python_replay(spark, sf_dir):
         <= dict((eid, us) for us, eid in purchases[u])[pid]
     )
     assert 0 < back < len([v for v in want.values() if v[1] is not None])
+
+
+def test_winsorized_mean_matches_python_replay(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    by_type = defaultdict(list)
+    for t, _u, eid, _us, cents in ev:
+        by_type[t].append((cents, eid))
+    want = {}
+    for t, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        lo = vs[math.ceil(0.05 * n) - 1][0]
+        hi = vs[math.ceil(0.95 * n) - 1][0]
+        s = sum(min(max(c, lo), hi) for c, _e in vs)
+        want[t] = (
+            n,
+            float(
+                Decimal(repr(s / (100 * n))).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        # winsorizing must clamp something on real data, and the result
+        # must sit inside the fences
+        assert lo / 100 <= want[t][1] <= hi / 100
+    got = {
+        r["event_type"]: (r["n"], r["winsorized_mean"])
+        for r in REGISTRY["c2_winsorized_mean"].build(spark, sf_dir).collect()
+    }
+    assert got == want

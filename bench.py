@@ -141,6 +141,120 @@ HEADLINE = (
 )
 
 
+# --------------------------------------------------------------------------
+# Host-state calibration (VERDICT r6 #1).
+#
+# Cross-round bench totals were dominated by host drift, not code: r6's
+# recorded shared-query total ran 1.26× r5's with zero changes on the moved
+# paths (judge idle-box A/B), which would completely mask a real 1.2× code
+# regression.  Fix: before the headline loop, time a FROZEN calibration set
+# of three trivial queries — defined INLINE here, never via the registry, so
+# no future builder edit can move the yardstick — and report
+#
+#   host_factor      = calibration_total_now / _CAL_REF_TOTAL
+#   value_calibrated = value / host_factor
+#
+# alongside the raw total.  Rounds compare ``value_calibrated``; any mover
+# >1.3× CALIBRATED gets the worktree A/B treatment (SCALE.md round-6a).
+# The three shapes mirror the r5-era plans of c4_topk_orders /
+# c1_filter_pushdown / flagship_event_stats: a TakeOrdered scan, a
+# pushed-down filter scan, and a two-shuffle agg — scheduling floor, scan
+# throughput, and shuffle setup, the three axes host state moves.
+# --------------------------------------------------------------------------
+
+#: Frozen reference medians (sec), recorded 2026-08-15 on the round-7 box:
+#: median across 3 FRESH sessions of the in-position measurement (i.e. run
+#: exactly where bench runs it — right after the single session warmup),
+#: quiet box, sf0.1, local[32], 2 untimed warmups + median of 7 per query.
+#: Cross-session spread was ±10%, so host_factor resolves drift ≥ ~1.25×
+#: (r6's observed drift class) but not single-digit %.  Do NOT re-record
+#: casually: a new reference resets the comparability baseline and must be
+#: noted in SCALE.md with a same-session A/B against the old one.
+_CAL_REF = {
+    "cal_topk_scan": 0.254,
+    "cal_filter_scan": 0.278,
+    "cal_groupby_agg": 0.314,
+}
+_CAL_REF_TOTAL = round(sum(_CAL_REF.values()), 3)
+_CAL_REPEATS = 7
+_CAL_WARMUPS = 2
+
+
+def _calibration_builders():
+    """Three frozen trivial plans, self-contained (plain ``spark.read`` +
+    ``pyspark.sql.functions``, no package helpers — helper edits must not
+    move the yardstick)."""
+    from pyspark.sql import functions as F
+
+    def cal_topk_scan(spark, sf_dir):
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        return (
+            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+
+    def cal_filter_scan(spark, sf_dir):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        return li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).select(
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+
+    def cal_groupby_agg(spark, sf_dir):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum("value").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    return {
+        "cal_topk_scan": cal_topk_scan,
+        "cal_filter_scan": cal_filter_scan,
+        "cal_groupby_agg": cal_groupby_agg,
+    }
+
+
+def _run_calibration(spark, sf_dir) -> dict:
+    """Median-of-5 timings for the frozen set + the derived host factor."""
+    cal: dict[str, float] = {}
+    for name, build in _calibration_builders().items():
+        for _ in range(_CAL_WARMUPS):
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(_CAL_REPEATS):
+            t0 = time.perf_counter()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        cal[name] = round(statistics.median(runs), 3)
+    total = round(sum(cal.values()), 3)
+    # host_factor = MEDIAN of per-query now/ref ratios, not the total
+    # ratio: a single-query hiccup (observed: one 2.0x outlier while the
+    # other two sat at 1.15x) would otherwise shift the factor by the
+    # outlier's weight; the median needs 2 of 3 frozen queries to move
+    # before the factor does, which is what genuine host drift looks like
+    ratios = sorted(cal[name] / _CAL_REF[name] for name in cal)
+    return {
+        "queries": cal,
+        "total": total,
+        "ref_total": _CAL_REF_TOTAL,
+        "ref_queries": _CAL_REF,
+        "per_query_ratio": {n: round(cal[n] / _CAL_REF[n], 3) for n in cal},
+        "host_factor": round(ratios[len(ratios) // 2], 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -154,6 +268,9 @@ def main() -> None:
     REGISTRY["c4_topk_orders"].build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # host-state index FIRST (frozen plans, registry-independent)
+    calibration = _run_calibration(spark, sf_dir)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
@@ -180,14 +297,20 @@ def main() -> None:
     # the single line past the capture window, truncating the line head and
     # losing the headline value (BENCH_r05 "parsed": null).  The final line
     # is ~150 bytes and always survives tail capture intact.
+    value = round(sum(timings.values()), 3)
     headline = {
         "metric": "headline query wall time (noop sink, warm session)",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "n_queries": len(timings),
         "sf": sf,
+        # host-normalized total: raw / (calibration_now / calibration_ref).
+        # Rounds compare THIS number (VERDICT r6 #1) — raw totals conflate
+        # host state with engine performance.
+        "host_factor": calibration["host_factor"],
+        "value_calibrated": round(value / calibration["host_factor"], 3),
     }
-    full = {**headline, "queries": timings}
+    full = {**headline, "queries": timings, "calibration": calibration}
     print(json.dumps(full))
     # local artifact with the per-query detail, for cross-round comparisons
     # independent of what the driver's capture keeps

@@ -106,10 +106,90 @@ def latest_rows_only_names(repo_root: Path | None = None) -> set[str]:
 FPRINT_FILE = "ORACLE_FPRINTS.json"
 
 
+#: Package prefix bounding the recursive source walk — only helpers defined
+#: inside this package count toward a builder's fingerprint (stdlib/pyspark
+#: churn must not flip prints).
+_PKG_PREFIX = __name__.split(".")[0]
+
+
+def _collect_code_names(code) -> set[str]:
+    """All global names referenced by a code object, including nested code
+    objects (comprehensions, lambdas, inner defs)."""
+    import types
+
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return names
+
+
+def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
+    """Recursively append the source of package-local callables that ``fn``
+    references through its globals.  Two lookup shapes are covered: a direct
+    global (``_theil_sen(...)``) and attribute access on a package module
+    (``temporal.asof_join(...)`` — the module and the attribute both appear
+    in ``co_names``).  Classes are hashed by their own source but not
+    recursed (their methods' helpers are a depth this registry doesn't use).
+    """
+    import inspect
+
+    import sys
+
+    code = getattr(fn, "__code__", None)
+    g = getattr(fn, "__globals__", None)
+    if code is None or g is None:
+        return
+    names = _collect_code_names(code)
+    for name in sorted(names):
+        obj = g.get(name)
+        if obj is None and name.startswith(_PKG_PREFIX + "."):
+            # function-local ``from ..operators.x import y`` compiles to the
+            # dotted module path in co_names with the imported names as
+            # attribute loads — resolve via sys.modules (already imported
+            # when the registry loaded)
+            obj = sys.modules.get(name)
+        if obj is None:
+            continue
+        targets = []
+        if inspect.ismodule(obj):
+            if (getattr(obj, "__name__", "") or "").startswith(_PKG_PREFIX):
+                targets = [
+                    getattr(obj, attr)
+                    for attr in sorted(names)
+                    if attr != name and hasattr(obj, attr)
+                ]
+        elif inspect.isfunction(obj) or inspect.isclass(obj):
+            if (getattr(obj, "__module__", "") or "").startswith(_PKG_PREFIX):
+                targets = [obj]
+        for t in targets:
+            if not (inspect.isfunction(t) or inspect.isclass(t)):
+                continue
+            if not (getattr(t, "__module__", "") or "").startswith(_PKG_PREFIX):
+                continue
+            key = (getattr(t, "__module__", ""), getattr(t, "__qualname__", repr(t)))
+            if key in seen:
+                continue
+            seen.add(key)
+            try:
+                parts.append(inspect.getsource(t))
+            except (OSError, TypeError):
+                continue
+            if inspect.isfunction(t):
+                _gather_referenced_sources(t, seen, parts)
+
+
 def fingerprint(spec) -> str:
-    """md5 over (oracle SQL, builder source) — what the driver's verdict is
-    actually evidence about.  Builder source comes from ``inspect``, so a
-    Spark-side rewrite with an unchanged oracle still flips the print."""
+    """md5 over (oracle SQL, builder source, sources of every package-local
+    helper the builder transitively references) — what the driver's verdict
+    is actually evidence about.  The transitive closure matters: many
+    builders are one-line wrappers over shared helpers (``_theil_sen``,
+    ``operators/temporal.asof_join``), and an edit to the helper invalidates
+    the wrapper's green verdict just as surely as an edit to the wrapper."""
     import hashlib
     import inspect
 
@@ -119,22 +199,56 @@ def fingerprint(spec) -> str:
         src = inspect.getsource(build) if build is not None else ""
     except (OSError, TypeError):
         src = ""
+    parts: list[str] = []
+    if build is not None:
+        _gather_referenced_sources(build, set(), parts)
     return hashlib.md5(
-        (oracle + "\n\x00\n" + src).encode("utf-8", "replace")
+        ("\n\x00\n".join([oracle, src] + parts)).encode("utf-8", "replace")
     ).hexdigest()
 
 
 def changed_since_snapshot(registry: dict, repo_root: Path | None = None) -> set[str]:
     """Names whose current fingerprint differs from the committed snapshot.
-    Missing snapshot file / malformed JSON / names absent from the snapshot
-    all degrade to 'not changed' (the staleness ordering is the backstop)."""
+
+    Degraded snapshots are NOISY, not silent: a missing/malformed
+    ``ORACLE_FPRINTS.json``, or one that predates newly-registered names,
+    means ``scripts/gen_oracle_fprints.py`` was not run at round start — the
+    changed-promotion tier would then misreport a whole round of edits, so a
+    ``UserWarning`` is emitted (new names alone are expected mid-round and
+    warn only when they exceed a sanity margin of the registry)."""
+    import warnings
+
     path = (repo_root or _REPO_ROOT) / FPRINT_FILE
     try:
         snap = json.loads(path.read_text())
-    except (OSError, json.JSONDecodeError):
+    except (OSError, json.JSONDecodeError) as exc:
+        warnings.warn(
+            f"rotation: {FPRINT_FILE} unreadable ({exc!r}) — changed-query "
+            "promotion disabled this run; regenerate with "
+            "scripts/gen_oracle_fprints.py at round start",
+            UserWarning,
+            stacklevel=2,
+        )
         return set()
     if not isinstance(snap, dict):
+        warnings.warn(
+            f"rotation: {FPRINT_FILE} is not a JSON object — changed-query "
+            "promotion disabled; regenerate with scripts/gen_oracle_fprints.py",
+            UserWarning,
+            stacklevel=2,
+        )
         return set()
+    missing = [name for name in registry if name not in snap]
+    # a few missing names = queries registered mid-round (normal); most of
+    # the registry missing = a stale/foreign snapshot, which deserves noise
+    if missing and len(missing) > max(10, len(registry) // 4):
+        warnings.warn(
+            f"rotation: {len(missing)}/{len(registry)} registered names "
+            f"absent from {FPRINT_FILE} — snapshot looks stale; regenerate "
+            "with scripts/gen_oracle_fprints.py",
+            UserWarning,
+            stacklevel=2,
+        )
     return {
         name
         for name, spec in registry.items()

@@ -256,8 +256,17 @@ def _detrended_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         ev.select(
             "event_type",
-            (us / F.lit(3600000000)).cast("long").alias("hb"),
+            us.alias("us"),
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        # exact integer FLOOR division (`div`), matching the oracles'
+        # epoch_us(ts) // 3600000000 — double division + cast('long')
+        # truncates toward zero and lands pre-1970 (negative-µs)
+        # timestamps one bucket high
+        .select(
+            "event_type",
+            F.expr("us div 3600000000").alias("hb"),
+            "cents",
         )
         .groupBy("event_type", "hb")
         .agg(
@@ -1269,8 +1278,14 @@ def c5_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_MARKOV_ITERS):
         nxt: dict[str, int] = {}
         for r in prob_rows:
+            # mirror the oracle's JOIN semantics: a src that carried zero
+            # mass this iteration is ABSENT from pi{i}, so its dst gets no
+            # row at all — pi.get(src, 0.0) would instead emit a zero row
+            # and diverge from the oracle on unreachable-state graphs
+            if r["src"] not in pi:
+                continue
             scaled = int(
-                Decimal(repr(pi.get(r["src"], 0.0) * r["prob"] * 1.0e15))
+                Decimal(repr(pi[r["src"]] * r["prob"] * 1.0e15))
                 .quantize(Decimal("1"), rounding=ROUND_HALF_UP)
             )
             nxt[r["dst"]] = nxt.get(r["dst"], 0) + scaled

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -289,9 +290,15 @@ def streaming_hampel(stream: DataFrame) -> DataFrame:
         pdf = pd.concat(frames).sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
+        # HALF-UP to integer cents, matching the batch c16_hampel's
+        # F.round / DuckDB round semantics — pandas .round(0) is half-to-
+        # even and would flip values landing exactly on a half-cent
+        # (values are non-negative, so floor(x·100 + 0.5) IS half-up)
         cents = [
             int(v)
-            for v in (pdf["value"] * 100).round(0).astype("int64").tolist()
+            for v in np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 100 + 0.5
+            ).astype("int64").tolist()
         ]
         meds, mads, flags = [], [], []
         for c in cents:

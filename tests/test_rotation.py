@@ -173,3 +173,102 @@ def test_union_converges():
     projected = len(seen | set(names[:WINDOW]))
     floor = min(len(names), len(seen) + WINDOW - failed_requeues)
     assert projected >= floor >= 130
+
+
+def test_fingerprint_sees_shared_helper_edits(tmp_path):
+    """r6 ADVICE (medium): a builder that is a one-line wrapper over a
+    shared helper must change its fingerprint when the HELPER changes, not
+    only when its own body does — otherwise the changed-promotion tier is
+    blind to the factored-helper pattern (``_theil_sen``, ``asof_join``)."""
+    import sys
+    import textwrap
+
+    mod_path = tmp_path / "fpmod_helpers_case.py"
+    mod_path.write_text(textwrap.dedent("""
+        def helper(x):
+            return x + 1
+
+        def build(spark, sf_dir):
+            return helper(2)
+    """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import fpmod_helpers_case as m
+
+        # make the module count as package-local for the walk
+        from logspout_kinesis_tests_spark.plans import rotation
+
+        old_prefix = rotation._PKG_PREFIX
+        rotation._PKG_PREFIX = "fpmod_helpers_case"
+        try:
+            class Spec:
+                oracle = "SELECT 1"
+                build = staticmethod(m.build)
+
+            before = fingerprint(Spec)
+            # edit ONLY the helper; the wrapper body is untouched
+            mod_path.write_text(mod_path.read_text().replace("x + 1", "x + 2"))
+            import importlib
+            import linecache
+
+            linecache.clearcache()
+            importlib.reload(m)
+            Spec.build = staticmethod(m.build)
+            after = fingerprint(Spec)
+            assert before != after, "helper edit did not flip the fingerprint"
+        finally:
+            rotation._PKG_PREFIX = old_prefix
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("fpmod_helpers_case", None)
+
+
+def test_fingerprint_covers_registered_wrapper_helpers():
+    """The real registry's known wrapper builders must gather their shared
+    helpers into the fingerprint (regression pin for the recursive walk,
+    including function-local ``from ..operators import`` shapes)."""
+    from logspout_kinesis_tests_spark.plans.rotation import (
+        _gather_referenced_sources,
+    )
+
+    expectations = {
+        "c2_theil_sen": "_theil_sen",
+        "c16_seasonal_decompose": "_detrended_hourly",
+        "c15_asof_nearest": "asof_join",
+    }
+    for name, helper in expectations.items():
+        parts: list[str] = []
+        _gather_referenced_sources(REGISTRY[name].build, set(), parts)
+        assert any(f"def {helper}" in p for p in parts), (
+            f"{name} fingerprint misses shared helper {helper}"
+        )
+
+
+def test_changed_since_snapshot_warns_on_degraded_snapshot(tmp_path):
+    """r6 ADVICE (low): a skipped gen_oracle_fprints.py run must be noisy,
+    not a silent degradation of the changed-promotion tier."""
+    import warnings as w
+
+    class Spec:
+        oracle = "SELECT 1"
+        build = None
+
+    reg = {f"q{i}": Spec() for i in range(20)}
+    # missing file -> warn
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert changed_since_snapshot(reg, repo_root=tmp_path) == set()
+    assert any("unreadable" in str(r.message) for r in rec)
+    # stale snapshot covering almost none of the registry -> warn
+    (tmp_path / "ORACLE_FPRINTS.json").write_text(json.dumps({"q0": "x" * 32}))
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        changed_since_snapshot(reg, repo_root=tmp_path)
+    assert any("stale" in str(r.message) for r in rec)
+    # complete snapshot -> quiet
+    snap = {n: fingerprint(s) for n, s in reg.items()}
+    (tmp_path / "ORACLE_FPRINTS.json").write_text(json.dumps(snap))
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert changed_since_snapshot(reg, repo_root=tmp_path) == set()
+    assert not rec

@@ -138,7 +138,7 @@ def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
     """
     import inspect
 
-    import sys
+    import importlib
 
     code = getattr(fn, "__code__", None)
     g = getattr(fn, "__globals__", None)
@@ -150,9 +150,14 @@ def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
         if obj is None and name.startswith(_PKG_PREFIX + "."):
             # function-local ``from ..operators.x import y`` compiles to the
             # dotted module path in co_names with the imported names as
-            # attribute loads — resolve via sys.modules (already imported
-            # when the registry loaded)
-            obj = sys.modules.get(name)
+            # attribute loads — IMPORT the module (not sys.modules.get:
+            # lazily-imported modules would make the fingerprint depend on
+            # what ran before, flipping prints between a fresh interpreter
+            # and one that already built queries)
+            try:
+                obj = importlib.import_module(name)
+            except ImportError:
+                obj = None
         if obj is None:
             continue
         targets = []

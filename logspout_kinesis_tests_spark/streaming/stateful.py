@@ -334,3 +334,99 @@ def streaming_hampel(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming PSI — the batch train/serve drift monitor
+# (plans/round6b_queries.c20_psi_drift) as a cross-batch stateful stream.
+# --------------------------------------------------------------------------
+
+PSI_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("psi", DoubleType()),
+    ]
+)
+
+_PSI_STATE = StructType([StructField("counts", ArrayType(LongType()))])
+
+
+def streaming_psi(
+    stream: DataFrame,
+    expected: list[float],
+    mn: int,
+    mx: int,
+    eps: float = 0.0001,
+) -> DataFrame:
+    """Streaming population-stability-index monitor per event type: the
+    serving distribution accumulates across micro-batches and each batch
+    emits the current PSI against a FROZEN training histogram — the
+    production form of the batch ``c20_psi_drift`` (training proportions
+    are computed once at train time; the monitor watches serving traffic
+    drift away from them, alerting at the standard 0.1/0.25 thresholds).
+
+    ``expected`` is the frozen per-bucket training proportion list (its
+    length fixes the bucket count); ``mn``/``mx`` are the training grid's
+    integer-cent range, with the SAME bucket rule as the batch operator —
+    ``(cents − mn) · B // (mx − mn + 1)`` — and serving values outside the
+    training range clipped to the edge buckets (drift beyond the grid is
+    still drift INTO its outermost bucket, the standard monitor contract).
+    Zero-count buckets take the same ``eps`` substitution on both sides.
+
+    Per-key state is ONE bounded long array (B counts), so the store is
+    O(live keys · B) regardless of stream length; integer accumulation
+    makes recovered checkpoints recompute identical PSIs.  Cents are
+    rounded HALF-UP like the batch operator's ``F.round``.
+    """
+    buckets = len(expected)
+    span = mx - mn + 1
+    # freeze the eps substitution into the expected side once
+    exp = [e if e > 0 else eps for e in expected]
+
+    def monitor(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counts = list(state.get[0]) if state.exists else [0] * buckets
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return iter(())
+        vals = pd.concat(frames)["value"].to_numpy(dtype="float64")
+        vals = vals[~np.isnan(vals)]
+        # HALF-UP (away from zero) integer cents, matching F.round
+        cents = np.where(
+            vals >= 0,
+            np.floor(vals * 100 + 0.5),
+            -np.floor(-vals * 100 + 0.5),
+        ).astype("int64")
+        b = np.clip((cents - mn) * buckets // span, 0, buckets - 1)
+        for i, c in zip(*np.unique(b, return_counts=True)):
+            counts[int(i)] += int(c)
+        nt = sum(counts)
+        psi = 0.0
+        if nt:
+            import math
+
+            for c, e in zip(counts, exp):
+                a = (c / nt) if c else eps
+                psi += (a - e) * math.log(a / e)
+        state.update((counts,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "event_type": [key[0]],
+                        "n_events": [nt],
+                        "psi": [psi],
+                    }
+                )
+            ]
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        monitor,
+        outputStructType=PSI_OUTPUT,
+        stateStructType=_PSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

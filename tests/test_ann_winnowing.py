@@ -2,6 +2,11 @@
 
 from __future__ import annotations
 
+import pytest as _pytest_mark_mod
+
+#: registry-wide sweep / heavy e2e — excluded from the fast dev loop
+pytestmark = _pytest_mark_mod.mark.slow
+
 from pyspark.sql import functions as F
 
 from logspout_kinesis_tests_spark.operators.ann import ivf_index, ivf_topk
@@ -177,9 +182,12 @@ def test_pq_recall_vs_exact(spark, sf_dir):
         for r in pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # ADC over 4×16 codes + exact re-rank of top-100; measured 0.82-0.92
-    # across SFs at the registered settings (20-query variant similar)
-    assert recall >= 0.5, f"PQ recall {recall}"
+    # ADC over 4×16 codes + exact re-rank of top-100; measured r7 at the
+    # registered settings: 0.90 (sf0.001, this test's data) / 0.93
+    # (sf0.01).  Floor pinned measured−0.1 (VERDICT r6 #4) so a codebook-
+    # geometry regression (wrong subspace split, wrong norm) that degrades
+    # recall to ~0.55 FAILS instead of slipping under the old 0.5 floor.
+    assert recall >= 0.8, f"PQ recall {recall}"
     assert len(approx) == 20 * 5
     # the exact re-rank guarantees every query finds itself at rank 1
     self_rows = [
@@ -189,6 +197,48 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     ]
     assert len(self_rows) == 20
     assert all(r["rank"] == 1 for r in self_rows)
+
+
+def test_pq_finds_planted_near_neighbors(spark, sf_dir):
+    """PQ geometry pin (VERDICT r6 #4): plant NEAR (not exact) copies of the
+    query vectors — first component scaled by 1.02, cosine ≈ 0.9998 — and
+    require every one to rank in the top-k.  The ADC scan must rank a true
+    near neighbor into the re-rank candidate cut for this to hold.
+
+    Calibration notes (measured r7): an ADC ordering corruption (seeded:
+    ranking candidates by approx_cos ASC) fails this test AND drops
+    test_pq_recall_vs_exact to ~0.1 — the class the gate exists for.  Two
+    seeds that survive are genuinely benign: a split shift applied
+    CONSISTENTLY to index and search (the shared ``_pq_subvectors`` makes
+    inconsistency structurally impossible), and a monotone norm distortion
+    (recon_sq vs its sqrt barely reorders candidates on this corpus).
+    Index/search m-disagreement raises via the explicit dsub guard, and
+    code-assignment drift is driver-hash-pinned by ``c10_pq_md5_gate``."""
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shift = 5_000_000
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + shift).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(i = 0, x * 1.02D, x))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(planted)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = {
+        r["query_id"]
+        for r in pq_topk(
+            queries, corpus, k=5, m=4, ksub=16, rerank=100
+        ).collect()
+        if r["vec_id"] == r["query_id"] + shift
+    }
+    assert hits == set(range(20)), (
+        f"planted near neighbors missing from PQ top-k: "
+        f"{set(range(20)) - hits}"
+    )
 
 
 def test_pq_and_ivf_prebuilt_index_paths_match_oneshot(spark, sf_dir):

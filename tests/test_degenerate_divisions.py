@@ -18,6 +18,11 @@ value space is collapsed.
 
 from __future__ import annotations
 
+import pytest as _pytest_mark_mod
+
+#: registry-wide sweep / heavy e2e — excluded from the fast dev loop
+pytestmark = _pytest_mark_mod.mark.slow
+
 import math
 
 import pytest

@@ -4,6 +4,11 @@ locally and stricter: exact value equality, not hashes)."""
 
 from __future__ import annotations
 
+import pytest as _pytest_mark_mod
+
+#: registry-wide sweep / heavy e2e — excluded from the fast dev loop
+pytestmark = _pytest_mark_mod.mark.slow
+
 import pytest
 
 from logspout_kinesis_tests_spark.plans import REGISTRY

@@ -8,6 +8,11 @@ nothing at sf0.01 but everything at 100 TB.
 
 from __future__ import annotations
 
+import pytest as _pytest_mark_mod
+
+#: registry-wide sweep / heavy e2e — excluded from the fast dev loop
+pytestmark = _pytest_mark_mod.mark.slow
+
 import io
 from contextlib import redirect_stdout
 

@@ -6,6 +6,11 @@ fail here)."""
 
 from __future__ import annotations
 
+import pytest as _pytest_mark_mod
+
+#: registry-wide sweep / heavy e2e — excluded from the fast dev loop
+pytestmark = _pytest_mark_mod.mark.slow
+
 import math
 from collections import Counter, defaultdict
 from datetime import datetime

@@ -5,6 +5,11 @@ gates are batch-size-invariant by construction)."""
 
 from __future__ import annotations
 
+import pytest as _pytest_mark_mod
+
+#: registry-wide sweep / heavy e2e — excluded from the fast dev loop
+pytestmark = _pytest_mark_mod.mark.slow
+
 import glob
 import json
 import os

@@ -15,6 +15,11 @@ on-disk state after a crash mid-batch, index already written), restart.
 
 from __future__ import annotations
 
+import pytest as _pytest_mark_mod
+
+#: registry-wide sweep / heavy e2e — excluded from the fast dev loop
+pytestmark = _pytest_mark_mod.mark.slow
+
 import glob
 import json
 import os

@@ -369,3 +369,72 @@ def test_streaming_hampel_carries_tail_across_batches(spark, tmp_path):
     # row and a 1-tap window can never flag
     assert [r["event_id"] for r in rows if r["outlier"] == 1] == [6]
     assert all(r["med"] == 5000 for r in rows if r["event_id"] >= 6)
+
+
+def test_streaming_psi_accumulates_across_batches(spark, tmp_path):
+    """The serving histogram must survive the micro-batch boundary: after
+    batch 2 the PSI reflects ALL arrived traffic, not batch 2 alone, and
+    each batch's emitted PSI equals a plain-Python replay of the identical
+    arithmetic in arrival order (bit-exact: same ops, same order)."""
+    import math
+
+    from logspout_kinesis_tests_spark.streaming.stateful import streaming_psi
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = lambda i, v: {
+        "event_id": i,
+        "ts": f"2024-01-01 00:00:{i:02d}",
+        "user_id": 1,
+        "event_type": "m",
+        "value": v,
+        "props": "{}",
+    }
+    # frozen training histogram: uniform over 4 buckets on cents 0..399
+    expected = [0.25, 0.25, 0.25, 0.25]
+    mn, mx = 0, 399
+    # batch 1: traffic matching training (one point per bucket);
+    # batch 2: drift — all points land in bucket 3 (incl. one clipped
+    # from beyond the training range)
+    _write_events(
+        os.path.join(src, "b1.json"),
+        [base(0, 0.50), base(1, 1.50), base(2, 2.50), base(3, 3.50)],
+    )
+    _write_events(
+        os.path.join(src, "b2.json"),
+        [base(4, 3.50), base(5, 3.99), base(6, 9.99), base(7, 3.01)],
+    )
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = streaming_psi(stream, expected, mn, mx)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM psi_stream ORDER BY n_events").collect()
+    assert [r["n_events"] for r in rows] == [4, 8]
+
+    # plain-Python replay, arrival order, identical arithmetic
+    def replay(counts):
+        nt = sum(counts)
+        psi = 0.0
+        for c, e in zip(counts, expected):
+            a = (c / nt) if c else 0.0001
+            psi += (a - e) * math.log(a / e)
+        return psi
+
+    # batch 1: one point per bucket -> perfectly stable
+    assert rows[0]["psi"] == replay([1, 1, 1, 1])
+    assert abs(rows[0]["psi"]) < 1e-12
+    # batch 2 CUMULATIVE: [1,1,1,5] — only possible if batch-1 counts
+    # crossed the boundary (batch 2 alone would be [0,0,0,4])
+    assert rows[1]["psi"] == replay([1, 1, 1, 5])
+    assert rows[1]["psi"] > 0.1  # drifted per the standard PSI bands

@@ -179,6 +179,50 @@ _CAL_REF_TOTAL = round(sum(_CAL_REF.values()), 3)
 _CAL_REPEATS = 7
 _CAL_WARMUPS = 2
 
+#: host_factor band outside which the frozen yardstick itself is suspect
+#: (VERDICT r7 #5): calibration corrects same-box drift (observed class
+#: ~1.25×), but a factor this far from 1.0 means the BOX changed — the
+#: arithmetic would still "work" while silently rescaling every total, so
+#: warn that _CAL_REF needs re-recording per its own comment's discipline.
+_HOST_FACTOR_BAND = (0.6, 1.6)
+
+#: Queries benched with extra repeats (VERDICT r7 #1): the heavy
+#: ANN/iterative family's same-code spread is large enough (observed
+#: 1.33–1.7× between same-round sessions, SCALE.md round-8a) that
+#: median-of-3 noise can trip the 1.3× calibrated-mover tripwire.
+_HEAVY_REPEATS = 7
+_HEAVY = frozenset(
+    {
+        "c10_pq_topk",
+        "c10_pq_topk_search_only",
+        "c10_ivf_topk_search_only",
+        "c12_phash_neardup",
+        "c17_pagerank",
+    }
+)
+
+
+def yardstick_warning(host_factor: float) -> str | None:
+    """Return a warning when ``host_factor`` falls outside the band where
+    calibration is correcting drift rather than papering over a box swap.
+
+    None inside ``_HOST_FACTOR_BAND``; a human-readable message outside it.
+    Kept as a pure function so the band logic is unit-testable without a
+    Spark session (tests/test_bench_contract.py).
+    """
+    lo, hi = _HOST_FACTOR_BAND
+    if lo <= host_factor <= hi:
+        return None
+    return (
+        f"host_factor {host_factor} is outside [{lo}, {hi}]: the frozen "
+        "_CAL_REF medians no longer describe this host — the calibration "
+        "yardstick itself has moved (box swap or major host change). "
+        "value_calibrated is still arithmetically consistent but is being "
+        "rescaled by the whole factor; re-record _CAL_REF on the new box "
+        "(3 fresh-session medians, quiet box) and note the re-pin in "
+        "SCALE.md with a same-session A/B against the old reference."
+    )
+
 
 def _calibration_builders():
     """Three frozen trivial plans, self-contained (plain ``spark.read`` +
@@ -227,7 +271,8 @@ def _calibration_builders():
 
 
 def _run_calibration(spark, sf_dir) -> dict:
-    """Median-of-5 timings for the frozen set + the derived host factor."""
+    """Median-of-``_CAL_REPEATS`` (7) timings for the frozen set + the
+    derived host factor."""
     cal: dict[str, float] = {}
     for name, build in _calibration_builders().items():
         for _ in range(_CAL_WARMUPS):
@@ -274,6 +319,7 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         build = REGISTRY[name].build
         # one untimed warmup: per-query codegen compile + shuffle-file setup
@@ -282,11 +328,13 @@ def main() -> None:
         # steady-state throughput, not compile latency
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _run in range(repeats):
+        n = max(repeats, _HEAVY_REPEATS) if name in _HEAVY else repeats
+        for _run in range(n):
             t0 = time.perf_counter()
             build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(r, 3) for r in runs]
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -310,7 +358,18 @@ def main() -> None:
         "host_factor": calibration["host_factor"],
         "value_calibrated": round(value / calibration["host_factor"], 3),
     }
-    full = {**headline, "queries": timings, "calibration": calibration}
+    warning = yardstick_warning(calibration["host_factor"])
+    if warning is not None:
+        # stderr keeps the stdout JSON-line contract intact; the full
+        # artifact also records it so the judge sees a moved yardstick
+        print(f"WARNING: {warning}", file=sys.stderr)
+    full = {
+        **headline,
+        "queries": timings,
+        "spread": spread,
+        "calibration": calibration,
+        **({"calibration_warning": warning} if warning else {}),
+    }
     print(json.dumps(full))
     # local artifact with the per-query detail, for cross-round comparisons
     # independent of what the driver's capture keeps

@@ -128,6 +128,21 @@ def _collect_code_names(code) -> set[str]:
     return names
 
 
+def _ancestor_candidates(fn, dotted: str) -> list:
+    """Package-local module paths a prefix-less dotted import name could
+    resolve to, tried innermost-first: for a builder in
+    ``<pkg>.plans.x`` and name ``operators.dedup``, yields
+    ``<pkg>.plans.operators.dedup`` then ``<pkg>.operators.dedup``."""
+    out = []
+    base = (getattr(fn, "__module__", "") or "").rsplit(".", 1)[0]
+    while base.startswith(_PKG_PREFIX):
+        out.append(f"{base}.{dotted}")
+        if base == _PKG_PREFIX:
+            break
+        base = base.rsplit(".", 1)[0]
+    return out
+
+
 def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
     """Recursively append the source of package-local callables that ``fn``
     references through its globals.  Two lookup shapes are covered: a direct
@@ -147,17 +162,34 @@ def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
     names = _collect_code_names(code)
     for name in sorted(names):
         obj = g.get(name)
-        if obj is None and name.startswith(_PKG_PREFIX + "."):
-            # function-local ``from ..operators.x import y`` compiles to the
-            # dotted module path in co_names with the imported names as
-            # attribute loads — IMPORT the module (not sys.modules.get:
-            # lazily-imported modules would make the fingerprint depend on
-            # what ran before, flipping prints between a fresh interpreter
-            # and one that already built queries)
-            try:
-                obj = importlib.import_module(name)
-            except ImportError:
-                obj = None
+        if obj is None and "." in name:
+            # function-local imports compile to the dotted module path in
+            # co_names with the imported names as attribute loads.  An
+            # ABSOLUTE ``from logspout_kinesis_tests_spark.operators.x
+            # import y`` appears fully prefixed; a RELATIVE ``from
+            # ..operators.x import y`` compiles to the PREFIX-LESS path
+            # ('operators.x' — the compiler strips the dots, the level
+            # lives in the bytecode argument), so try the path as-is and
+            # then under each ancestor package of the builder's own module
+            # (the bases a relative level could bind to).  IMPORT the
+            # module (not sys.modules.get: lazily-imported modules would
+            # make the fingerprint depend on what ran before, flipping
+            # prints between a fresh interpreter and one that already
+            # built queries).  Bare-name level-1 relative imports
+            # (``from .helpers import y`` → just 'helpers' in co_names)
+            # stay ambiguous against attribute loads — a lint in
+            # tests/test_rotation.py forbids those in builder modules.
+            candidates = (
+                [name]
+                if name.startswith(_PKG_PREFIX + ".")
+                else _ancestor_candidates(fn, name)
+            )
+            for cand in candidates:
+                try:
+                    obj = importlib.import_module(cand)
+                    break
+                except ImportError:
+                    obj = None
         if obj is None:
             continue
         targets = []

@@ -290,14 +290,19 @@ def streaming_hampel(stream: DataFrame) -> DataFrame:
         pdf = pd.concat(frames).sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
-        # HALF-UP to integer cents, matching the batch c16_hampel's
-        # F.round / DuckDB round semantics — pandas .round(0) is half-to-
-        # even and would flip values landing exactly on a half-cent
-        # (values are non-negative, so floor(x·100 + 0.5) IS half-up)
+        # HALF-AWAY-FROM-ZERO to integer cents, matching the batch
+        # c16_hampel's F.round / DuckDB round semantics — pandas .round(0)
+        # is half-to-even and would flip values landing exactly on a
+        # half-cent.  Sign-aware like streaming_psi below: floor(x·100+0.5)
+        # alone rounds toward +inf for negative values, and negative
+        # ``value`` is in-domain for streams (ADVICE r7)
+        vals = pdf["value"].to_numpy(dtype="float64")
         cents = [
             int(v)
-            for v in np.floor(
-                pdf["value"].to_numpy(dtype="float64") * 100 + 0.5
+            for v in np.where(
+                vals >= 0,
+                np.floor(vals * 100 + 0.5),
+                -np.floor(-vals * 100 + 0.5),
             ).astype("int64").tolist()
         ]
         meds, mads, flags = [], [], []

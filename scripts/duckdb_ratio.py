@@ -41,17 +41,42 @@ BEST_OF = 2
 
 
 def _timed_duckdb(con, sql: str) -> tuple[float, bool]:
-    """One timed run with a watchdog interrupt at CAP_SEC."""
-    timer = threading.Timer(CAP_SEC, con.interrupt)
+    """One timed run with a watchdog interrupt at CAP_SEC.
+
+    The timer callback checks a done-flag before interrupting (ADVICE r7):
+    without it, a query finishing just under CAP_SEC could race — fetchall
+    returns, the timer fires before cancel(), and the pending interrupt
+    spuriously aborts the NEXT run, recording it as capped and inflating
+    the DuckDB total (breaking the stated upper-bound-ratio claim).
+    """
+    done = threading.Event()
+    fired = threading.Event()
+
+    def _interrupt():
+        fired.set()
+        if not done.is_set():
+            con.interrupt()
+
+    timer = threading.Timer(CAP_SEC, _interrupt)
     timer.start()
     t0 = time.perf_counter()
     try:
         con.execute(sql).fetchall()
-        return time.perf_counter() - t0, False
+        elapsed, capped = time.perf_counter() - t0, False
     except duckdb.InterruptException:
-        return CAP_SEC, True
+        elapsed, capped = CAP_SEC, True
     finally:
+        done.set()
         timer.cancel()
+    if fired.is_set() and not capped:
+        # the timer fired in the window between fetchall returning and
+        # done.set() — absorb any interrupt left pending on the connection
+        # with a trivial query so it can't abort the NEXT timed run
+        try:
+            con.execute("SELECT 1").fetchall()
+        except duckdb.InterruptException:
+            pass
+    return elapsed, capped
 
 
 def main() -> None:

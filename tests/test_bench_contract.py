@@ -1,0 +1,48 @@
+"""bench.py contract gates that need no Spark session.
+
+The calibration block (bench.py, VERDICT r6 #1) corrects same-box host
+drift by dividing raw totals by ``host_factor``; VERDICT r7 flagged that a
+factor persistently far from 1.0 means the FROZEN reference itself is
+describing a different machine — the arithmetic still "works" while
+silently rescaling every total by the whole factor.  ``yardstick_warning``
+is the pure-function guard for that band; these tests pin it with fake
+references so a box swap can't pass silently.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+@pytest.mark.parametrize("factor", [0.6, 0.8, 1.0, 1.25, 1.6])
+def test_yardstick_silent_inside_band(factor):
+    # drift the calibration is DESIGNED to absorb (observed class ~1.25×)
+    assert bench.yardstick_warning(factor) is None
+
+
+@pytest.mark.parametrize("factor", [0.2, 0.59, 1.61, 3.0])
+def test_yardstick_warns_outside_band(factor):
+    msg = bench.yardstick_warning(factor)
+    assert msg is not None
+    # the message must name the remedy: re-record _CAL_REF, note in SCALE.md
+    assert "_CAL_REF" in msg and "SCALE.md" in msg
+    assert str(factor) in msg
+
+
+def test_heavy_family_is_a_headline_subset():
+    # a heavy entry not in HEADLINE would silently never get its 7 repeats
+    missing = bench._HEAVY - set(bench.HEADLINE)
+    assert not missing, f"_HEAVY entries not benched at all: {sorted(missing)}"
+
+
+def test_calibration_docstring_matches_repeats():
+    # ADVICE r7: the stated methodology must match _CAL_REPEATS
+    doc = bench._run_calibration.__doc__ or ""
+    assert "_CAL_REPEATS" in doc or str(bench._CAL_REPEATS) in doc

@@ -272,3 +272,58 @@ def test_changed_since_snapshot_warns_on_degraded_snapshot(tmp_path):
         w.simplefilter("always")
         assert changed_since_snapshot(reg, repo_root=tmp_path) == set()
     assert not rec
+
+
+def test_fingerprint_resolves_function_local_relative_imports():
+    """ADVICE r7: ``from ..operators.x import y`` inside a builder compiles
+    to the PREFIX-LESS dotted path ('operators.x') in co_names; the walk
+    must resolve it against the builder module's ancestor packages, not
+    only fully-prefixed absolute paths."""
+    from logspout_kinesis_tests_spark.plans.rotation import (
+        _ancestor_candidates,
+        _gather_referenced_sources,
+    )
+
+    # compile a builder whose __module__ sits inside the real package; the
+    # relative import never runs (no job execution), only its co_names
+    g = {"__name__": "logspout_kinesis_tests_spark.plans.fake_relative"}
+    exec(
+        "def build(spark, sf_dir):\n"
+        "    from ..operators.dedup import exact_dedup\n"
+        "    return exact_dedup\n",
+        g,
+    )
+    build = g["build"]
+    assert _ancestor_candidates(build, "operators.dedup") == [
+        "logspout_kinesis_tests_spark.plans.operators.dedup",
+        "logspout_kinesis_tests_spark.operators.dedup",
+    ]
+    parts: list[str] = []
+    _gather_referenced_sources(build, set(), parts)
+    assert any("def exact_dedup" in p for p in parts), (
+        "relative function-local import was not resolved into the fingerprint"
+    )
+
+
+def test_no_ambiguous_function_local_relative_imports():
+    """Bare-name level-1 relative imports (``from .helpers import y``)
+    compile to just 'helpers' in co_names — indistinguishable from an
+    attribute load, so the fingerprint walk cannot resolve them.  Forbid
+    the shape package-wide (module-level relative imports are fine: their
+    objects land in globals and resolve via g.get)."""
+    import re
+    from pathlib import Path
+
+    import logspout_kinesis_tests_spark as pkg
+
+    pkg_dir = Path(pkg.__file__).parent
+    offenders = []
+    pat = re.compile(r"^[ \t]+from\s+\.", re.MULTILINE)
+    for py in sorted(pkg_dir.rglob("*.py")):
+        for m in pat.finditer(py.read_text()):
+            line_no = py.read_text()[: m.start()].count("\n") + 1
+            offenders.append(f"{py.relative_to(pkg_dir)}:{line_no}")
+    assert not offenders, (
+        "function-local RELATIVE imports are invisible to the fingerprint "
+        f"walk when bare (level-1); use absolute imports instead: {offenders}"
+    )

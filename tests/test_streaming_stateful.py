@@ -438,3 +438,48 @@ def test_streaming_psi_accumulates_across_batches(spark, tmp_path):
     # crossed the boundary (batch 2 alone would be [0,0,0,4])
     assert rows[1]["psi"] == replay([1, 1, 1, 5])
     assert rows[1]["psi"] > 0.1  # drifted per the standard PSI bands
+
+
+def test_streaming_hampel_negative_cents_round_half_away(spark, tmp_path):
+    """ADVICE r7: cents rounding must be HALF-AWAY-FROM-ZERO for negative
+    values too (floor(x·100+0.5) alone rounds -12.5 cents to -12).  -0.125
+    is exact in binary, so -0.125·100 = -12.5 exactly: half-away gives
+    -13, the old toward-+inf expression gave -12."""
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_hampel,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events(
+        os.path.join(src, "b1.json"),
+        [
+            {
+                "event_id": i,
+                "ts": f"2024-01-01 00:00:{i:02d}",
+                "user_id": 1,
+                "event_type": "m",
+                "value": -0.125,
+                "props": "{}",
+            }
+            for i in range(3)
+        ],
+    )
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        streaming_hampel(stream)
+        .writeStream.format("memory")
+        .queryName("hampel_neg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM hampel_neg ORDER BY event_id").collect()
+    assert [r["cents"] for r in rows] == [-13, -13, -13]
+    assert [r["med"] for r in rows] == [-13, -13, -13]

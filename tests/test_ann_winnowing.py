@@ -338,3 +338,65 @@ def test_pq_finds_planted_exact_duplicates(spark, sf_dir):
     assert hits == set(range(20)), (
         f"missing planted duplicates: {set(range(20)) - hits}"
     )
+
+
+def test_pq_rerank_cosines_are_exact(spark, sf_dir):
+    """Norm-distortion pin (VERDICT r7 #7): the planted-neighbor gate's one
+    benign-surviving seed was a MONOTONE norm distortion — ordering (and so
+    top-k membership) survives, but the emitted cosine VALUES cannot.  Pin
+    the re-rank's cosines bit-level against a plain-Python replay of the
+    identical left-to-right fold (dot / sqrt(Σx²)·sqrt(Σy²), float64):
+    any distortion of the shared vector helpers (l2_norm, dot_product) or
+    of the re-rank's denominator — sqrt dropped, denominator squared, a
+    changed fold order — moves the values by far more than the 1e-12 gate.
+
+    Calibration (r8): seeding ``l2_norm`` without the sqrt keeps all 20
+    planted pairs in the top-k (test_pq_finds_planted_near_neighbors still
+    passes) but shifts every cosine by ~0.87 — this test fails loudly."""
+    import math
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shift = 5_000_000
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + shift).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(i = 0, x * 1.02D, x))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    ).union(planted)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in corpus.filter(
+        (F.col("vec_id") < 20) | (F.col("vec_id") >= shift)
+    ).collect()}
+
+    def py_cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    rows = pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100).collect()
+    checked = 0
+    for r in rows:
+        qid, cid = r["query_id"], r["vec_id"]
+        if cid == qid or cid == qid + shift:
+            want = py_cos(vecs[qid], vecs[cid])
+            assert abs(r["cosine"] - want) < 1e-12, (
+                f"re-rank cosine for ({qid}, {cid}) = {r['cosine']}, "
+                f"exact replay = {want}"
+            )
+            checked += 1
+    # every query sees itself and its planted near-copy in the top-k
+    assert checked == 40

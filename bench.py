@@ -138,6 +138,12 @@ HEADLINE = (
     "c14_soft_dedup_weights",
     "c15_asof_nearest",
     "c2_winsorized_mean",
+    # round 8
+    "c16_ohlc_bars",
+    "c2_kruskal_wallis",
+    "c16_pettitt_changepoint",
+    "c17_label_propagation",
+    "c14_pareto_skyline",
 )
 
 

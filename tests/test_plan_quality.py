@@ -317,6 +317,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     # ≤256-row bucket-offset prefix table; planned twice because the tiny
     # located-targets subtree feeds both the bucket filter and the rank join
     "c2_quantile_normalize": 2,
+    "c2_kruskal_wallis": 1,  # ≤256-row bucket-offset prefix-sum table
+    "c14_pareto_skyline": 1,  # ≤256-row bucket suffix-max table
 }
 
 

@@ -339,3 +339,37 @@ def gap_fill_interpolate(
         interp.alias("total_interp"),
         (F.col("n").isNull()).alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC candlestick bars (round 8) — shared by the batch query
+# (plans/round8_queries.c16_ohlc_bars) and the streaming twin
+# (streaming/windowed.streaming_ohlc), so batch/stream parity is a property
+# of ONE expression list, not two implementations.
+# --------------------------------------------------------------------------
+
+
+def ohlc_projection(df: DataFrame, ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Project the bar inputs: integer cents ``c`` and the deterministic
+    pick key ``k`` = (ts, event_id) — open/close under duplicate
+    timestamps resolve by event id, same in batch and streaming."""
+    return df.filter(F.col(value_col).isNotNull()).withColumns(
+        {
+            "c": F.round(F.col(value_col) * 100, 0).cast("long"),
+            "k": F.struct(F.col(ts_col), F.col("event_id")),
+        }
+    )
+
+
+def ohlc_aggs() -> list[Column]:
+    """The six bar aggregates over the ``ohlc_projection`` columns.  All
+    algebraic (min_by/max_by/min/max/count/sum) — map-side combinable in
+    batch and incrementally mergeable by the streaming state store."""
+    return [
+        F.expr("min_by(c, k)").alias("open_c"),
+        F.max("c").alias("high_c"),
+        F.min("c").alias("low_c"),
+        F.expr("max_by(c, k)").alias("close_c"),
+        F.count("*").cast("long").alias("volume"),
+        F.sum("c").cast("long").alias("turnover_c"),
+    ]

@@ -48,25 +48,17 @@ from logspout_kinesis_tests_spark.sources.tables import load_table
     "time-partitioned by at 100 TB, so the combine happens scan-side.",
 )
 def c16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    from logspout_kinesis_tests_spark.operators.timeseries import (
+        ohlc_aggs,
+        ohlc_projection,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select(
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            cents.alias("c"),
-            ord_key.alias("k"),
-        )
+        ohlc_projection(ev)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .groupBy("event_type", "day")
-        .agg(
-            F.expr("min_by(c, k)").alias("open_c"),
-            F.max("c").alias("high_c"),
-            F.min("c").alias("low_c"),
-            F.expr("max_by(c, k)").alias("close_c"),
-            F.count("*").cast("long").alias("volume"),
-            F.sum("c").cast("long").alias("turnover_c"),
-        )
+        .agg(*ohlc_aggs())
     )
 
 

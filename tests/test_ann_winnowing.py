@@ -208,10 +208,11 @@ def test_pq_finds_planted_near_neighbors(spark, sf_dir):
     Calibration notes (measured r7): an ADC ordering corruption (seeded:
     ranking candidates by approx_cos ASC) fails this test AND drops
     test_pq_recall_vs_exact to ~0.1 — the class the gate exists for.  Two
-    seeds that survive are genuinely benign: a split shift applied
-    CONSISTENTLY to index and search (the shared ``_pq_subvectors`` makes
-    inconsistency structurally impossible), and a monotone norm distortion
-    (recon_sq vs its sqrt barely reorders candidates on this corpus).
+    seeds survive THIS gate benignly: a split shift applied CONSISTENTLY
+    to index and search (the shared ``_pq_subvectors`` makes inconsistency
+    structurally impossible), and a monotone norm distortion (ordering
+    survives) — the latter is caught since r8 by
+    ``test_pq_rerank_cosines_are_exact``'s bit-level cosine pin.
     Index/search m-disagreement raises via the explicit dsub guard, and
     code-assignment drift is driver-hash-pinned by ``c10_pq_md5_gate``."""
     from logspout_kinesis_tests_spark.operators.ann import pq_topk

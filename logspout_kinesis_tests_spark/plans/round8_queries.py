@@ -497,12 +497,23 @@ _SKY_BUCKETS = 256
     "max over distinct a values, one broadcast join back to docs.",
 )
 def c14_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("n_chars").alias("a"),
-        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " ")))
-        .cast("long")
-        .alias("b"),
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("a"),
+            F.size(F.array_distinct(F.split(F.lower(F.col("text")), " ")))
+            .cast("long")
+            .alias("b"),
+        )
+        # consumed twice (per-a group max AND the final dominance join).
+        # Without the cut both consumers re-tokenize the full text column —
+        # two 100 TB scans for a 24-byte/doc projection; materializing the
+        # projection costs a constant barrier (~0.5 s at sf0.1) and wins by
+        # a scan at scale.  (A window-on-a variant was measured WORSE: it
+        # adds a full doc shuffle and column-pruning divergence defeats
+        # exchange reuse, so it still scans twice.)
+        .localCheckpoint(eager=True)
     )
     ga = docs.groupBy("a").agg(F.max("b").alias("gb"))
     mm = ga.agg(F.min("a").alias("amin"), F.max("a").alias("amax"))

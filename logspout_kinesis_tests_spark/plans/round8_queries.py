@@ -303,6 +303,11 @@ def c16_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "hour")
         .agg(F.sum("c").cast("long").alias("x"))
+        # the hourly table (types × hours — tiny vs raw events) feeds two
+        # parallel consumers below (the K max and its argmax); the cut
+        # keeps the events scan + pre-aggregation single-pass while the
+        # branch duplication stays on this bounded table
+        .localCheckpoint(eager=True)
     )
     wt = Window.partitionBy("event_type")
     rk = hb.select(
@@ -325,10 +330,24 @@ def c16_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("t") * (F.col("n") + 1)
         ).alias("u_t"),
     )
-    k = (
+    # K and its argmax branch off u in PARALLEL (both recompute u's windows
+    # from the checkpointed hourly table — cheap and concurrent, vs a
+    # serial window-max chain which costs an extra stage round-trip)
+    kmax = (
         u.filter(F.col("t") < F.col("n"))
         .groupBy("event_type", "n")
         .agg(F.max(F.abs("u_t")).cast("long").alias("k_stat"))
+    )
+    hits = u.filter(F.col("t") < F.col("n")).select(
+        F.col("event_type").alias("et"), "hour", F.abs("u_t").alias("au")
+    )
+    k = (
+        hits.join(
+            F.broadcast(kmax),  # ≤|types| rows — the broadcast side
+            (F.col("et") == F.col("event_type")) & (F.col("au") == F.col("k_stat")),
+        )
+        .groupBy("event_type", "n", "k_stat")
+        .agg(F.min("hour").cast("long").alias("change_hour"))
     )
     nd = F.col("n").cast("double")
     p = F.round(
@@ -338,18 +357,7 @@ def c16_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    hits = u.filter(F.col("t") < F.col("n")).select(
-        F.col("event_type").alias("et"), "hour", F.abs("u_t").alias("au")
-    )
-    return (
-        k.join(
-            hits,
-            (F.col("et") == F.col("event_type")) & (F.col("au") == F.col("k_stat")),
-        )
-        .groupBy("event_type", "n", "k_stat")
-        .agg(F.min("hour").cast("long").alias("change_hour"))
-        .select("event_type", "n", "k_stat", "change_hour", p.alias("p_approx"))
-    )
+    return k.select("event_type", "n", "k_stat", "change_hour", p.alias("p_approx"))
 
 
 # --- C17+: label propagation communities -------------------------------------

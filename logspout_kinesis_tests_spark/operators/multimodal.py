@@ -14,22 +14,27 @@ pruned away unless actually selected (columnar parquet + column pruning).
 
 Decode / feature-extract runs as Arrow-batched ``mapInPandas`` so payload
 bytes stream through Python in batches, never row-at-a-time.  The actual
-image/audio decoding libraries are not available in this container, so the
-decode body is STUBBED: real libraries are attempted first, then a
-clearly-marked deterministic fake (hash-derived pseudo-features) keeps the
-plumbing — schema, batching, partitioning — fully testable.
+IMAGE/VIDEO decoding libraries are not available in this container, so
+those decode bodies are STUBBED: real libraries are attempted first, then
+a clearly-marked deterministic fake (hash-derived pseudo-features) keeps
+the plumbing — schema, batching, partitioning — fully testable.  AUDIO is
+the exception: WAV/PCM is uncompressed, so ``audio_energy_windows`` (end
+of this module) does the REAL decode with numpy alone — frombuffer over
+the RIFF data chunk, exact int64 per-window energy/peak features.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -669,3 +674,128 @@ def parse_tiff_header(
         .withColumn("orientation", F.when(valid, orient))
         .drop("_hh", "_ifd", "_cnt", "_tags")
     )
+
+
+# --------------------------------------------------------------------------
+# Real PCM audio decode (round 8) — WAV is uncompressed, so unlike the
+# image/video modalities (whose codec stacks need PIL/ffmpeg and stay
+# stubbed behind the ImportError guards above) the audio decode step is
+# fully implementable with numpy alone: frombuffer over the data chunk.
+# --------------------------------------------------------------------------
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy_sq", LongType()),  # Σ sample² (exact int64)
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def synth_wav_pcm_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    channels: int = 1,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Attach a WAV payload with REAL 16-bit PCM data: a deterministic
+    per-doc sawtooth (sample k of doc d = ((d·7 + k·13) mod 2001) − 1000),
+    so downstream decode results are hand-checkable.  Arrow-batched
+    synthesis (bytes are built in numpy, not expressions — this is the
+    fixture side; the decode operator below is the product side)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].tolist():
+                k = np.arange(n_samples * channels, dtype=np.int64)
+                samples = ((d * 7 + k * 13) % 2001 - 1000).astype("<i2")
+                data = samples.tobytes()
+                hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                hdr += b"fmt " + struct.pack(
+                    "<IHHIIHH",
+                    16,
+                    1,
+                    channels,
+                    sample_rate,
+                    sample_rate * channels * 2,
+                    channels * 2,
+                    16,
+                )
+                hdr += b"data" + struct.pack("<I", len(data))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window_samples: int = 64,
+) -> DataFrame:
+    """REAL audio decode + feature extraction: parse the RIFF data chunk,
+    ``np.frombuffer`` the interleaved 16-bit PCM samples, mix channels down
+    by exact integer sum, and emit per-window Σsample² energy and peak
+    |sample| — the standard loudness/VAD features.
+
+    All arithmetic is int64 (exact, order-free), so results are
+    deterministic across partitionings and replays.  Scale shape: one
+    ``mapInPandas`` pass, rows out = ceil(samples/window) per doc — the
+    decode is embarrassingly parallel over docs, state-free, and the
+    payload column never leaves the executor (only the tiny feature rows
+    shuffle, if anything downstream groups them).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ids, wins, ns, es, ps = [], [], [], [], []
+            for d, raw in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
+                raw = bytes(raw)
+                # canonical 44-byte header: RIFF..WAVE, fmt(16), data
+                if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    continue
+                channels = struct.unpack("<H", raw[22:24])[0]
+                data_len = struct.unpack("<I", raw[40:44])[0]
+                data = raw[44 : 44 + data_len]
+                if not data or channels == 0:
+                    continue
+                samples = np.frombuffer(
+                    data[: len(data) - len(data) % (2 * channels)], dtype="<i2"
+                ).astype(np.int64)
+                # exact integer downmix: sum across interleaved channels
+                mono = samples.reshape(-1, channels).sum(axis=1)
+                for w in range(0, len(mono), window_samples):
+                    win = mono[w : w + window_samples]
+                    ids.append(d)
+                    wins.append(w // window_samples)
+                    ns.append(len(win))
+                    es.append(int((win * win).sum()))
+                    ps.append(int(np.abs(win).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": wins,
+                    "n_samples": ns,
+                    "energy_sq": es,
+                    "peak_abs": ps,
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_ENERGY_SCHEMA)

@@ -74,10 +74,14 @@ _KW_BUCKETS = 256
     # k-sample generalization of c2_mann_whitney, same parity discipline:
     # midranks from one plain global cumsum (oracle) vs the reassembled
     # bucket-offset integers (Spark); rank sums quantized DECIMAL(28,1)
-    # (c·midrank has one .5 digit), per-group S²/n terms rounded to units
-    # and quantized DECIMAL(38,0) so the cross-group sum is exact and
-    # order-independent; the closing H expression is written with the
-    # identical association order on both sides.
+    # (c·midrank has one .5 digit), per-group S²/n terms rounded to 6dp
+    # and quantized DECIMAL(38,6) so the cross-group sum is exact, order-
+    # independent, and faithful even at tiny n (round-to-units injected a
+    # ±0.5/group bias that a Hypothesis minimal case exposed; DECIMAL(38,6)
+    # holds S² up to 1e32, i.e. group rank sums to ~1e16 ≈ n·(n+1)/2 for
+    # n ≈ 1.4e8 rows — drop the scale to 3dp past that); the closing H
+    # expression is written with the identical association order on both
+    # sides.
     oracle=f"""
     WITH pv AS (
         SELECT value AS v, event_type AS et, CAST(count(*) AS BIGINT) AS c
@@ -106,8 +110,8 @@ _KW_BUCKETS = 256
         GROUP BY p.et),
     st AS (
         SELECT CAST(sum(CAST(round(
-                   s_g * s_g / CAST(n_g AS DOUBLE), 0)
-                   AS DECIMAL(38,0))) AS DOUBLE) AS sumterm
+                   s_g * s_g / CAST(n_g AS DOUBLE), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sumterm
         FROM rs),
     h AS (
         SELECT (12 * st.sumterm / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1))
@@ -194,8 +198,8 @@ def c2_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = rs.agg(
         F.sum(
-            F.round(F.col("s_g") * F.col("s_g") / F.col("n_g").cast("double"), 0)
-            .cast("decimal(38,0)")
+            F.round(F.col("s_g") * F.col("s_g") / F.col("n_g").cast("double"), 6)
+            .cast("decimal(38,6)")
         )
         .cast("double")
         .alias("sumterm"),

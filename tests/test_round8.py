@@ -111,7 +111,7 @@ def test_kruskal_wallis_replays_in_python(spark, sf_dir):
         s = 0.0
         for v in vs:
             s += round(1 * (below[v] + (float(cnt[v]) + 1) / 2), 1)
-        sumterm += round(s * s / float(len(vs)), 0)
+        sumterm += round(s * s / float(len(vs)), 6)
     tie3 = sum(
         round(float(c) ** 3 - float(c), 0) for c in cnt.values()
     )

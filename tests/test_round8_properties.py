@@ -172,3 +172,104 @@ def test_kruskal_wallis_matches_textbook_h(spark, tmp_path_factory, groups):
     for r in out:
         assert abs(r["h_stat"] - h) < 1e-6
         assert r["n"] == n
+
+
+@_settings
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 5), st.integers(1, 5)),  # (cust, supp)
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_label_propagation_matches_python_lpa(spark, tmp_path_factory, edges):
+    """The registered 4-round self-vote LPA equals an independent plain-
+    Python synchronous implementation on random bipartite trade graphs."""
+    d = str(tmp_path_factory.mktemp(f"r8prop{next(_counter)}"))
+    orders = [(i + 1, c) for i, (c, _) in enumerate(sorted(edges))]
+    li = [(i + 1, s, 50.0) for i, (_, s) in enumerate(sorted(edges))]
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        li, "l_orderkey long, l_suppkey long, l_quantity double"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    # independent replay: nodes c*2 / s*2+1, neighbor votes + self label,
+    # max count then min label, 4 synchronous rounds
+    und = set()
+    for c, s in edges:
+        und.add((c * 2, s * 2 + 1))
+        und.add((s * 2 + 1, c * 2))
+    nodes = {a for a, _ in und}
+    label = {v: v for v in nodes}
+    for _ in range(4):
+        new = {}
+        for v in nodes:
+            votes = [label[u] for u, w in und if w == v] + [label[v]]
+            counts = {}
+            for x in votes:
+                counts[x] = counts.get(x, 0) + 1
+            new[v] = min(counts, key=lambda x: (-counts[x], x))
+        label = new
+    want = {}
+    for v, lb in label.items():
+        name = f"c{lb // 2}" if lb % 2 == 0 else f"s{(lb - 1) // 2}"
+        want[name] = want.get(name, 0) + 1
+
+    got = {
+        r["community"]: r["size"]
+        for r in REGISTRY["c17_label_propagation"].build(spark, d).collect()
+    }
+    assert got == want
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 47),      # hour within two days
+            st.integers(-500, 500),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ohlc_matches_python_replay(spark, tmp_path_factory, rows):
+    """Bars replay exactly: open/close by (ts, event_id), duplicates and
+    negative values included (event_id = list index breaks ts ties)."""
+    d = str(tmp_path_factory.mktemp(f"r8prop{next(_counter)}"))
+    data = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h),
+            1,
+            "m",
+            c / 100.0,
+            "{}",
+        )
+        for i, (h, c) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    bars = {}
+    for i, (h, c) in enumerate(rows):
+        day = (datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)).strftime("%Y-%m-%d")
+        bars.setdefault(day, []).append((h, i, c))
+    want = {}
+    for day, pts in bars.items():
+        pts.sort(key=lambda t: (t[0], t[1]))
+        cs = [c for _, _, c in pts]
+        want[day] = (pts[0][2], max(cs), min(cs), pts[-1][2], len(cs), sum(cs))
+
+    got = {
+        r["day"]: (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+            r["volume"], r["turnover_c"],
+        )
+        for r in REGISTRY["c16_ohlc_bars"].build(spark, d).collect()
+    }
+    assert got == want

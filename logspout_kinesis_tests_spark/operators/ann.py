@@ -436,3 +436,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against FROZEN codebooks → (corpus_id, sub, code).
+
+    The incremental-ingest half of the PQ lifecycle: ``pq_index`` trains
+    codebooks once per corpus snapshot; arriving vectors are then encoded
+    with this function and appended to the codes table — no retraining, no
+    index rebuild (the streaming flow ``streaming/batch_apply.py::
+    streaming_pq_ingest`` drives it per micro-batch).  The assignment is
+    the IDENTICAL min-(d², cell) rule as ``pq_index``'s internal
+    ``_assign`` (same fold, same tie-break), so codes produced here are
+    indistinguishable from build-time codes; m and dsub are inferred from
+    the codebooks so an index/query geometry drift fails in
+    :func:`pq_topk`'s existing dsub guard, not silently here.
+    """
+    meta = codebooks.agg(
+        F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
+    ).head()
+    m, dsub = meta["max_sub"] + 1, meta["dsub"]
+    sub_df = vectors.select(
+        F.col(corpus_id), F.posexplode(_pq_subvectors(vec_col, m, dsub)).alias("sub", "svec")
+    )
+    scored = sub_df.join(
+        F.broadcast(codebooks.select("sub", "cell", "centroid")), "sub"
+    ).select(
+        F.col(corpus_id),
+        "sub",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("svec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    return scored.groupBy(corpus_id, "sub").agg(
+        F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias("code")
+    )

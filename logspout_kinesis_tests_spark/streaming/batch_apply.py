@@ -547,3 +547,107 @@ def compact_epoch_index(
     return spark.read.parquet(
         os.path.join(index_dir, f"epoch={upto_epoch - 1}")
     ).count()
+
+
+def streaming_pq_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    k: int = 5,
+    rerank: int = 50,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental ANN index maintenance — the vector-stream member of the
+    persisted-index family (exact hashes / Bloom / MinHash / heavy hitters
+    → here).  Arriving vectors are (a) searched against the PRE-batch
+    index (streaming near-neighbor alerting: every new vector reports its
+    top-k existing neighbors), then (b) encoded against the FROZEN
+    codebooks with :func:`operators.ann.pq_encode` and appended — the
+    index grows per micro-batch with no retraining and no rebuild.
+
+    Index layout (epoch-partitioned like the dedup trio):
+
+    - ``index_dir/codebooks``       — trained ONCE, on the first non-empty
+      batch (``pq_index`` is fully deterministic, so a crash-replay of the
+      training batch regenerates byte-identical codebooks — the overwrite
+      is idempotent, same replay contract as everything else here);
+    - ``index_dir/codes/epoch=N``   — (id, sub, code), m ints per vector;
+    - ``index_dir/vecs/epoch=N``    — full-precision vectors, read ONLY by
+      the top-``rerank`` exact re-rank stage.
+
+    Search probes ``epoch < N`` codes (the replay-safety core: a replayed
+    batch never sees its own partial writes), so results for an epoch are
+    reproducible regardless of crashes.  100 TB: per-batch cost is one
+    broadcast-ADC scan over the codes table + a ``rerank``-bounded join to
+    vecs; the codes payload is m bytes/vector, and a periodic compaction
+    folds old epochs exactly as for the dedup indexes.
+    """
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.ann import (
+        pq_encode,
+        pq_index,
+        pq_topk,
+    )
+
+    ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+    cb_dir = os.path.join(index_dir, "codebooks")
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        batch = bdf.select(F.col(id_col), F.col(vec_col)).filter(
+            F.col(vec_col).isNotNull()
+        )
+        if not batch.head(1):
+            return
+        try:
+            codebooks = spark.read.parquet(cb_dir)
+        except Exception:
+            _, codebooks = pq_index(batch, m=m, ksub=ksub, iters=1, corpus_id=id_col, vec_col=vec_col)
+            codebooks.write.mode("overwrite").parquet(cb_dir)
+            codebooks = spark.read.parquet(cb_dir)
+
+        old_codes = _index_before_epoch(
+            spark, os.path.join(index_dir, "codes"), epoch_id, id_col, "sub", "code"
+        )
+        old_vecs = _index_before_epoch(
+            spark, os.path.join(index_dir, "vecs"), epoch_id, id_col, vec_col
+        )
+        if old_codes is not None and old_codes.head(1):
+            hits = pq_topk(
+                batch.select(F.col(id_col).alias("query_id"), vec_col),
+                old_vecs,
+                k=k,
+                m=m,
+                ksub=ksub,
+                rerank=rerank,
+                corpus_id=id_col,
+                vec_col=vec_col,
+                index=(old_codes, codebooks),
+            )
+            hits.coalesce(1).write.mode("overwrite").json(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+        pq_encode(batch, codebooks, corpus_id=id_col, vec_col=vec_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "codes", f"epoch={epoch_id}"))
+        batch.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "vecs", f"epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,128 @@
+"""Streaming ANN index maintenance (`streaming_pq_ingest`): incremental
+encode-and-append against frozen codebooks, search-before-extend against
+the pre-batch index, and the family's crash-replay contract."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import pytest as _pytest_mark_mod
+
+pytestmark = _pytest_mark_mod.mark.slow
+
+from logspout_kinesis_tests_spark.streaming.batch_apply import streaming_pq_ingest
+
+DIM = 8
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _vec(seed: int) -> list[float]:
+    # deterministic, well-separated vectors (distinct dominant axes)
+    return [1.0 if d == seed % DIM else 0.1 * ((seed * 7 + d) % 5) for d in range(DIM)]
+
+
+def _write_batch(src: str, name: str, rows: list[tuple[int, list[float]]], t: int) -> None:
+    path = os.path.join(src, name)
+    with open(path, "w") as f:
+        for vid, emb in rows:
+            f.write(json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+    os.utime(path, (t, t))
+
+
+def _run(spark, src, ckpt, index, out) -> None:
+    q = streaming_pq_ingest(
+        spark, src, ckpt, SCHEMA, index, out,
+        m=4, ksub=4, k=3, rerank=10, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+    while any(a.id == q.id for a in spark.streams.active):
+        time.sleep(0.1)
+
+
+def _epoch_hits(out: str, epoch: int) -> list[dict]:
+    rows = []
+    for p in glob.glob(os.path.join(out, f"epoch={epoch}", "part-*.json")):
+        with open(p) as f:
+            rows.extend(json.loads(line) for line in f if line.strip())
+    return rows
+
+
+def test_pq_ingest_searches_then_extends(spark, tmp_path):
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    base = [(i, _vec(i)) for i in range(8)]
+    _write_batch(src, "b0.json", base, 1_700_000_000)
+    # batch 1: a near-copy of base vector 3 (first component scaled) and a
+    # genuinely novel vector
+    near3 = list(_vec(3))
+    near3[0] *= 1.02
+    _write_batch(src, "b1.json", [(100, near3), (101, _vec(20))], 1_700_000_060)
+
+    _run(spark, src, ckpt, index, out)
+
+    # epoch 0 trains the codebooks and seeds the index — no search output
+    assert not os.path.isdir(os.path.join(out, "epoch=0"))
+    assert os.path.isdir(os.path.join(index, "codebooks"))
+    # epoch 1 searched the PRE-batch index: the near-copy's top-1 is its twin
+    hits = _epoch_hits(out, 1)
+    assert {h["query_id"] for h in hits} == {100, 101}
+    top = {h["query_id"]: h for h in hits if h["rank"] == 1}
+    assert top[100]["vec_id"] == 3
+    assert top[100]["cosine"] > 0.999
+    # every batch-1 query only sees pre-batch corpus ids (never 100/101)
+    assert all(h["vec_id"] < 100 for h in hits)
+
+    # the index extended: codes exist for both epochs, m rows per vector
+    codes = spark.read.parquet(os.path.join(index, "codes"))
+    assert codes.count() == (8 + 2) * 4
+    vecs = spark.read.parquet(os.path.join(index, "vecs"))
+    assert vecs.count() == 10
+
+    # batch 2 arrives later: a near-copy of the NOVEL batch-1 vector — it
+    # must be found, proving the incremental extension is searchable
+    _write_batch(src, "b2.json", [(200, [x * 1.01 for x in _vec(20)])], 1_700_000_120)
+    _run(spark, src, ckpt, index, out)
+    hits2 = {h["rank"]: h for h in _epoch_hits(out, 2)}
+    assert hits2[1]["vec_id"] == 101 and hits2[1]["cosine"] > 0.999
+
+
+def test_pq_ingest_replay_regenerates_epoch(spark, tmp_path):
+    """Crash after the epoch's index write but before the commit: the
+    replayed epoch probes only ``epoch < N`` so its search output and
+    index writes regenerate byte-identically."""
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    near = list(_vec(5))
+    near[0] *= 1.02
+    _write_batch(src, "b1.json", [(100, near)], 1_700_000_060)
+    _run(spark, src, ckpt, index, out)
+
+    first = sorted(
+        json.dumps(h, sort_keys=True) for h in _epoch_hits(out, 1)
+    )
+    assert first
+    # emulate the crash: epoch-1 index writes are on disk, commit is not
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if "." not in os.path.basename(p)
+    )
+    last = commits[-1]
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _run(spark, src, ckpt, index, out)
+    replayed = sorted(
+        json.dumps(h, sort_keys=True) for h in _epoch_hits(out, 1)
+    )
+    assert replayed == first, "replayed epoch self-shadowed or diverged"
+    # no duplicate index rows after the replay (per-epoch overwrite)
+    codes = spark.read.parquet(os.path.join(index, "codes"))
+    assert codes.count() == 9 * 4
+    assert codes.select("vec_id", "sub").distinct().count() == 9 * 4

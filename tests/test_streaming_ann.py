@@ -126,3 +126,41 @@ def test_pq_ingest_replay_regenerates_epoch(spark, tmp_path):
     codes = spark.read.parquet(os.path.join(index, "codes"))
     assert codes.count() == 9 * 4
     assert codes.select("vec_id", "sub").distinct().count() == 9 * 4
+
+
+def test_pq_ingest_composes_with_epoch_compaction(spark, tmp_path):
+    """`compact_epoch_index` folds the PQ index's epochs while the stream
+    is quiesced; the next increment's search results are identical to the
+    uncompacted run (the fold keeps every row visible to epoch<N probes)."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_epoch_index,
+    )
+
+    def run_flow(root: str, compact: bool) -> list[str]:
+        src, ckpt, index, out = (
+            os.path.join(root, d) for d in ("src", "ckpt", "idx", "out")
+        )
+        os.makedirs(src)
+        _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+        _write_batch(src, "b1.json", [(50, _vec(21))], 1_700_000_060)
+        _run(spark, src, ckpt, index, out)
+        if compact:
+            for sub in ("codes", "vecs"):
+                compact_epoch_index(spark, os.path.join(index, sub), upto_epoch=2)
+                eps = {
+                    n for n in os.listdir(os.path.join(index, sub))
+                    if n.startswith("epoch=")
+                }
+                assert eps == {"epoch=1"}
+        near = [x * 1.01 for x in _vec(21)]
+        _write_batch(src, "b2.json", [(200, near)], 1_700_000_120)
+        _run(spark, src, ckpt, index, out)
+        return sorted(
+            json.dumps(h, sort_keys=True) for h in _epoch_hits(out, 2)
+        )
+
+    plain = run_flow(str(tmp_path / "plain"), compact=False)
+    compacted = run_flow(str(tmp_path / "compacted"), compact=True)
+    assert plain and compacted == plain
+    top = [json.loads(h) for h in compacted if json.loads(h)["rank"] == 1]
+    assert top[0]["vec_id"] == 50

@@ -435,3 +435,88 @@ def streaming_psi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming percentile monitor — grid-exact integer quantiles over the
+# accumulated serving distribution, the latency-SLO twin of streaming_psi
+# (same frozen integer-cent grid, same bounded O(keys·buckets) state).
+# --------------------------------------------------------------------------
+
+PCT_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("p50_c", LongType()),
+        StructField("p95_c", LongType()),
+        StructField("p99_c", LongType()),
+    ]
+)
+
+_PCT_STATE = StructType([StructField("counts", ArrayType(LongType()))])
+
+
+def streaming_percentiles(
+    stream: DataFrame,
+    mn: int,
+    mx: int,
+    buckets: int = 256,
+) -> DataFrame:
+    """Cross-batch p50/p95/p99 monitor per event type: counts accumulate on
+    a FROZEN ``buckets``-cell integer-cent grid over ``[mn, mx]`` (values
+    outside clip to the edge cells, like streaming_psi) and each batch
+    emits the grid quantiles of ALL traffic so far.
+
+    "Grid-exact": the emitted value is the exact inclusive upper cent
+    bound of the bucket holding the q-th ranked observation — pure integer
+    arithmetic (rank k = ceil(q·n) via ``(q_num·n + q_den − 1) // q_den``,
+    bound = ``mn + ((i+1)·span + B − 1) // B − 1``), so recovered
+    checkpoints and replays recompute identical values, and the error is
+    bounded by one bucket width (span/B) by construction — the same
+    contract as a fixed-boundary HDR histogram, which is what production
+    latency monitors actually ship.
+
+    Per-key state is ONE bounded long array; at 100 TB stream scale the
+    store is O(live keys · buckets) regardless of history length.
+    """
+    span = mx - mn + 1
+    qs = ((1, 2, "p50_c"), (19, 20, "p95_c"), (99, 100, "p99_c"))
+
+    def monitor(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(buckets, dtype=np.int64)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return iter(())
+        vals = pd.concat(frames)["value"].to_numpy(dtype="float64")
+        vals = vals[~np.isnan(vals)]
+        cents = np.where(
+            vals >= 0,
+            np.floor(vals * 100 + 0.5),
+            -np.floor(-vals * 100 + 0.5),
+        ).astype("int64")
+        b = np.clip((cents - mn) * buckets // span, 0, buckets - 1)
+        for i, c in zip(*np.unique(b, return_counts=True)):
+            counts[int(i)] += int(c)
+        state.update((counts.tolist(),))
+        n = int(counts.sum())
+        out = {"event_type": [key[0]], "n_events": [n]}
+        cum = np.cumsum(counts)
+        for q_num, q_den, name in qs:
+            k = (q_num * n + q_den - 1) // q_den  # ceil(q·n), exact ints
+            i = int(np.searchsorted(cum, max(k, 1)))
+            out[name] = [mn + ((i + 1) * span + buckets - 1) // buckets - 1]
+        return iter([pd.DataFrame(out)])
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        monitor,
+        outputStructType=PCT_OUTPUT,
+        stateStructType=_PCT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -259,3 +259,30 @@ def test_streaming_first_seen_recovers_from_checkpoint(spark, tmp_path):
     ref = _kill_restart_vs_uninterrupted(spark, tmp_path, build, files)
     got = sorted(json.loads(r)["value"] for r in ref)
     assert got == [f"p{i}" for i in range(6)]  # each payload exactly once
+
+
+def test_streaming_percentiles_recovers_from_checkpoint(spark, tmp_path):
+    """The accumulated histogram must survive a crash-restart: post-restart
+    quantiles rank over counts that include pre-crash traffic, and every
+    emitted row is byte-identical to the uninterrupted run."""
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_percentiles,
+    )
+
+    files = [
+        [_event(i, i / 100) for i in range(0, 10)],
+        [_event(i, i / 100) for i in range(10, 20)],
+        [_event(100 + i, 3.00 + i / 100) for i in range(5)],
+        [_event(200 + i, 0.05) for i in range(5)],
+    ]
+    ref = _kill_restart_vs_uninterrupted(
+        spark,
+        tmp_path,
+        lambda s: streaming_percentiles(s, 0, 399, buckets=16),
+        files,
+    )
+    got = sorted((json.loads(r) for r in ref), key=lambda r: r["n_events"])
+    assert [r["n_events"] for r in got] == [10, 20, 25, 30]
+    # the tail batch (all 3xx cents) moves p99 to the 300-bucket bound; it
+    # lands post-crash, over counts whose only home is the recovered store
+    assert got[2]["p99_c"] == 324 and got[2]["p50_c"] == 24

@@ -483,3 +483,73 @@ def test_streaming_hampel_negative_cents_round_half_away(spark, tmp_path):
     rows = spark.sql("SELECT * FROM hampel_neg ORDER BY event_id").collect()
     assert [r["cents"] for r in rows] == [-13, -13, -13]
     assert [r["med"] for r in rows] == [-13, -13, -13]
+
+
+def test_streaming_percentiles_accumulate_across_batches(spark, tmp_path):
+    """Grid quantiles reflect ALL arrived traffic and replay exactly in
+    plain integer arithmetic: rank k = ceil(q·n), value = the inclusive
+    upper cent bound of the bucket holding rank k."""
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_percentiles,
+    )
+
+    mk = lambda i, v: {
+        "event_id": i,
+        "ts": f"2024-01-01 00:00:{i:02d}",
+        "user_id": 1,
+        "event_type": "m",
+        "value": v,
+        "props": "{}",
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: cents 0..19 (values 0.00..0.19); batch 2: a heavy tail
+    _write_events(os.path.join(src, "b1.json"), [mk(i, i / 100) for i in range(20)])
+    _write_events(
+        os.path.join(src, "b2.json"),
+        [mk(100 + i, 3.00 + i / 100) for i in range(5)],
+    )
+    mn, mx, B = 0, 399, 16  # span 400, bucket width 25 cents
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        streaming_percentiles(stream, mn, mx, buckets=B)
+        .writeStream.format("memory")
+        .queryName("pct_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM pct_stream ORDER BY n_events").collect()
+    assert [r["n_events"] for r in rows] == [20, 25]
+
+    def replay(cents):
+        span = mx - mn + 1
+        counts = [0] * B
+        for c in cents:
+            counts[min(max((c - mn) * B // span, 0), B - 1)] += 1
+        n = sum(counts)
+        out = []
+        for q_num, q_den in ((1, 2), (19, 20), (99, 100)):
+            k = max((q_num * n + q_den - 1) // q_den, 1)
+            cum = 0
+            for i, c in enumerate(counts):
+                cum += c
+                if cum >= k:
+                    out.append(mn + ((i + 1) * span + B - 1) // B - 1)
+                    break
+        return tuple(out)
+
+    b1 = list(range(20))
+    b2 = b1 + [300 + i for i in range(5)]
+    assert (rows[0]["p50_c"], rows[0]["p95_c"], rows[0]["p99_c"]) == replay(b1)
+    assert (rows[1]["p50_c"], rows[1]["p95_c"], rows[1]["p99_c"]) == replay(b2)
+    # batch-1 traffic all sits in bucket 0 → every quantile = 24 (its
+    # upper bound); the tail shifts p95/p99 into the 300-cent bucket
+    assert rows[0]["p99_c"] == 24
+    assert rows[1]["p99_c"] == 324 and rows[1]["p50_c"] == 24

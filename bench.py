@@ -208,6 +208,23 @@ _HEAVY = frozenset(
 )
 
 
+def drift_warning(start_factor: float, end_factor: float, loop_secs: float) -> str | None:
+    """Warning when the host factor moved materially DURING the headline
+    loop (within-run drift band [0.8, 1.25] on end/start).  Pure function
+    for unit-testability, like :func:`yardstick_warning`."""
+    if start_factor <= 0:
+        return None
+    drift = end_factor / start_factor
+    if 0.8 <= drift <= 1.25:
+        return None
+    return (
+        f"host_factor moved {start_factor} -> {end_factor} during the "
+        f"{round(loop_secs)}s headline loop (x{round(drift, 3)}); "
+        "value_calibrated assumes a stable box — treat this run's movers "
+        "as suspect and prefer the per-query spread."
+    )
+
+
 def yardstick_warning(host_factor: float) -> str | None:
     """Return a warning when ``host_factor`` falls outside the band where
     calibration is correcting drift rather than papering over a box swap.
@@ -322,6 +339,7 @@ def main() -> None:
 
     # host-state index FIRST (frozen plans, registry-independent)
     calibration = _run_calibration(spark, sf_dir)
+    run_started = time.perf_counter()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
@@ -369,11 +387,32 @@ def main() -> None:
         # stderr keeps the stdout JSON-line contract intact; the full
         # artifact also records it so the judge sees a moved yardstick
         print(f"WARNING: {warning}", file=sys.stderr)
+    # Second calibration AFTER the headline loop (r8): five same-code runs
+    # in one day spanned raw 71.0-97.0 s with start-factors ANTI-correlated
+    # to the raw totals — the box state can move during the multi-minute
+    # loop itself, which a single start-of-run sample cannot see.
+    # value_calibrated's definition is unchanged (start factor, for
+    # cross-round comparability); the end factor and the within-run drift
+    # ratio are recorded so a mover adjudication can tell "slow box all
+    # run" from "box turned mid-run".
+    calibration_end = _run_calibration(spark, sf_dir)
+    drift = round(
+        calibration_end["host_factor"] / calibration["host_factor"], 3
+    )
+    drift_msg = drift_warning(
+        calibration["host_factor"],
+        calibration_end["host_factor"],
+        time.perf_counter() - run_started,
+    )
+    if drift_msg is not None:
+        print(f"WARNING: {drift_msg}", file=sys.stderr)
     full = {
         **headline,
         "queries": timings,
         "spread": spread,
         "calibration": calibration,
+        "calibration_end": calibration_end,
+        "host_drift_within_run": drift,
         **({"calibration_warning": warning} if warning else {}),
     }
     print(json.dumps(full))

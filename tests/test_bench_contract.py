@@ -46,3 +46,15 @@ def test_calibration_docstring_matches_repeats():
     # ADVICE r7: the stated methodology must match _CAL_REPEATS
     doc = bench._run_calibration.__doc__ or ""
     assert "_CAL_REPEATS" in doc or str(bench._CAL_REPEATS) in doc
+
+
+@pytest.mark.parametrize("start,end", [(1.0, 1.0), (1.0, 1.2), (1.0, 0.85)])
+def test_drift_silent_inside_band(start, end):
+    assert bench.drift_warning(start, end, 300.0) is None
+
+
+@pytest.mark.parametrize("start,end", [(1.0, 1.3), (1.0, 0.7), (0.736, 1.176)])
+def test_drift_warns_outside_band(start, end):
+    # r8's observed day: same-code factors swung 0.736 <-> 1.176
+    msg = bench.drift_warning(start, end, 500.0)
+    assert msg is not None and "spread" in msg

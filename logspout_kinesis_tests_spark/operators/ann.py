@@ -479,3 +479,23 @@ def pq_encode(
     return scored.groupBy(corpus_id, "sub").agg(
         F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias("code")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to FROZEN IVF centroids → (corpus_id, cell) — the
+    incremental-ingest half of the IVF lifecycle, the inverted-file twin
+    of :func:`pq_encode`.  Delegates to the SAME ``_nearest_cell`` rule
+    the index build uses (min squared-L2, cell-id tie-break), so
+    incrementally-appended assignment rows are indistinguishable from
+    build-time ones."""
+    return _nearest_cell(
+        vectors.select(F.col(corpus_id), F.col(vec_col)),
+        centroids,
+        corpus_id,
+        vec_col,
+    )

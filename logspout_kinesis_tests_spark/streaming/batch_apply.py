@@ -549,6 +549,79 @@ def compact_epoch_index(
     ).count()
 
 
+def _streaming_ann_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    index_dir: str,
+    out_dir: str,
+    id_col: str,
+    vec_col: str,
+    code_cols: list[str],
+    train,
+    encode,
+    search,
+    max_files_per_trigger: int | None,
+) -> StreamingQuery:
+    """Shared skeleton of the incremental ANN flows: per micro-batch,
+    SEARCH the arriving vectors against the pre-epoch index, then ENCODE
+    them against the frozen auxiliary structure (codebooks / centroids)
+    and append epoch-partitioned codes + full-precision vectors.
+
+    ``train(batch) -> aux`` runs ONCE, on the first non-empty batch (both
+    trainers are fully deterministic, so a crash-replay regenerates
+    byte-identical aux — the overwrite is idempotent); ``encode(batch,
+    aux)`` emits the per-vector index rows (``code_cols`` schema);
+    ``search(batch, old_codes, old_vecs, aux)`` returns the per-query
+    top-k against state committed strictly before this epoch.
+    """
+    ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+    aux_dir = os.path.join(index_dir, "aux")
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch = bdf.select(F.col(id_col), F.col(vec_col)).filter(
+            F.col(vec_col).isNotNull()
+        )
+        if not batch.head(1):
+            return
+        try:
+            aux = spark.read.parquet(aux_dir)
+        except Exception:
+            train(batch).write.mode("overwrite").parquet(aux_dir)
+            aux = spark.read.parquet(aux_dir)
+
+        old_codes = _index_before_epoch(
+            spark, os.path.join(index_dir, "codes"), epoch_id, id_col, *code_cols
+        )
+        old_vecs = _index_before_epoch(
+            spark, os.path.join(index_dir, "vecs"), epoch_id, id_col, vec_col
+        )
+        if old_codes is not None and old_codes.head(1):
+            search(batch, old_codes, old_vecs, aux).coalesce(1).write.mode(
+                "overwrite"
+            ).json(os.path.join(out_dir, f"epoch={epoch_id}"))
+        encode(batch, aux).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "codes", f"epoch={epoch_id}")
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "vecs", f"epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_pq_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -564,20 +637,20 @@ def streaming_pq_ingest(
     rerank: int = 50,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    """Incremental ANN index maintenance — the vector-stream member of the
-    persisted-index family (exact hashes / Bloom / MinHash / heavy hitters
-    → here).  Arriving vectors are (a) searched against the PRE-batch
-    index (streaming near-neighbor alerting: every new vector reports its
-    top-k existing neighbors), then (b) encoded against the FROZEN
-    codebooks with :func:`operators.ann.pq_encode` and appended — the
-    index grows per micro-batch with no retraining and no rebuild.
+    """Incremental PQ-ANN index maintenance — the vector-stream member of
+    the persisted-index family (exact hashes / Bloom / MinHash / heavy
+    hitters → here).  Arriving vectors are (a) searched against the
+    PRE-batch index (streaming near-neighbor alerting: every new vector
+    reports its top-k existing neighbors), then (b) encoded against the
+    FROZEN codebooks with :func:`operators.ann.pq_encode` and appended —
+    the index grows per micro-batch with no retraining and no rebuild.
 
     Index layout (epoch-partitioned like the dedup trio):
 
-    - ``index_dir/codebooks``       — trained ONCE, on the first non-empty
-      batch (``pq_index`` is fully deterministic, so a crash-replay of the
-      training batch regenerates byte-identical codebooks — the overwrite
-      is idempotent, same replay contract as everything else here);
+    - ``index_dir/aux``             — codebooks, trained ONCE on the first
+      non-empty batch (``pq_index`` is deterministic, so a crash-replay of
+      the training batch regenerates byte-identical codebooks — the
+      overwrite is idempotent, same replay contract as everything else);
     - ``index_dir/codes/epoch=N``   — (id, sub, code), m ints per vector;
     - ``index_dir/vecs/epoch=N``    — full-precision vectors, read ONLY by
       the top-``rerank`` exact re-rank stage.
@@ -586,7 +659,7 @@ def streaming_pq_ingest(
     batch never sees its own partial writes), so results for an epoch are
     reproducible regardless of crashes.  100 TB: per-batch cost is one
     broadcast-ADC scan over the codes table + a ``rerank``-bounded join to
-    vecs; the codes payload is m bytes/vector, and a periodic compaction
+    vecs; the codes payload is m bytes/vector, and ``compact_epoch_index``
     folds old epochs exactly as for the dedup indexes.
     """
     from pyspark.sql import functions as F
@@ -597,57 +670,65 @@ def streaming_pq_ingest(
         pq_topk,
     )
 
-    ensure_runtime_confs(spark)
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.json(src_dir)
-    cb_dir = os.path.join(index_dir, "codebooks")
+    return _streaming_ann_ingest(
+        spark, src_dir, checkpoint_dir, schema, index_dir, out_dir,
+        id_col, vec_col, ["sub", "code"],
+        train=lambda b: pq_index(
+            b, m=m, ksub=ksub, iters=1, corpus_id=id_col, vec_col=vec_col
+        )[1],
+        encode=lambda b, cb: pq_encode(b, cb, corpus_id=id_col, vec_col=vec_col),
+        search=lambda b, oc, ov, cb: pq_topk(
+            b.select(F.col(id_col).alias("query_id"), vec_col),
+            ov, k=k, m=m, ksub=ksub, rerank=rerank,
+            corpus_id=id_col, vec_col=vec_col, index=(oc, cb),
+        ),
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
-    def _sink(bdf: DataFrame, epoch_id: int) -> None:
-        batch = bdf.select(F.col(id_col), F.col(vec_col)).filter(
-            F.col(vec_col).isNotNull()
-        )
-        if not batch.head(1):
-            return
-        try:
-            codebooks = spark.read.parquet(cb_dir)
-        except Exception:
-            _, codebooks = pq_index(batch, m=m, ksub=ksub, iters=1, corpus_id=id_col, vec_col=vec_col)
-            codebooks.write.mode("overwrite").parquet(cb_dir)
-            codebooks = spark.read.parquet(cb_dir)
 
-        old_codes = _index_before_epoch(
-            spark, os.path.join(index_dir, "codes"), epoch_id, id_col, "sub", "code"
-        )
-        old_vecs = _index_before_epoch(
-            spark, os.path.join(index_dir, "vecs"), epoch_id, id_col, vec_col
-        )
-        if old_codes is not None and old_codes.head(1):
-            hits = pq_topk(
-                batch.select(F.col(id_col).alias("query_id"), vec_col),
-                old_vecs,
-                k=k,
-                m=m,
-                ksub=ksub,
-                rerank=rerank,
-                corpus_id=id_col,
-                vec_col=vec_col,
-                index=(old_codes, codebooks),
-            )
-            hits.coalesce(1).write.mode("overwrite").json(
-                os.path.join(out_dir, f"epoch={epoch_id}")
-            )
-        pq_encode(batch, codebooks, corpus_id=id_col, vec_col=vec_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "codes", f"epoch={epoch_id}"))
-        batch.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "vecs", f"epoch={epoch_id}")
-        )
+def streaming_ivf_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental IVF index maintenance — the inverted-file twin of
+    :func:`streaming_pq_ingest` on the same skeleton: centroids train once
+    on the first batch, arriving vectors are searched against the
+    pre-epoch inverted file (``ivf_topk`` probe join, ``epoch < N``), then
+    assigned to the frozen centroids with :func:`operators.ann.ivf_assign`
+    and appended as ``(id, cell)`` rows.  Same epoch-partitioned layout,
+    same crash-replay contract, same ``compact_epoch_index`` maintenance.
+    """
+    from pyspark.sql import functions as F
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from logspout_kinesis_tests_spark.operators.ann import (
+        ivf_assign,
+        ivf_index,
+        ivf_topk,
+    )
+
+    return _streaming_ann_ingest(
+        spark, src_dir, checkpoint_dir, schema, index_dir, out_dir,
+        id_col, vec_col, ["cell"],
+        train=lambda b: ivf_index(
+            b, nlist=nlist, iters=2, corpus_id=id_col, vec_col=vec_col
+        )[1],
+        encode=lambda b, cents: ivf_assign(
+            b, cents, corpus_id=id_col, vec_col=vec_col
+        ),
+        search=lambda b, oc, ov, cents: ivf_topk(
+            b.select(F.col(id_col).alias("query_id"), vec_col),
+            ov, k=k, nlist=nlist, nprobe=nprobe,
+            corpus_id=id_col, vec_col=vec_col, index=(oc, cents),
+        ),
+        max_files_per_trigger=max_files_per_trigger,
     )

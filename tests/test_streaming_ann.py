@@ -65,7 +65,7 @@ def test_pq_ingest_searches_then_extends(spark, tmp_path):
 
     # epoch 0 trains the codebooks and seeds the index — no search output
     assert not os.path.isdir(os.path.join(out, "epoch=0"))
-    assert os.path.isdir(os.path.join(index, "codebooks"))
+    assert os.path.isdir(os.path.join(index, "aux"))  # frozen codebooks
     # epoch 1 searched the PRE-batch index: the near-copy's top-1 is its twin
     hits = _epoch_hits(out, 1)
     assert {h["query_id"] for h in hits} == {100, 101}
@@ -164,3 +164,43 @@ def test_pq_ingest_composes_with_epoch_compaction(spark, tmp_path):
     assert plain and compacted == plain
     top = [json.loads(h) for h in compacted if json.loads(h)["rank"] == 1]
     assert top[0]["vec_id"] == 50
+
+
+def test_ivf_ingest_searches_then_extends(spark, tmp_path):
+    """The IVF twin on the shared skeleton: centroids train once, arriving
+    vectors probe the pre-epoch inverted file, assignments append — and an
+    increment-then-search round trip finds a near-copy planted across the
+    micro-batch boundary."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_ivf_ingest,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    near = list(_vec(3))
+    near[0] *= 1.02
+    _write_batch(src, "b1.json", [(100, near), (101, _vec(20))], 1_700_000_060)
+
+    def run():
+        q = streaming_ivf_ingest(
+            spark, src, ckpt, SCHEMA, index, out,
+            nlist=4, nprobe=2, k=3, max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(180)
+        while any(a.id == q.id for a in spark.streams.active):
+            time.sleep(0.1)
+
+    run()
+    hits = _epoch_hits(out, 1)
+    top = {h["query_id"]: h for h in hits if h["rank"] == 1}
+    assert top[100]["vec_id"] == 3 and top[100]["cosine"] > 0.999
+    assert all(h["vec_id"] < 100 for h in hits)
+    codes = spark.read.parquet(os.path.join(index, "codes"))
+    assert codes.count() == 10 and set(codes.columns) >= {"vec_id", "cell"}
+
+    # increment is searchable: a near-copy of the batch-1 novel vector
+    _write_batch(src, "b2.json", [(200, [x * 1.01 for x in _vec(20)])], 1_700_000_120)
+    run()
+    hits2 = {h["rank"]: h for h in _epoch_hits(out, 2)}
+    assert hits2[1]["vec_id"] == 101 and hits2[1]["cosine"] > 0.999

@@ -204,6 +204,9 @@ _HEAVY = frozenset(
         "c10_ivf_topk_search_only",
         "c12_phash_neardup",
         "c17_pagerank",
+        # widest same-code spread outside the ANN set (2.8-3.9 s across the
+        # r6-r8 driver runs) — median-of-7 keeps it off the 1.3x wire
+        "c16_hampel",
     }
 )
 

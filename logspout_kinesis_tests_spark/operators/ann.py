@@ -454,14 +454,30 @@ def pq_encode(
     the IDENTICAL min-(d², cell) rule as ``pq_index``'s internal
     ``_assign`` (same fold, same tie-break), so codes produced here are
     indistinguishable from build-time codes; m and dsub are inferred from
-    the codebooks so an index/query geometry drift fails in
-    :func:`pq_topk`'s existing dsub guard, not silently here.
+    the codebooks, and any vector whose length differs from m·dsub fails
+    the job loudly — F.slice on a short vector would otherwise yield
+    short subvectors, zip_with would null-pad, d2 would fold to NULL and
+    min_by would append an arbitrary code to the index silently.
     """
     meta = codebooks.agg(
         F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
     ).head()
     m, dsub = meta["max_sub"] + 1, meta["dsub"]
-    sub_df = vectors.select(
+    checked = vectors.select(
+        F.col(corpus_id),
+        F.when(F.size(vec_col) == m * dsub, F.col(vec_col))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_encode: vector length "),
+                    F.size(vec_col).cast("string"),
+                    F.lit(f" != m*dsub = {m * dsub}"),
+                )
+            )
+        )
+        .alias(vec_col),
+    )
+    sub_df = checked.select(
         F.col(corpus_id), F.posexplode(_pq_subvectors(vec_col, m, dsub)).alias("sub", "svec")
     )
     scored = sub_df.join(

@@ -768,13 +768,26 @@ def audio_energy_windows(
             ids, wins, ns, es, ps = [], [], [], [], []
             for d, raw in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
                 raw = bytes(raw)
-                # canonical 44-byte header: RIFF..WAVE, fmt(16), data
-                if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
                     continue
-                channels = struct.unpack("<H", raw[22:24])[0]
-                data_len = struct.unpack("<I", raw[40:44])[0]
-                data = raw[44 : 44 + data_len]
-                if not data or channels == 0:
+                # Walk the RIFF chunk list — real WAVs carry extended fmt
+                # chunks (18/40 bytes), fact/LIST chunks, etc., so the
+                # data chunk is NOT guaranteed at offset 36.  Rows whose
+                # fmt isn't plain 16-bit PCM (or that lack fmt/data) are
+                # skipped, never mis-decoded from a garbage length.
+                pos, channels, audio_fmt, bits, data = 12, 0, 0, 0, b""
+                while pos + 8 <= len(raw):
+                    cid = raw[pos : pos + 4]
+                    (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                    body = raw[pos + 8 : pos + 8 + clen]
+                    if cid == b"fmt " and len(body) >= 16:
+                        audio_fmt, channels = struct.unpack("<HH", body[:4])
+                        (bits,) = struct.unpack("<H", body[14:16])
+                    elif cid == b"data":
+                        data = body
+                        break
+                    pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+                if not data or channels == 0 or audio_fmt != 1 or bits != 16:
                     continue
                 samples = np.frombuffer(
                     data[: len(data) - len(data) % (2 * channels)], dtype="<i2"

@@ -128,6 +128,32 @@ def _collect_code_names(code) -> set[str]:
     return names
 
 
+def _import_levels(code) -> dict:
+    """Map imported dotted names → their relative-import level, read from
+    the bytecode itself (the compile pattern is ``LOAD_CONST level;
+    LOAD_CONST fromlist; IMPORT_NAME name``), recursing into nested code
+    objects.  This pins a prefix-less name like ``operators.x`` to the ONE
+    base its level binds to, so a future same-named shadow module at an
+    inner package level cannot flip fingerprints silently."""
+    import dis
+    import types
+
+    levels: dict = {}
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        instrs = list(dis.get_instructions(c))
+        for i, ins in enumerate(instrs):
+            if ins.opname == "IMPORT_NAME" and i >= 2:
+                lvl = instrs[i - 2]
+                if lvl.opname == "LOAD_CONST" and isinstance(lvl.argval, int):
+                    levels[ins.argval] = lvl.argval
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return levels
+
+
 def _ancestor_candidates(fn, dotted: str) -> list:
     """Package-local module paths a prefix-less dotted import name could
     resolve to, tried innermost-first: for a builder in
@@ -160,6 +186,7 @@ def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
     if code is None or g is None:
         return
     names = _collect_code_names(code)
+    levels = _import_levels(code)
     for name in sorted(names):
         obj = g.get(name)
         if obj is None and "." in name:
@@ -169,9 +196,11 @@ def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
             # import y`` appears fully prefixed; a RELATIVE ``from
             # ..operators.x import y`` compiles to the PREFIX-LESS path
             # ('operators.x' — the compiler strips the dots, the level
-            # lives in the bytecode argument), so try the path as-is and
-            # then under each ancestor package of the builder's own module
-            # (the bases a relative level could bind to).  IMPORT the
+            # lives in the bytecode argument).  The level IS recovered from
+            # the bytecode (``_import_levels``) and pins the name to the
+            # ONE base it binds to; the ancestor-package walk is only the
+            # fallback for names whose IMPORT_NAME wasn't preceded by a
+            # constant level (never the case for CPython source).  IMPORT the
             # module (not sys.modules.get: lazily-imported modules would
             # make the fingerprint depend on what ran before, flipping
             # prints between a fresh interpreter and one that already
@@ -179,11 +208,14 @@ def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
             # (``from .helpers import y`` → just 'helpers' in co_names)
             # stay ambiguous against attribute loads — a lint in
             # tests/test_rotation.py forbids those in builder modules.
-            candidates = (
-                [name]
-                if name.startswith(_PKG_PREFIX + ".")
-                else _ancestor_candidates(fn, name)
-            )
+            lvl = levels.get(name, 0)
+            if name.startswith(_PKG_PREFIX + "."):
+                candidates = [name]
+            elif lvl > 0:
+                base = (getattr(fn, "__module__", "") or "").rsplit(".", lvl)[0]
+                candidates = [f"{base}.{name}"] if base else []
+            else:
+                candidates = _ancestor_candidates(fn, name)
             for cand in candidates:
                 try:
                     obj = importlib.import_module(cand)

@@ -591,11 +591,18 @@ def _streaming_ann_ingest(
         )
         if not batch.head(1):
             return
-        try:
-            aux = spark.read.parquet(aux_dir)
-        except Exception:
+        # Train-once gate keyed on the committer's _SUCCESS marker, not
+        # on whether a read succeeds: a transient read failure in a later
+        # epoch (or a partially-written aux dir after a crash mid-train,
+        # which can still read "successfully") must NOT silently retrain
+        # on the current batch — that would freeze aux that disagrees
+        # with every code already encoded in the index.  Marker absent ⇒
+        # train (idempotent: trainers are deterministic and the overwrite
+        # replaces any partial files); marker present ⇒ aux is complete,
+        # so any read error below fails the batch loudly for a retry.
+        if not os.path.exists(os.path.join(aux_dir, "_SUCCESS")):
             train(batch).write.mode("overwrite").parquet(aux_dir)
-            aux = spark.read.parquet(aux_dir)
+        aux = spark.read.parquet(aux_dir)
 
         old_codes = _index_before_epoch(
             spark, os.path.join(index_dir, "codes"), epoch_id, id_col, *code_cols

@@ -490,6 +490,16 @@ def streaming_percentiles(
             if state.exists
             else np.zeros(buckets, dtype=np.int64)
         )
+        if len(counts) != buckets:
+            # Checkpoint written under a different grid: restarting with a
+            # smaller `buckets` would otherwise clip indices silently and
+            # mis-grid every count.  The grid is part of the contract —
+            # changing it requires a fresh checkpoint.
+            raise ValueError(
+                f"streaming_percentiles: restored state has {len(counts)} "
+                f"buckets but the query was started with buckets={buckets}; "
+                "grid changes across restart require a new checkpoint"
+            )
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
             return iter(())
@@ -505,6 +515,11 @@ def streaming_percentiles(
             counts[int(i)] += int(c)
         state.update((counts.tolist(),))
         n = int(counts.sum())
+        if n == 0:
+            # A key whose traffic so far is all-NULL/NaN values has no
+            # distribution to report: emit nothing rather than an
+            # out-of-grid percentile bar with n_events=0.
+            return iter(())
         out = {"event_type": [key[0]], "n_events": [n]}
         cum = np.cumsum(counts)
         for q_num, q_den, name in qs:

@@ -401,3 +401,27 @@ def test_pq_rerank_cosines_are_exact(spark, sf_dir):
             checked += 1
     # every query sees itself and its planted near-copy in the top-k
     assert checked == 40
+
+
+def test_pq_encode_rejects_wrong_dimension(spark):
+    """Encode-side geometry guard: a vector whose length != m*dsub fails
+    the job loudly — F.slice would otherwise yield short subvectors whose
+    d2 folds to NULL and min_by would append an arbitrary code silently."""
+    import pytest
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_encode, pq_index
+
+    train = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    _, codebooks = pq_index(train, m=4, ksub=4, iters=1)
+    good = spark.createDataFrame(
+        [(100, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    assert pq_encode(good, codebooks).count() == 4
+    short = spark.createDataFrame(
+        [(101, [1.0] * 6)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="pq_encode"):
+        pq_encode(short, codebooks).count()

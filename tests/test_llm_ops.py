@@ -341,3 +341,55 @@ def test_audio_energy_windows_downmixes_channels_exactly(spark):
     # malformed payload: silently skipped (scan-side quarantine contract)
     bad = spark.createDataFrame([(9, bytearray(b"not a wav"))], "doc_id long, payload binary")
     assert audio_energy_windows(bad).count() == 0
+
+
+def test_audio_energy_windows_walks_riff_chunks(spark):
+    """Real-world WAVs carry extended fmt chunks and fact/LIST chunks, so
+    the data chunk is not at offset 36: the decoder walks the RIFF chunk
+    list and must produce the SAME features as for the canonical layout —
+    while non-PCM (float) and non-16-bit payloads are skipped, never
+    decoded from a garbage length."""
+    import struct
+
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    samples = [((k * 13) % 2001) - 1000 for k in range(64)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+
+    def wav(fmt_body: bytes, pre_data: bytes = b"", audio_fmt: int = 1, bits: int = 16) -> bytes:
+        fmt_hdr = struct.pack("<HHIIHH", audio_fmt, 1, 8000, 8000 * 2, 2, bits)
+        body = fmt_hdr + fmt_body
+        chunks = b"fmt " + struct.pack("<I", len(body)) + body
+        chunks += pre_data
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    canonical = wav(b"")
+    # 18-byte fmt (cbSize=0) + fact chunk + LIST chunk before data
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 64)
+    lst = b"LIST" + struct.pack("<I", 10) + b"INFOhello\x00"
+    extended = wav(struct.pack("<H", 0), pre_data=fact + lst)
+    # odd-length chunk exercises word-alignment padding in the walk
+    odd = b"junk" + struct.pack("<I", 3) + b"abc\x00"
+    padded = wav(b"", pre_data=odd)
+    ieee_float = wav(b"", audio_fmt=3)
+    eight_bit = wav(b"", bits=8)
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(canonical)),
+            (1, bytearray(extended)),
+            (2, bytearray(padded)),
+            (3, bytearray(ieee_float)),
+            (4, bytearray(eight_bit)),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = audio_energy_windows(df, window_samples=64).collect()
+    # only the three PCM-16 layouts decode; all three agree exactly
+    assert {r["doc_id"] for r in out} == {0, 1, 2}
+    expect = (64, sum(x * x for x in samples), max(abs(x) for x in samples))
+    for r in out:
+        assert (r["n_samples"], r["energy_sq"], r["peak_abs"]) == expect

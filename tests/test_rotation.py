@@ -327,3 +327,31 @@ def test_no_ambiguous_function_local_relative_imports():
         "function-local RELATIVE imports are invisible to the fingerprint "
         f"walk when bare (level-1); use absolute imports instead: {offenders}"
     )
+
+
+def test_import_levels_read_from_bytecode():
+    """Relative-import levels are recovered from the compiled bytecode
+    (LOAD_CONST level; LOAD_CONST fromlist; IMPORT_NAME name), so a
+    prefix-less dotted name binds to exactly the base its level names —
+    a same-named shadow module at an inner package level cannot flip the
+    fingerprint resolution."""
+    from logspout_kinesis_tests_spark.plans.rotation import _import_levels
+
+    src = (
+        "def f():\n"
+        "    from operators.x import a\n"          # absolute: level 0
+        "    def g():\n"
+        "        from a.b.c import d\n"            # nested code object
+        "    return g\n"
+    )
+    code = compile(src, "<t>", "exec").co_consts[0]
+    levels = _import_levels(code)
+    assert levels == {"operators.x": 0, "a.b.c": 0}
+
+    # relative levels survive compilation with a package context
+    rel = compile(
+        "def f():\n    from ..operators.dedup import exact_duplicates\n",
+        "<t>",
+        "exec",
+    ).co_consts[0]
+    assert _import_levels(rel) == {"operators.dedup": 2}

@@ -204,3 +204,42 @@ def test_ivf_ingest_searches_then_extends(spark, tmp_path):
     run()
     hits2 = {h["rank"]: h for h in _epoch_hits(out, 2)}
     assert hits2[1]["vec_id"] == 101 and hits2[1]["cosine"] > 0.999
+
+
+def test_aux_gate_is_the_success_marker_not_readability(spark, tmp_path):
+    """The train-once gate trusts ONLY the committer's _SUCCESS marker: a
+    partially-written aux dir after a crash mid-train can still READ
+    successfully, and a readability gate would adopt those wrong codebooks
+    for every future code.  With the marker gate, marker-absent aux is
+    retrained (idempotent — deterministic trainer) no matter what partial
+    files sit there."""
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    base = [(i, _vec(i)) for i in range(8)]
+    _write_batch(src, "b0.json", base, 1_700_000_000)
+    near3 = list(_vec(3))
+    near3[0] *= 1.02
+    _write_batch(src, "b1.json", [(100, near3)], 1_700_000_060)
+
+    # crash-mid-train emulation: a VALID but WRONG codebooks parquet is
+    # already in aux, with no _SUCCESS marker (the committer writes the
+    # marker last, so a partial dir never has one)
+    from logspout_kinesis_tests_spark.operators.ann import pq_index
+
+    junk = spark.createDataFrame(
+        [(i, [float(i)] * DIM) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    _, wrong_cb = pq_index(junk, m=4, ksub=4, iters=1)
+    aux = os.path.join(index, "aux")
+    wrong_cb.write.parquet(aux)
+    os.remove(os.path.join(aux, "_SUCCESS"))
+
+    _run(spark, src, ckpt, index, out)
+
+    # the partial aux was replaced by a completed (marker-present) train
+    assert os.path.exists(os.path.join(aux, "_SUCCESS"))
+    # and the index behaves exactly like the happy path: the near-copy's
+    # top-1 neighbor is its twin with ~1.0 cosine
+    top = {h["query_id"]: h for h in _epoch_hits(out, 1) if h["rank"] == 1}
+    assert top[100]["vec_id"] == 3 and top[100]["cosine"] > 0.999

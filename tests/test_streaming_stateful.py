@@ -553,3 +553,103 @@ def test_streaming_percentiles_accumulate_across_batches(spark, tmp_path):
     # upper bound); the tail shifts p95/p99 into the 300-cent bucket
     assert rows[0]["p99_c"] == 24
     assert rows[1]["p99_c"] == 324 and rows[1]["p50_c"] == 24
+
+
+def test_streaming_percentiles_all_null_first_batch_emits_nothing(spark, tmp_path):
+    """A key whose traffic so far is all-NULL values has no distribution:
+    the monitor emits NO row for it (not an out-of-grid bar with
+    n_events=0) — until real values arrive."""
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_percentiles,
+    )
+
+    mk = lambda i, v: {
+        "event_id": i,
+        "ts": f"2024-01-01 00:00:{i:02d}",
+        "user_id": 1,
+        "event_type": "m",
+        "value": v,
+        "props": "{}",
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events(os.path.join(src, "b1.json"), [mk(i, None) for i in range(3)])
+    _write_events(os.path.join(src, "b2.json"), [mk(10 + i, 0.05) for i in range(4)])
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        streaming_percentiles(stream, 0, 399, buckets=16)
+        .writeStream.format("memory")
+        .queryName("pct_null_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM pct_null_stream").collect()
+    # batch 1 (all NULL) emitted nothing; batch 2 reports only real traffic
+    assert [(r["n_events"], r["p50_c"]) for r in rows] == [(4, 24)]
+
+
+def test_streaming_percentiles_grid_change_across_restart_fails_loud(
+    spark, tmp_path
+):
+    """Restarting from a checkpoint with a different `buckets` than the run
+    that wrote the state must FAIL, not silently mis-grid the counts (a
+    smaller grid would clip indices and corrupt every quantile)."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_percentiles,
+    )
+
+    mk = lambda i, v: {
+        "event_id": i,
+        "ts": f"2024-01-01 00:00:{i:02d}",
+        "user_id": 1,
+        "event_type": "m",
+        "value": v,
+        "props": "{}",
+    }
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_events(os.path.join(src, "b1.json"), [mk(i, i / 100) for i in range(8)])
+    seen: list[tuple[int, int]] = []
+
+    def start(buckets: int):
+        stream = (
+            spark.readStream.schema(EVENTS)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        return (
+            streaming_percentiles(stream, 0, 399, buckets=buckets)
+            .writeStream.foreachBatch(
+                lambda df, _bid: seen.extend(
+                    (r["n_events"], r["p50_c"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(16)
+    assert q.awaitTermination(180)
+    while any(a.id == q.id for a in spark.streams.active):
+        time.sleep(0.1)
+    assert seen == [(8, 24)]
+
+    _write_events(os.path.join(src, "b2.json"), [mk(20 + i, 1.0) for i in range(4)])
+    q2 = start(8)
+    with pytest.raises(StreamingQueryException, match="16\\s*\\n?\\s*buckets"):
+        q2.awaitTermination(180)
+        raise AssertionError("restart with a shrunken grid must not succeed")

@@ -497,6 +497,88 @@ def pq_encode(
     )
 
 
+def pq_quantization_error(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ reconstruction error against FROZEN codebooks →
+    (corpus_id, qerr): the summed squared-L2 distance between each
+    subvector and its chosen codebook cell — exactly the d2 the encoder
+    minimizes, so qerr is the residual the ADC search sees.
+
+    This is the drift signal for the train-once streaming ingest: codebooks
+    frozen on the first batch fit later batches worse as the stream's
+    distribution shifts, and mean qerr per epoch rises with that shift
+    (``streaming/batch_apply.py`` records it per epoch;
+    ``ann_ingest_health`` turns it into a drifted-epoch flag).  Same plan
+    shape as :func:`pq_encode` — one broadcast join, no shuffle beyond the
+    final per-id agg."""
+    meta = codebooks.agg(
+        F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
+    ).head()
+    m, dsub = meta["max_sub"] + 1, meta["dsub"]
+    sub_df = vectors.filter(F.size(vec_col) == m * dsub).select(
+        F.col(corpus_id), F.posexplode(_pq_subvectors(vec_col, m, dsub)).alias("sub", "svec")
+    )
+    scored = sub_df.join(
+        F.broadcast(codebooks.select("sub", "centroid")), "sub"
+    ).select(
+        F.col(corpus_id),
+        "sub",
+        F.aggregate(
+            F.zip_with(F.col("svec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    return (
+        scored.groupBy(corpus_id, "sub")
+        .agg(F.min("d2").alias("min_d2"))
+        .groupBy(corpus_id)
+        .agg(F.sum("min_d2").alias("qerr"))
+    )
+
+
+def ivf_quantization_error(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector IVF assignment error against FROZEN centroids →
+    (corpus_id, qerr): ``1 − cosine(vec, nearest centroid)`` — the same
+    similarity the assignment rule (:func:`ivf_assign` / ``_nearest_cell``)
+    maximizes, so a rising mean qerr means arriving vectors no longer sit
+    near any training-time centroid (the IVF twin of
+    :func:`pq_quantization_error`; zero-norm vectors count as error 1)."""
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
+    denom = F.col("_nv") * F.col("_ncent")
+    scored = (
+        vectors.select(
+            F.col(corpus_id), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nv")
+        )
+        .crossJoin(
+            F.broadcast(
+                centroids.select(
+                    "centroid", l2_norm(F.col("centroid")).alias("_ncent")
+                )
+            )
+        )
+        .select(
+            F.col(corpus_id),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(dot_product(F.col(vec_col), F.col("centroid")) / denom)
+            .alias("sim"),
+        )
+    )
+    return scored.groupBy(corpus_id).agg(
+        (F.lit(1.0) - F.max("sim")).alias("qerr")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

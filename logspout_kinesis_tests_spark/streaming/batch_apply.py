@@ -549,6 +549,71 @@ def compact_epoch_index(
     ).count()
 
 
+def _write_health_row(
+    index_dir: str,
+    epoch_id: int,
+    n_vectors: int,
+    mean_qerr: float,
+    baseline: bool,
+) -> None:
+    """One JSON health row per epoch (driver-side, deterministic content →
+    crash-replay overwrites byte-identically)."""
+    import json
+
+    health_dir = os.path.join(index_dir, "health")
+    os.makedirs(health_dir, exist_ok=True)
+    row = {
+        "epoch": epoch_id,
+        "n_vectors": n_vectors,
+        "mean_qerr": round(mean_qerr, 9),
+        "baseline": baseline,
+    }
+    with open(os.path.join(health_dir, f"epoch={epoch_id}.json"), "w") as f:
+        json.dump(row, f, sort_keys=True)
+
+
+def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
+    """Read the per-epoch health rows of a streaming ANN index and flag
+    codebook/centroid drift: an epoch is ``drifted`` when its mean
+    quantization error exceeds ``factor`` × the most recent BASELINE
+    epoch's (the epoch that trained — or retrained — the frozen aux).
+
+    This is the monitor the train-once contract needs: recall decay under
+    distribution shift is silent (searches still return k rows, just the
+    wrong ones), while mean qerr against the frozen aux rises in direct
+    proportion to how far the stream has moved from the training batch.
+    When an epoch trips the flag, refresh the index with
+    :func:`recode_epoch_index` (quiesced, replay-safe) — its retrain
+    writes a new baseline row, resetting the comparison.
+
+    Pure driver-side file reads — no Spark session needed, so it can run
+    from a monitoring cron beside the stream.
+    """
+    import json
+
+    health_dir = os.path.join(index_dir, "health")
+    if not os.path.isdir(health_dir):
+        return []
+    rows = []
+    for name in os.listdir(health_dir):
+        if name.startswith("epoch=") and name.endswith(".json"):
+            with open(os.path.join(health_dir, name)) as f:
+                rows.append(json.load(f))
+    rows.sort(key=lambda r: r["epoch"])
+    base = None
+    for r in rows:
+        if r.get("baseline"):
+            base = r["mean_qerr"]
+        r["baseline_qerr"] = base
+        r["drifted"] = bool(
+            not r.get("baseline")
+            and base is not None
+            and base > 0
+            and r["mean_qerr"] > factor * base
+        )
+    return rows
+
+
 def _streaming_ann_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -562,6 +627,7 @@ def _streaming_ann_ingest(
     train,
     encode,
     search,
+    qerr,
     max_files_per_trigger: int | None,
 ) -> StreamingQuery:
     """Shared skeleton of the incremental ANN flows: per micro-batch,
@@ -574,7 +640,22 @@ def _streaming_ann_ingest(
     byte-identical aux — the overwrite is idempotent); ``encode(batch,
     aux)`` emits the per-vector index rows (``code_cols`` schema);
     ``search(batch, old_codes, old_vecs, aux)`` returns the per-query
-    top-k against state committed strictly before this epoch.
+    top-k against state committed strictly before this epoch;
+    ``qerr(batch, aux) -> DataFrame[(id, qerr)]`` scores how well the
+    FROZEN aux still fits the arriving vectors.
+
+    Drift instrumentation: every epoch appends one health row
+    (``index_dir/health/epoch=N.json`` — epoch, n_vectors, mean_qerr,
+    baseline flag) where ``baseline`` marks the epoch that trained (or
+    retrained, see :func:`recode_epoch_index`) the aux.  Because the
+    train-once contract freezes codebooks/centroids on the first batch, a
+    distribution-shifted stream degrades recall with NO error anywhere —
+    mean quantization error is the observable proxy (rising qerr ⇒ the
+    frozen cells no longer sit near arriving vectors ⇒ ADC/probe rankings
+    blur).  ``ann_ingest_health`` reads these rows and flags drifted
+    epochs; ``recode_epoch_index`` refreshes the aux without violating
+    replay safety.  The row write is driver-side and deterministic, so a
+    crash-replay overwrites it byte-identically.
     """
     ensure_runtime_confs(spark)
     reader = spark.readStream.schema(schema)
@@ -600,7 +681,10 @@ def _streaming_ann_ingest(
         # train (idempotent: trainers are deterministic and the overwrite
         # replaces any partial files); marker present ⇒ aux is complete,
         # so any read error below fails the batch loudly for a retry.
-        if not os.path.exists(os.path.join(aux_dir, "_SUCCESS")):
+        trained_this_epoch = not os.path.exists(
+            os.path.join(aux_dir, "_SUCCESS")
+        )
+        if trained_this_epoch:
             train(batch).write.mode("overwrite").parquet(aux_dir)
         aux = spark.read.parquet(aux_dir)
 
@@ -619,6 +703,16 @@ def _streaming_ann_ingest(
         )
         batch.write.mode("overwrite").parquet(
             os.path.join(index_dir, "vecs", f"epoch={epoch_id}")
+        )
+        stats = qerr(batch, aux).agg(
+            F.count("*").alias("n"), F.avg("qerr").alias("mean_qerr")
+        ).head()
+        _write_health_row(
+            index_dir,
+            epoch_id,
+            n_vectors=int(stats["n"]),
+            mean_qerr=float(stats["mean_qerr"] or 0.0),
+            baseline=trained_this_epoch,
         )
 
     return (
@@ -674,6 +768,7 @@ def streaming_pq_ingest(
     from logspout_kinesis_tests_spark.operators.ann import (
         pq_encode,
         pq_index,
+        pq_quantization_error,
         pq_topk,
     )
 
@@ -688,6 +783,9 @@ def streaming_pq_ingest(
             b.select(F.col(id_col).alias("query_id"), vec_col),
             ov, k=k, m=m, ksub=ksub, rerank=rerank,
             corpus_id=id_col, vec_col=vec_col, index=(oc, cb),
+        ),
+        qerr=lambda b, cb: pq_quantization_error(
+            b, cb, corpus_id=id_col, vec_col=vec_col
         ),
         max_files_per_trigger=max_files_per_trigger,
     )
@@ -720,6 +818,7 @@ def streaming_ivf_ingest(
     from logspout_kinesis_tests_spark.operators.ann import (
         ivf_assign,
         ivf_index,
+        ivf_quantization_error,
         ivf_topk,
     )
 
@@ -737,5 +836,172 @@ def streaming_ivf_ingest(
             ov, k=k, nlist=nlist, nprobe=nprobe,
             corpus_id=id_col, vec_col=vec_col, index=(oc, cents),
         ),
+        qerr=lambda b, cents: ivf_quantization_error(
+            b, cents, corpus_id=id_col, vec_col=vec_col
+        ),
         max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def recode_epoch_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_epoch: int,
+    train,
+    encode,
+    qerr,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Retrain-and-recode maintenance for a streaming ANN index: rebuild
+    the frozen aux (codebooks / centroids) from ALL vectors accumulated in
+    epochs ``< upto_epoch``, re-encode every one of them against the new
+    aux, and fold the result into the single partition
+    ``epoch = upto_epoch - 1`` — the refresh to run when
+    :func:`ann_ingest_health` flags drift.
+
+    Replay safety, same rules as :func:`compact_epoch_index`: run only
+    while the stream is quiesced and with ``upto_epoch <=`` last COMMITTED
+    epoch + 1.  The folded partition id keeps every recoded row visible to
+    exactly the probes that saw it before (live epochs are
+    ``>= upto_epoch``), and a restarted stream reads the retrained aux
+    through the same ``_SUCCESS`` gate — new arrivals encode against the
+    refreshed codebooks with no contract change.
+
+    Crash handling: every artifact is staged before any destructive step
+    (aux under ``_aux_retrain``, codes under a Spark-hidden
+    ``_recode_tmp``), and the whole job is deterministic in its inputs
+    (the trainer is deterministic, the vecs table is quiesced) — so after
+    a crash at ANY point, re-running the same call regenerates identical
+    artifacts and completes the swap.  Re-run before restarting the
+    stream, exactly like a crashed compaction.
+
+    Writes a fresh BASELINE health row for the folded epoch, so the drift
+    monitor's comparison resets to the retrained aux.
+
+    Returns the number of recoded code rows.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    aux_dir = os.path.join(index_dir, "aux")
+    codes_dir = os.path.join(index_dir, "codes")
+    vecs_dir = os.path.join(index_dir, "vecs")
+    aux_tmp = os.path.join(index_dir, "_aux_retrain")
+    codes_tmp = os.path.join(codes_dir, f"_recode_tmp_{upto_epoch - 1}")
+
+    vecs = (
+        spark.read.parquet(vecs_dir)
+        .filter(F.col("epoch") < upto_epoch)
+        .select(F.col(id_col), F.col(vec_col))
+        .distinct()
+    )
+
+    # stage 1: retrain on the full accumulated corpus
+    if not os.path.exists(os.path.join(aux_tmp, "_SUCCESS")):
+        if os.path.isdir(aux_tmp):
+            shutil.rmtree(aux_tmp)  # partial from a crashed run
+        train(vecs).write.parquet(aux_tmp)
+    new_aux = spark.read.parquet(aux_tmp)
+
+    # stage 2: re-encode every accumulated vector against the new aux
+    if not os.path.exists(os.path.join(codes_tmp, "_SUCCESS")):
+        if os.path.isdir(codes_tmp):
+            shutil.rmtree(codes_tmp)
+        encode(vecs, new_aux).write.parquet(codes_tmp)
+
+    # swap aux first: a restarted stream MUST see the aux the staged codes
+    # were built against (old aux + new codes would mis-rank every ADC
+    # probe; new aux + old codes is the pre-existing drift, no worse, and
+    # the codes swap directly below replaces them)
+    shutil.rmtree(aux_dir)
+    os.rename(aux_tmp, aux_dir)
+    # health stats BEFORE the vecs fold: the lazy `vecs` plan still reads
+    # the per-epoch dirs, which the compaction below deletes
+    stats = qerr(vecs, spark.read.parquet(aux_dir)).agg(
+        F.count("*").alias("n"), F.avg("qerr").alias("mean_qerr")
+    ).head()
+    for name in os.listdir(codes_dir):
+        if name.startswith("epoch="):
+            try:
+                if int(name.split("=", 1)[1]) < upto_epoch:
+                    shutil.rmtree(os.path.join(codes_dir, name))
+            except ValueError:
+                continue
+    os.rename(codes_tmp, os.path.join(codes_dir, f"epoch={upto_epoch - 1}"))
+    # vecs are unchanged by the recode — fold them with the standard
+    # membership compaction so the epoch layout matches the codes table
+    compact_epoch_index(spark, vecs_dir, upto_epoch)
+    _write_health_row(
+        index_dir,
+        upto_epoch - 1,
+        n_vectors=int(stats["n"]),
+        mean_qerr=float(stats["mean_qerr"] or 0.0),
+        baseline=True,
+    )
+    return spark.read.parquet(
+        os.path.join(codes_dir, f"epoch={upto_epoch - 1}")
+    ).count()
+
+
+def recode_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+) -> int:
+    """:func:`recode_epoch_index` with the PQ lifecycle's own train/encode
+    (same parameters as :func:`streaming_pq_ingest` — pass the ones the
+    stream was started with)."""
+    from logspout_kinesis_tests_spark.operators.ann import (
+        pq_encode,
+        pq_index,
+        pq_quantization_error,
+    )
+
+    return recode_epoch_index(
+        spark, index_dir, upto_epoch,
+        train=lambda b: pq_index(
+            b, m=m, ksub=ksub, iters=1, corpus_id=id_col, vec_col=vec_col
+        )[1],
+        encode=lambda b, cb: pq_encode(b, cb, corpus_id=id_col, vec_col=vec_col),
+        qerr=lambda b, cb: pq_quantization_error(
+            b, cb, corpus_id=id_col, vec_col=vec_col
+        ),
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def recode_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> int:
+    """:func:`recode_epoch_index` with the IVF lifecycle's own
+    train/encode (parameters as :func:`streaming_ivf_ingest`)."""
+    from logspout_kinesis_tests_spark.operators.ann import (
+        ivf_assign,
+        ivf_index,
+        ivf_quantization_error,
+    )
+
+    return recode_epoch_index(
+        spark, index_dir, upto_epoch,
+        train=lambda b: ivf_index(
+            b, nlist=nlist, iters=2, corpus_id=id_col, vec_col=vec_col
+        )[1],
+        encode=lambda b, cents: ivf_assign(
+            b, cents, corpus_id=id_col, vec_col=vec_col
+        ),
+        qerr=lambda b, cents: ivf_quantization_error(
+            b, cents, corpus_id=id_col, vec_col=vec_col
+        ),
+        id_col=id_col, vec_col=vec_col,
     )

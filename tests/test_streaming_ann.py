@@ -243,3 +243,100 @@ def test_aux_gate_is_the_success_marker_not_readability(spark, tmp_path):
     # top-1 neighbor is its twin with ~1.0 cosine
     top = {h["query_id"]: h for h in _epoch_hits(out, 1) if h["rank"] == 1}
     assert top[100]["vec_id"] == 3 and top[100]["cosine"] > 0.999
+
+
+def test_drift_monitor_flags_shifted_stream_and_recode_resets_it(spark, tmp_path):
+    """The train-once contract's honest gap, instrumented: a
+    distribution-shifted batch arrives, its mean quantization error
+    against the FROZEN codebooks explodes, and `ann_ingest_health` flags
+    the epoch — then `recode_pq_index` retrains on the full accumulated
+    corpus, re-encodes every vector, folds the epochs, and resets the
+    baseline, after which the stream continues against the refreshed aux."""
+    from logspout_kinesis_tests_spark.operators.ann import pq_encode
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        ann_ingest_health,
+        recode_pq_index,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    # a shifted distribution: same shapes, +25 on every component
+    shifted = [(100 + i, [x + 25.0 for x in _vec(i)]) for i in range(4)]
+    _write_batch(src, "b1.json", shifted, 1_700_000_060)
+    _run(spark, src, ckpt, index, out)
+
+    rows = ann_ingest_health(index, factor=10.0)
+    assert [r["epoch"] for r in rows] == [0, 1]
+    assert rows[0]["baseline"] and not rows[0]["drifted"]
+    assert rows[1]["drifted"] and rows[1]["mean_qerr"] > 100 * rows[0]["mean_qerr"]
+    drift_qerr = rows[1]["mean_qerr"]
+
+    # --- refresh: retrain on all 12 vectors, re-encode, fold to epoch=1
+    n = recode_pq_index(spark, index, upto_epoch=2, m=4, ksub=4)
+    assert n == 12 * 4
+    codes = spark.read.parquet(os.path.join(index, "codes"))
+    assert set(r["epoch"] for r in codes.select("epoch").distinct().collect()) == {1}
+    # stored codes EQUAL a fresh encode of the folded vectors vs the new aux
+    vecs = spark.read.parquet(os.path.join(index, "vecs"))
+    aux = spark.read.parquet(os.path.join(index, "aux"))
+    expect = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(vecs.select("vec_id", "embedding"), aux).collect()
+    }
+    got = {(r["vec_id"], r["sub"], r["code"]) for r in codes.collect()}
+    assert got == expect
+    # baseline reset: the folded epoch is the new comparison point
+    rows = ann_ingest_health(index, factor=10.0)
+    assert rows[-1]["epoch"] == 1 and rows[-1]["baseline"]
+    assert not rows[-1]["drifted"]
+    # the retrained cells fit the ACCUMULATED mixture: an order of
+    # magnitude under the error the frozen pre-recode codebooks scored
+    assert rows[-1]["mean_qerr"] < drift_qerr / 10
+
+    # re-running the same recode is idempotent (deterministic trainer,
+    # quiesced vecs): the codes regenerate identically
+    assert recode_pq_index(spark, index, upto_epoch=2, m=4, ksub=4) == 12 * 4
+    again = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in spark.read.parquet(os.path.join(index, "codes")).collect()
+    }
+    assert again == got
+
+    # --- the stream continues: a near-copy of a shifted vector arrives,
+    # is searched against the folded+recoded index, and encodes against
+    # the RETRAINED aux without tripping the (reset) drift monitor
+    near = [x * 1.01 for x in [y + 25.0 for y in _vec(2)]]
+    _write_batch(src, "b2.json", [(300, near)], 1_700_000_120)
+    _run(spark, src, ckpt, index, out)
+    hits = {h["rank"]: h for h in _epoch_hits(out, 2)}
+    assert hits[1]["vec_id"] == 102 and hits[1]["cosine"] > 0.999
+    rows = ann_ingest_health(index, factor=10.0)
+    assert rows[-1]["epoch"] == 2 and not rows[-1]["drifted"]
+
+
+def test_ivf_quantization_error_rises_with_shift(spark):
+    """The IVF drift signal, batch-level: vectors from the training
+    distribution score near-zero 1-cosine error against their centroids;
+    a shifted population scores an order of magnitude higher."""
+    from logspout_kinesis_tests_spark.operators.ann import (
+        ivf_index,
+        ivf_quantization_error,
+    )
+
+    train = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(16)], "vec_id long, embedding array<double>"
+    )
+    _, cents = ivf_index(train, nlist=4, iters=2)
+    base_err = (
+        ivf_quantization_error(train, cents).agg({"qerr": "avg"}).head()[0]
+    )
+    # a direction no training vector points in: heavy negative components
+    shifted = spark.createDataFrame(
+        [(100 + i, [-(x + 5.0) for x in _vec(i)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    shift_err = (
+        ivf_quantization_error(shifted, cents).agg({"qerr": "avg"}).head()[0]
+    )
+    assert shift_err > 5 * base_err

@@ -144,6 +144,21 @@ HEADLINE = (
     "c16_pettitt_changepoint",
     "c17_label_propagation",
     "c14_pareto_skyline",
+    # round 9 — the heavier representatives of the new batch (the pure
+    # bounded-table projections like candle shapes / RSI ride the same
+    # hourly rollup as ohlc/bollinger and add no distinct plan shape)
+    "c7_session_stats",
+    "c7_session_entry_exit",
+    "c20_grid_percentiles",
+    "c16_bollinger_breach",
+    "c2_spearman_rho",
+    "c2_brown_forsythe",
+    "c17_clustering_coefficient",
+    "c17_degree_assortativity",
+    "c11_lexical_diversity",
+    "c20_vocab_coverage",
+    "c14_temporal_split_days",
+    "c10_knn_label_vote",
 )
 
 

@@ -171,3 +171,51 @@ def common_neighbor_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph given
+    as ORDERED distinct edges (u < v): ``cc(n) = 2·tri(n) / (deg(n)·
+    (deg(n)−1))`` — how close a node's neighborhood is to a clique, the
+    node-level refinement of :func:`triangles`.
+
+    Triangle membership comes from the same compact-forward enumeration
+    (each triangle once), exploded to its three corners and counted per
+    corner; degrees from the two edge orientations.  Nodes with degree 1
+    are excluded (cc undefined); triangle-free nodes report 0.  Emits
+    (node, degree, n_tri, cc) with cc exact-rational until the single
+    closing division.  Scale: the triangle join dominates (wedge bound),
+    the per-corner explode adds 3 rows per triangle — no new shuffle
+    shape beyond :func:`triangles`.
+    """
+    deg = (
+        edges.select(F.col(u).alias("node"))
+        .unionAll(edges.select(F.col(v).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangles(edges, u, v)
+    corner = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(corner, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("cc"),
+        )
+    )

@@ -653,3 +653,60 @@ def test_streaming_percentiles_grid_change_across_restart_fails_loud(
     with pytest.raises(StreamingQueryException, match="16\\s*\\n?\\s*buckets"):
         q2.awaitTermination(180)
         raise AssertionError("restart with a shrunken grid must not succeed")
+
+
+def test_streaming_percentiles_match_batch_twin(spark, tmp_path):
+    """The r9 batch parity row (c20_grid_percentiles) and the live monitor
+    share one contract: same frozen grid, same ceil-rank arithmetic, same
+    inclusive-upper-bound emission — so streaming the whole corpus through
+    the monitor must land on EXACTLY the batch query's bars."""
+    import pyspark.sql.functions as F
+
+    from logspout_kinesis_tests_spark.plans.round9_queries import (
+        _PCT_B,
+        _PCT_MN,
+        _PCT_MX,
+        c20_grid_percentiles,
+    )
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_percentiles,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        r["event_type"]: (r["n_events"], r["p50_c"], r["p95_c"], r["p99_c"])
+        for r in c20_grid_percentiles(spark, sf_dir).collect()
+    }
+    assert batch
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .coalesce(1)
+        .write.json(os.path.join(src, "all"))
+    )
+    stream = spark.readStream.schema(EVENTS).json(os.path.join(src, "all"))
+    q = (
+        streaming_percentiles(stream, _PCT_MN, _PCT_MX, buckets=_PCT_B)
+        .writeStream.format("memory")
+        .queryName("pct_parity_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    live = {
+        r["event_type"]: (r["n_events"], r["p50_c"], r["p95_c"], r["p99_c"])
+        for r in spark.sql("SELECT * FROM pct_parity_stream").collect()
+    }
+    assert live == batch

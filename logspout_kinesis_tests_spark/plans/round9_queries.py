@@ -769,6 +769,9 @@ def c16_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c2_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # the joint table feeds THREE consumers (both marginal midrank maps
+    # re-aggregate it + the moment join reads it): checkpoint the ≤550-
+    # rows-per-flag table once so the lineitem scan runs once, not 3x
     joint = (
         li.select(
             F.col("l_returnflag").alias("flag"),
@@ -777,6 +780,7 @@ def c2_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("flag", "qi", "di")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
 
     def midrank2(col: str, out: str) -> DataFrame:
@@ -1069,11 +1073,14 @@ def c17_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c17_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
+    # deg is joined twice (u side + v side): checkpoint the |nodes|-sized
+    # table once instead of re-aggregating the edge list per branch
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=True)
     )
     de = (
         edges.join(
@@ -1082,12 +1089,20 @@ def c17_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.select(F.col("node").alias("v"), F.col("degree").alias("y")), "v"
         )
     ).select("x", "y")
-    both = de.unionAll(de.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    mom = both.agg(
-        F.count("*").alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    # symmetrize ALGEBRAICALLY instead of unioning a mirrored copy of the
+    # join: over the doubled list m = 2m', Σx = Σ(x+y), Σx² = Σ(x²+y²),
+    # Σxy = 2Σ'xy — identical exact integers, half the join work
+    half = de.agg(
+        F.count("*").alias("mh"),
+        F.sum(F.col("x") + F.col("y")).alias("sxh"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("sxxh"),
+        F.sum(F.col("x") * F.col("y")).alias("sxyh"),
+    )
+    mom = half.select(
+        (2 * F.col("mh")).alias("m"),
+        F.col("sxh").alias("sx"),
+        F.col("sxxh").alias("sxx"),
+        (2 * F.col("sxyh")).alias("sxy"),
     )
     md = F.col("m").cast("double")
     var = md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")

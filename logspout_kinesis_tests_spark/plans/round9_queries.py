@@ -448,16 +448,23 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_HOURLY_CTE},
     roll AS (
+        -- quadratic terms in DECIMAL(38,0): x_c is an hourly SUM of
+        -- cents, so its square overflows BIGINT once an hour holds
+        -- ~1e9 rows; the decimal math runs only over the hourly table
         SELECT event_type, hb, x_c,
                CAST(count(*) OVER w AS BIGINT) AS m,
                CAST(sum(x_c) OVER w AS BIGINT) AS s,
-               CAST(sum(x_c * x_c) OVER w AS BIGINT) AS ss
+               sum(CAST(CAST(x_c AS DECIMAL(19,0)) * x_c
+                        AS DECIMAL(38,0))) OVER w AS ss
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY hb
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
     SELECT event_type, CAST(hb AS BIGINT) AS hb, x_c,
-           CAST(CASE WHEN (7 * x_c - s) * (7 * x_c - s)
-                          > 4 * (7 * ss - s * s)
+           CAST(CASE WHEN CAST(CAST(7 * x_c - s AS DECIMAL(19,0))
+                               * (7 * x_c - s) AS DECIMAL(38,0))
+                          > 4 * (7 * ss
+                                 - CAST(CAST(s AS DECIMAL(19,0)) * s
+                                        AS DECIMAL(38,0)))
                      THEN 1 ELSE 0 END AS INTEGER) AS breach
     FROM roll
     WHERE m = 7
@@ -475,16 +482,24 @@ def c16_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hb")
         .rowsBetween(-6, Window.currentRow)
     )
+    # quadratic terms in DECIMAL(38,0): x_c is an hourly SUM of cents, so
+    # its square overflows BIGINT once an hour holds ~1e9 rows; the decimal
+    # arithmetic runs only over the bounded hourly table
+    xd = F.col("x_c").cast("decimal(19,0)")
     roll = _hourly(spark, sf_dir).select(
         "event_type",
         "hb",
         "x_c",
         F.count("*").over(w).alias("m"),
         F.sum("x_c").over(w).alias("s"),
-        F.sum(F.col("x_c") * F.col("x_c")).over(w).alias("ss"),
+        F.sum((xd * F.col("x_c")).cast("decimal(38,0)")).over(w).alias("ss"),
     )
-    lhs = (7 * F.col("x_c") - F.col("s")) * (7 * F.col("x_c") - F.col("s"))
-    rhs = 4 * (7 * F.col("ss") - F.col("s") * F.col("s"))
+    dev = 7 * F.col("x_c") - F.col("s")
+    lhs = (dev.cast("decimal(19,0)") * dev).cast("decimal(38,0)")
+    rhs = 4 * (
+        7 * F.col("ss")
+        - (F.col("s").cast("decimal(19,0)") * F.col("s")).cast("decimal(38,0)")
+    )
     return roll.filter(F.col("m") == 7).select(
         "event_type",
         "hb",
@@ -735,13 +750,19 @@ def c16_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT flag, di, CAST(sum(cnt) AS BIGINT) AS cnt2
               FROM joint GROUP BY flag, di)),
     mom AS (
+        -- quadratic moments as DECIMAL(38,0): cnt·x2² ~ 4n³ blows BIGINT
+        -- past n ≈ 1.3e6 rows/group (caught by the 10× probe); the agg
+        -- runs over the ≤550-cell joint table so the wide type is free
         SELECT j.flag,
                CAST(sum(j.cnt) AS BIGINT) AS n,
-               CAST(sum(j.cnt * q.x2) AS BIGINT) AS sx,
-               CAST(sum(j.cnt * d.y2) AS BIGINT) AS sy,
-               CAST(sum(j.cnt * q.x2 * q.x2) AS BIGINT) AS sxx,
-               CAST(sum(j.cnt * d.y2 * d.y2) AS BIGINT) AS syy,
-               CAST(sum(j.cnt * q.x2 * d.y2) AS BIGINT) AS sxy
+               sum(CAST(j.cnt * q.x2 AS DECIMAL(38,0))) AS sx,
+               sum(CAST(j.cnt * d.y2 AS DECIMAL(38,0))) AS sy,
+               sum(CAST(CAST(j.cnt AS DECIMAL(19,0)) * q.x2 * q.x2
+                        AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(CAST(j.cnt AS DECIMAL(19,0)) * d.y2 * d.y2
+                        AS DECIMAL(38,0))) AS syy,
+               sum(CAST(CAST(j.cnt AS DECIMAL(19,0)) * q.x2 * d.y2
+                        AS DECIMAL(38,0))) AS sxy
         FROM joint j
         JOIN qm q ON q.flag = j.flag AND q.qi = j.qi
         JOIN dm d ON d.flag = j.flag AND d.di = j.di
@@ -800,17 +821,21 @@ def c2_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(out),
         )
 
+    # quadratic moments in DECIMAL(38,0): cnt·x2² ~ 4n³ overflows BIGINT
+    # past n ≈ 1.3e6 rows per group (the 10× probe caught exactly this);
+    # the agg runs over the ≤550-cell joint table, so the wide type is free
+    cnt_d = F.col("cnt").cast("decimal(19,0)")
     mom = (
         joint.join(F.broadcast(midrank2("qi", "x2")), ["flag", "qi"])
         .join(F.broadcast(midrank2("di", "y2")), ["flag", "di"])
         .groupBy("flag")
         .agg(
             F.sum("cnt").alias("n"),
-            F.sum(F.col("cnt") * F.col("x2")).alias("sx"),
-            F.sum(F.col("cnt") * F.col("y2")).alias("sy"),
-            F.sum(F.col("cnt") * F.col("x2") * F.col("x2")).alias("sxx"),
-            F.sum(F.col("cnt") * F.col("y2") * F.col("y2")).alias("syy"),
-            F.sum(F.col("cnt") * F.col("x2") * F.col("y2")).alias("sxy"),
+            F.sum((F.col("cnt") * F.col("x2")).cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("cnt") * F.col("y2")).cast("decimal(38,0)")).alias("sy"),
+            F.sum((cnt_d * F.col("x2") * F.col("x2")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((cnt_d * F.col("y2") * F.col("y2")).cast("decimal(38,0)")).alias("syy"),
+            F.sum((cnt_d * F.col("x2") * F.col("y2")).cast("decimal(38,0)")).alias("sxy"),
         )
     )
     nd = F.col("n").cast("double")
@@ -1041,19 +1066,25 @@ def c17_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT u AS node FROM edges
               UNION ALL SELECT v FROM edges)
         GROUP BY node),
-    de AS (
-        SELECT du.degree AS x, dv.degree AS y
+    -- over the symmetrized edge list each node appears deg(v) times as an
+    -- endpoint, so m = Σdeg, Σx = Σdeg², Σx² = Σdeg³ fall out of the
+    -- |nodes|-sized degree table; only Σxy needs the edge pass.  Cubic and
+    -- product moments in DECIMAL(38,0) (deg³ sums blow BIGINT on hubby
+    -- graphs).
+    nm AS (
+        SELECT CAST(sum(degree) AS BIGINT) AS m,
+               sum(CAST(degree * degree AS DECIMAL(38,0))) AS sx,
+               sum(CAST(CAST(degree AS DECIMAL(19,0)) * degree * degree
+                        AS DECIMAL(38,0))) AS sxx
+        FROM deg),
+    em AS (
+        SELECT sum(CAST(CAST(du.degree AS DECIMAL(19,0)) * dv.degree
+                        AS DECIMAL(38,0))) AS sxyh
         FROM edges e
         JOIN deg du ON du.node = e.u
         JOIN deg dv ON dv.node = e.v),
-    sym AS (
-        SELECT x, y FROM de UNION ALL SELECT y, x FROM de),
     mom AS (
-        SELECT CAST(count(*) AS BIGINT) AS m,
-               CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(x * y) AS BIGINT) AS sxy
-        FROM sym)
+        SELECT nm.m, nm.sx, nm.sxx, 2 * em.sxyh AS sxy FROM nm, em)
     SELECT CAST(m // 2 AS BIGINT) AS n_edges,
            CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0
                 THEN NULL
@@ -1082,27 +1113,34 @@ def c17_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
         .localCheckpoint(eager=True)
     )
-    de = (
+    # over the symmetrized edge list each node appears deg(v) times as an
+    # endpoint, so m = Σdeg, Σx = Σdeg², Σx² = Σdeg³ fall out of the
+    # |nodes|-sized degree table; only Σxy needs the edge pass.  Cubic and
+    # product moments in DECIMAL(38,0) — deg³ sums blow BIGINT on hubby
+    # graphs, and the decimal cost rides tables no bigger than the inputs.
+    dd = F.col("degree").cast("decimal(19,0)")
+    nm = deg.agg(
+        F.sum("degree").alias("m"),
+        F.sum((F.col("degree") * F.col("degree")).cast("decimal(38,0)")).alias("sx"),
+        F.sum((dd * F.col("degree") * F.col("degree")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    em = (
         edges.join(
             deg.select(F.col("node").alias("u"), F.col("degree").alias("x")), "u"
-        ).join(
+        )
+        .join(
             deg.select(F.col("node").alias("v"), F.col("degree").alias("y")), "v"
         )
-    ).select("x", "y")
-    # symmetrize ALGEBRAICALLY instead of unioning a mirrored copy of the
-    # join: over the doubled list m = 2m', Σx = Σ(x+y), Σx² = Σ(x²+y²),
-    # Σxy = 2Σ'xy — identical exact integers, half the join work
-    half = de.agg(
-        F.count("*").alias("mh"),
-        F.sum(F.col("x") + F.col("y")).alias("sxh"),
-        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("sxxh"),
-        F.sum(F.col("x") * F.col("y")).alias("sxyh"),
+        .agg(
+            F.sum(
+                (F.col("x").cast("decimal(19,0)") * F.col("y")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sxyh")
+        )
     )
-    mom = half.select(
-        (2 * F.col("mh")).alias("m"),
-        F.col("sxh").alias("sx"),
-        F.col("sxxh").alias("sxx"),
-        (2 * F.col("sxyh")).alias("sxy"),
+    mom = nm.crossJoin(em).select(
+        "m", "sx", "sxx", (2 * F.col("sxyh")).alias("sxy")
     )
     md = F.col("m").cast("double")
     var = md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")

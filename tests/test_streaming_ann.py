@@ -340,3 +340,58 @@ def test_ivf_quantization_error_rises_with_shift(spark):
         ivf_quantization_error(shifted, cents).agg({"qerr": "avg"}).head()[0]
     )
     assert shift_err > 5 * base_err
+
+
+def test_ivf_recode_roundtrip(spark, tmp_path):
+    """The IVF twin of the retrain-and-recode flow: after a shifted batch,
+    recode_ivf_index retrains centroids on the accumulated corpus, folds
+    the cells to one epoch byte-consistent with a fresh ivf_assign, resets
+    the health baseline, and the restarted stream keeps searching."""
+    from logspout_kinesis_tests_spark.operators.ann import ivf_assign
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        ann_ingest_health,
+        recode_ivf_index,
+        streaming_ivf_ingest,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    shifted = [(100 + i, [-(x + 5.0) for x in _vec(i)]) for i in range(4)]
+    _write_batch(src, "b1.json", shifted, 1_700_000_060)
+
+    def run():
+        q = streaming_ivf_ingest(
+            spark, src, ckpt, SCHEMA, index, out,
+            nlist=4, nprobe=2, k=3, max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(180)
+        while any(a.id == q.id for a in spark.streams.active):
+            time.sleep(0.1)
+
+    run()
+    rows = ann_ingest_health(index, factor=5.0)
+    assert rows[0]["baseline"] and rows[1]["drifted"]
+
+    assert recode_ivf_index(spark, index, upto_epoch=2, nlist=4) == 12
+    vecs = spark.read.parquet(os.path.join(index, "vecs"))
+    aux = spark.read.parquet(os.path.join(index, "aux"))
+    expect = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign(vecs.select("vec_id", "embedding"), aux).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(index, "codes")).collect()
+    }
+    assert got == expect
+    rows = ann_ingest_health(index, factor=5.0)
+    assert rows[-1]["epoch"] == 1 and rows[-1]["baseline"] and not rows[-1]["drifted"]
+
+    # stream continues: a near-copy of a shifted vector finds its twin in
+    # the folded, recoded inverted file
+    near = [x * 1.01 for x in [-(y + 5.0) for y in _vec(2)]]
+    _write_batch(src, "b2.json", [(300, near)], 1_700_000_120)
+    run()
+    hits = {h["rank"]: h for h in _epoch_hits(out, 2)}
+    assert hits[1]["vec_id"] == 102 and hits[1]["cosine"] > 0.999

@@ -666,14 +666,15 @@ def c16_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS streak_id
         FROM up),
     runs AS (
-        SELECT event_type, streak_id, CAST(count(*) AS BIGINT) AS run_len
+        -- an island = its break row (up=0) + the consecutive rises after
+        -- it, so sum(up) per island IS the run length, and an all-flat
+        -- series maxes to 0 with no outer join or second scan
+        SELECT event_type, streak_id, CAST(sum(up) AS BIGINT) AS run_len
         FROM grp
-        WHERE up = 1
         GROUP BY event_type, streak_id)
     SELECT event_type,
-           CAST(coalesce(max(run_len), 0) AS BIGINT) AS longest_up_streak
-    FROM (SELECT DISTINCT event_type FROM hourly) t
-    LEFT JOIN runs USING (event_type)
+           CAST(max(run_len) AS BIGINT) AS longest_up_streak
+    FROM runs
     GROUP BY event_type
     """,
     doc="C16+: longest strictly-increasing run per metric on the hourly "
@@ -696,19 +697,14 @@ def c16_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "up",
         F.sum(1 - F.col("up")).over(wcum).alias("streak_id"),
     )
-    runs = (
-        grp.filter(F.col("up") == 1)
-        .groupBy("event_type", "streak_id")
-        .agg(F.count("*").alias("run_len"))
+    # an island = its break row (up=0) + the consecutive rises after it,
+    # so sum(up) per island IS the run length — and an all-flat series
+    # maxes to 0 with no outer join and no second scan for the type list
+    return (
+        grp.groupBy("event_type", "streak_id")
+        .agg(F.sum("up").alias("run_len"))
         .groupBy("event_type")
         .agg(F.max("run_len").alias("longest_up_streak"))
-    )
-    types = hourly.select("event_type").distinct()
-    return types.join(runs, "event_type", "left").select(
-        "event_type",
-        F.coalesce(F.col("longest_up_streak"), F.lit(0)).alias(
-            "longest_up_streak"
-        ),
     )
 
 
@@ -922,11 +918,13 @@ def c2_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = cents.join(F.broadcast(med), "g").select(
         "g", F.abs(2 * F.col("x") - F.col("med2")).alias("z")
     )
+    # pg feeds the totals AND the per-group terms: checkpoint the
+    # ≤|groups|-row table so the events scan + percentile agg run once
     pg = dev.groupBy("g").agg(
         F.count("*").alias("n_g"),
         F.sum("z").alias("s_g"),
         F.sum(F.col("z") * F.col("z")).alias("ss_g"),
-    )
+    ).localCheckpoint(eager=True)
     tot = pg.agg(
         F.sum("n_g").alias("n"),
         F.count("*").alias("k"),
@@ -1550,10 +1548,10 @@ def c10_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     topk = cosine_topk(queries, corpus, k=_KNN_K, exclude_self=False)
+    # labels are a pure function of the id — derive them on the k·|Q|-row
+    # top-k directly instead of a third embeddings scan + join
     votes = (
-        topk.join(
-            emb.select("vec_id", (F.col("vec_id") % 3).alias("label")), "vec_id"
-        )
+        topk.withColumn("label", F.col("vec_id") % 3)
         .groupBy("query_id", "label")
         .agg(F.count("*").alias("votes"))
     )

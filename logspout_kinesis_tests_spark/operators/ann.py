@@ -23,18 +23,20 @@ from pyspark.sql import functions as F
 from logspout_kinesis_tests_spark.functions.vectors import cosine_similarity
 
 
-def _nearest_cell(
+def _centroid_sims(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, cell) for each vector: nearest centroid by cosine (max_by with a
-    deterministic tie-break on cell id).  Groups by the id only — grouping
-    on the embedding array would hash 64 floats per row for nothing."""
+    """(id, cell, sim) for every vector × centroid — the ONE cosine table
+    shared by the assignment rule (argmax → cell) and the drift scorer
+    (max → 1−sim residual), so the qerr signal can never diverge from the
+    similarity the assigner actually maximizes.  Zero-norm rows score
+    NULL (excluded from argmax, coalesced by the scorer)."""
     from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
 
     # row norm folded once, not once per centroid (nlist× the folds
     # otherwise); same operation shape as cosine_similarity → identical sims
     denom = F.col("_nv") * F.col("_ncent")
-    scored = (
+    return (
         df.select(
             F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nv")
         )
@@ -53,7 +55,15 @@ def _nearest_cell(
             .alias("sim"),
         )
     )
-    return scored.groupBy(id_col).agg(
+
+
+def _nearest_cell(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell) for each vector: nearest centroid by cosine (max_by with a
+    deterministic tie-break on cell id).  Groups by the id only — grouping
+    on the embedding array would hash 64 floats per row for nothing."""
+    return _centroid_sims(df, centroids, id_col, vec_col).groupBy(id_col).agg(
         F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell")
     )
 
@@ -438,6 +448,31 @@ def ivf_topk(
     )
 
 
+def _pq_cell_d2(
+    vectors: DataFrame, codebooks: DataFrame, m: int, dsub: int,
+    corpus_id: str, vec_col: str,
+) -> DataFrame:
+    """(corpus_id, sub, cell, d2) — the ONE subvector-to-cell squared-L2
+    table shared by the encoder (per-sub argmin → code) and the drift
+    scorer (per-sub min → residual), so the qerr signal can never diverge
+    from the distance the encoder actually minimizes."""
+    sub_df = vectors.select(
+        F.col(corpus_id), F.posexplode(_pq_subvectors(vec_col, m, dsub)).alias("sub", "svec")
+    )
+    return sub_df.join(
+        F.broadcast(codebooks.select("sub", "cell", "centroid")), "sub"
+    ).select(
+        F.col(corpus_id),
+        "sub",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("svec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -477,21 +512,7 @@ def pq_encode(
         )
         .alias(vec_col),
     )
-    sub_df = checked.select(
-        F.col(corpus_id), F.posexplode(_pq_subvectors(vec_col, m, dsub)).alias("sub", "svec")
-    )
-    scored = sub_df.join(
-        F.broadcast(codebooks.select("sub", "cell", "centroid")), "sub"
-    ).select(
-        F.col(corpus_id),
-        "sub",
-        "cell",
-        F.aggregate(
-            F.zip_with(F.col("svec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("d2"),
-    )
+    scored = _pq_cell_d2(checked, codebooks, m, dsub, corpus_id, vec_col)
     return scored.groupBy(corpus_id, "sub").agg(
         F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias("code")
     )
@@ -519,19 +540,9 @@ def pq_quantization_error(
         F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
     ).head()
     m, dsub = meta["max_sub"] + 1, meta["dsub"]
-    sub_df = vectors.filter(F.size(vec_col) == m * dsub).select(
-        F.col(corpus_id), F.posexplode(_pq_subvectors(vec_col, m, dsub)).alias("sub", "svec")
-    )
-    scored = sub_df.join(
-        F.broadcast(codebooks.select("sub", "centroid")), "sub"
-    ).select(
-        F.col(corpus_id),
-        "sub",
-        F.aggregate(
-            F.zip_with(F.col("svec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("d2"),
+    scored = _pq_cell_d2(
+        vectors.filter(F.size(vec_col) == m * dsub),
+        codebooks, m, dsub, corpus_id, vec_col,
     )
     return (
         scored.groupBy(corpus_id, "sub")
@@ -548,34 +559,18 @@ def ivf_quantization_error(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-vector IVF assignment error against FROZEN centroids →
-    (corpus_id, qerr): ``1 − cosine(vec, nearest centroid)`` — the same
-    similarity the assignment rule (:func:`ivf_assign` / ``_nearest_cell``)
-    maximizes, so a rising mean qerr means arriving vectors no longer sit
-    near any training-time centroid (the IVF twin of
-    :func:`pq_quantization_error`; zero-norm vectors count as error 1)."""
-    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
-
-    denom = F.col("_nv") * F.col("_ncent")
-    scored = (
-        vectors.select(
-            F.col(corpus_id), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nv")
-        )
-        .crossJoin(
-            F.broadcast(
-                centroids.select(
-                    "centroid", l2_norm(F.col("centroid")).alias("_ncent")
-                )
-            )
-        )
-        .select(
-            F.col(corpus_id),
-            F.when(denom == 0, F.lit(0.0))
-            .otherwise(dot_product(F.col(vec_col), F.col("centroid")) / denom)
-            .alias("sim"),
-        )
+    (corpus_id, qerr): ``1 − cosine(vec, nearest centroid)`` over the SAME
+    similarity table the assignment rule (:func:`ivf_assign` /
+    ``_nearest_cell``) maximizes, so a rising mean qerr means arriving
+    vectors no longer sit near any training-time centroid (the IVF twin
+    of :func:`pq_quantization_error`; zero-norm vectors count as
+    error 1)."""
+    sims = _centroid_sims(
+        vectors.select(F.col(corpus_id), F.col(vec_col)),
+        centroids, corpus_id, vec_col,
     )
-    return scored.groupBy(corpus_id).agg(
-        (F.lit(1.0) - F.max("sim")).alias("qerr")
+    return sims.groupBy(corpus_id).agg(
+        (F.lit(1.0) - F.coalesce(F.max("sim"), F.lit(0.0))).alias("qerr")
     )
 
 

@@ -287,7 +287,6 @@ _PCT_SPAN = _PCT_MX - _PCT_MN + 1
 )
 def c20_grid_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cents = F.round(F.col("value") * 100, 0).cast("long")
     b = (
         ev.select(
             "event_type",
@@ -751,8 +750,10 @@ def c16_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- runs over the ≤550-cell joint table so the wide type is free
         SELECT j.flag,
                CAST(sum(j.cnt) AS BIGINT) AS n,
-               sum(CAST(j.cnt * q.x2 AS DECIMAL(38,0))) AS sx,
-               sum(CAST(j.cnt * d.y2 AS DECIMAL(38,0))) AS sy,
+               sum(CAST(CAST(j.cnt AS DECIMAL(19,0)) * q.x2
+                        AS DECIMAL(38,0))) AS sx,
+               sum(CAST(CAST(j.cnt AS DECIMAL(19,0)) * d.y2
+                        AS DECIMAL(38,0))) AS sy,
                sum(CAST(CAST(j.cnt AS DECIMAL(19,0)) * q.x2 * q.x2
                         AS DECIMAL(38,0))) AS sxx,
                sum(CAST(CAST(j.cnt AS DECIMAL(19,0)) * d.y2 * d.y2
@@ -827,8 +828,8 @@ def c2_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(
             F.sum("cnt").alias("n"),
-            F.sum((F.col("cnt") * F.col("x2")).cast("decimal(38,0)")).alias("sx"),
-            F.sum((F.col("cnt") * F.col("y2")).cast("decimal(38,0)")).alias("sy"),
+            F.sum((cnt_d * F.col("x2")).cast("decimal(38,0)")).alias("sx"),
+            F.sum((cnt_d * F.col("y2")).cast("decimal(38,0)")).alias("sy"),
             F.sum((cnt_d * F.col("x2") * F.col("x2")).cast("decimal(38,0)")).alias("sxx"),
             F.sum((cnt_d * F.col("y2") * F.col("y2")).cast("decimal(38,0)")).alias("syy"),
             F.sum((cnt_d * F.col("x2") * F.col("y2")).cast("decimal(38,0)")).alias("sxy"),
@@ -867,10 +868,14 @@ def c2_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.g, abs(2 * c.x - m.med2) AS z
         FROM cents c JOIN med m ON m.g = c.g),
     pg AS (
+        -- z² ≈ 1e10 per row at cent scale, so the quadratic moment goes
+        -- DECIMAL(38,0) (BIGINT wraps past ~9e8 rows/group); z itself is
+        -- bounded by the value grid, so the linear sum stays BIGINT
         SELECT g,
                CAST(count(*) AS BIGINT) AS n_g,
                CAST(sum(z) AS BIGINT) AS s_g,
-               CAST(sum(z * z) AS BIGINT) AS ss_g
+               sum(CAST(CAST(z AS DECIMAL(19,0)) * z AS DECIMAL(38,0)))
+                   AS ss_g
         FROM dev GROUP BY g),
     tot AS (
         SELECT CAST(sum(n_g) AS BIGINT) AS n,
@@ -900,8 +905,9 @@ def c2_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="C2+: Brown–Forsythe test (Levene with median centers) across the "
     "event-type groups — the robust equality-of-variance screen that "
     "tolerates the heavy-tailed metrics ANOVA's mean-centered form does "
-    "not.  Exact per-group BIGINT sums of the doubled integer deviations "
-    "|2x − 2·median|, DECIMAL(38,6)-quantized cross-group terms, one "
+    "not.  Exact per-group sums of the doubled integer deviations "
+    "|2x − 2·median| (quadratic moment in DECIMAL(38,0) — BIGINT wraps "
+    "past ~9e8 rows/group), DECIMAL(38,6)-quantized cross-group terms, one "
     "closing ratio.  Group medians come from the exact percentile "
     "aggregate (2·median of integers is integral under linear "
     "interpolation, so the doubling keeps everything exact).",
@@ -920,10 +926,14 @@ def c2_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pg feeds the totals AND the per-group terms: checkpoint the
     # ≤|groups|-row table so the events scan + percentile agg run once
+    # z² ≈ 1e10 per row at cent scale → the quadratic moment accumulates
+    # as DECIMAL(38,0) (BIGINT wraps past ~9e8 rows/group)
     pg = dev.groupBy("g").agg(
         F.count("*").alias("n_g"),
         F.sum("z").alias("s_g"),
-        F.sum(F.col("z") * F.col("z")).alias("ss_g"),
+        F.sum(
+            (F.col("z").cast("decimal(19,0)") * F.col("z")).cast("decimal(38,0)")
+        ).alias("ss_g"),
     ).localCheckpoint(eager=True)
     tot = pg.agg(
         F.sum("n_g").alias("n"),

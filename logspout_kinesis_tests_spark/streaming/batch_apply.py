@@ -549,6 +549,28 @@ def compact_epoch_index(
     ).count()
 
 
+def _trained_epoch_path(aux_dir: str) -> str:
+    return os.path.join(aux_dir, "_TRAINED_EPOCH")
+
+
+def _read_trained_epoch(aux_dir: str) -> int | None:
+    """Epoch that trained the CURRENT aux, or None if training never
+    completed (underscore-prefixed, so Spark parquet reads ignore it)."""
+    try:
+        with open(_trained_epoch_path(aux_dir)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_trained_epoch(aux_dir: str, epoch_id: int) -> None:
+    """Atomic (tmp + rename) so a crash never leaves a partial marker."""
+    tmp = _trained_epoch_path(aux_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(epoch_id))
+    os.replace(tmp, _trained_epoch_path(aux_dir))
+
+
 def _write_health_row(
     index_dir: str,
     epoch_id: int,
@@ -605,11 +627,13 @@ def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
         if r.get("baseline"):
             base = r["mean_qerr"]
         r["baseline_qerr"] = base
+        # a zero-error baseline (aux reproduces its training batch
+        # exactly) makes ANY later error the strongest drift signal, not
+        # a case to suppress — compare against a tiny absolute floor
         r["drifted"] = bool(
             not r.get("baseline")
             and base is not None
-            and base > 0
-            and r["mean_qerr"] > factor * base
+            and r["mean_qerr"] > (factor * base if base > 0 else 1e-12)
         )
     return rows
 
@@ -672,20 +696,39 @@ def _streaming_ann_ingest(
         )
         if not batch.head(1):
             return
-        # Train-once gate keyed on the committer's _SUCCESS marker, not
+        # Train-once gate keyed on the DURABLE trained-epoch marker, not
         # on whether a read succeeds: a transient read failure in a later
         # epoch (or a partially-written aux dir after a crash mid-train,
         # which can still read "successfully") must NOT silently retrain
         # on the current batch — that would freeze aux that disagrees
         # with every code already encoded in the index.  Marker absent ⇒
         # train (idempotent: trainers are deterministic and the overwrite
-        # replaces any partial files); marker present ⇒ aux is complete,
-        # so any read error below fails the batch loudly for a retry.
-        trained_this_epoch = not os.path.exists(
-            os.path.join(aux_dir, "_SUCCESS")
-        )
-        if trained_this_epoch:
+        # replaces any partial files) and record WHICH epoch trained;
+        # marker present ⇒ aux is complete, so any read error below fails
+        # the batch loudly for a retry.  The marker is written atomically
+        # AFTER the aux commit, so a crash anywhere in the window simply
+        # replays the (cheap, deterministic) training.  Persisting the
+        # training epoch also keeps the health row's baseline flag stable
+        # under crash-replay: recomputing "did I train?" per attempt
+        # would mark the replayed training epoch baseline=False and
+        # permanently blind the drift monitor.
+        if _read_trained_epoch(aux_dir) is None:
+            codes_root = os.path.join(index_dir, "codes")
+            if os.path.isdir(codes_root) and any(
+                n.startswith("epoch=") for n in os.listdir(codes_root)
+            ):
+                # encoded epochs exist but training never completed: a
+                # recode crashed mid-swap (or aux was externally damaged).
+                # Retraining on THIS batch would freeze aux that disagrees
+                # with every existing code — fail loud; re-running the
+                # recode repairs the index deterministically.
+                raise RuntimeError(
+                    "ANN index has encoded epochs but no completed aux "
+                    f"(missing {_trained_epoch_path(aux_dir)}): re-run "
+                    "recode_*_index before restarting the stream"
+                )
             train(batch).write.mode("overwrite").parquet(aux_dir)
+            _write_trained_epoch(aux_dir, epoch_id)
         aux = spark.read.parquet(aux_dir)
 
         old_codes = _index_before_epoch(
@@ -712,7 +755,7 @@ def _streaming_ann_ingest(
             epoch_id,
             n_vectors=int(stats["n"]),
             mean_qerr=float(stats["mean_qerr"] or 0.0),
-            baseline=trained_this_epoch,
+            baseline=_read_trained_epoch(aux_dir) == epoch_id,
         )
 
     return (
@@ -888,8 +931,23 @@ def recode_epoch_index(
     aux_dir = os.path.join(index_dir, "aux")
     codes_dir = os.path.join(index_dir, "codes")
     vecs_dir = os.path.join(index_dir, "vecs")
-    aux_tmp = os.path.join(index_dir, "_aux_retrain")
+    # staging dirs are keyed by the target epoch, and stale staging from a
+    # DIFFERENT epoch's crashed recode is discarded on entry — a completed
+    # _aux_retrain left by recode(5) must never be adopted by recode(50)
+    # (its aux was trained on a fraction of the corpus); the source data
+    # for any staging dir is still present until the swap, so dropping
+    # stale ones loses nothing
+    aux_tmp = os.path.join(index_dir, f"_aux_retrain_{upto_epoch - 1}")
     codes_tmp = os.path.join(codes_dir, f"_recode_tmp_{upto_epoch - 1}")
+    for base, keep in ((index_dir, "_aux_retrain_"), (codes_dir, "_recode_tmp_")):
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            if name.startswith(keep) and os.path.join(base, name) not in (
+                aux_tmp,
+                codes_tmp,
+            ):
+                shutil.rmtree(os.path.join(base, name))
 
     vecs = (
         spark.read.parquet(vecs_dir)
@@ -898,11 +956,14 @@ def recode_epoch_index(
         .distinct()
     )
 
-    # stage 1: retrain on the full accumulated corpus
+    # stage 1: retrain on the full accumulated corpus; the trained-epoch
+    # marker is (re)written unconditionally so it travels with the swap
+    # even when a re-run skips the completed staging write
     if not os.path.exists(os.path.join(aux_tmp, "_SUCCESS")):
         if os.path.isdir(aux_tmp):
             shutil.rmtree(aux_tmp)  # partial from a crashed run
         train(vecs).write.parquet(aux_tmp)
+    _write_trained_epoch(aux_tmp, upto_epoch - 1)
     new_aux = spark.read.parquet(aux_tmp)
 
     # stage 2: re-encode every accumulated vector against the new aux
@@ -915,7 +976,8 @@ def recode_epoch_index(
     # were built against (old aux + new codes would mis-rank every ADC
     # probe; new aux + old codes is the pre-existing drift, no worse, and
     # the codes swap directly below replaces them)
-    shutil.rmtree(aux_dir)
+    if os.path.isdir(aux_dir):  # absent when re-running after a crash
+        shutil.rmtree(aux_dir)    # that died between rmtree and rename
     os.rename(aux_tmp, aux_dir)
     # health stats BEFORE the vecs fold: the lazy `vecs` plan still reads
     # the per-epoch dirs, which the compaction below deletes

@@ -206,8 +206,8 @@ def test_ivf_ingest_searches_then_extends(spark, tmp_path):
     assert hits2[1]["vec_id"] == 101 and hits2[1]["cosine"] > 0.999
 
 
-def test_aux_gate_is_the_success_marker_not_readability(spark, tmp_path):
-    """The train-once gate trusts ONLY the committer's _SUCCESS marker: a
+def test_aux_gate_is_the_trained_marker_not_readability(spark, tmp_path):
+    """The train-once gate trusts ONLY the durable trained-epoch marker: a
     partially-written aux dir after a crash mid-train can still READ
     successfully, and a readability gate would adopt those wrong codebooks
     for every future code.  With the marker gate, marker-absent aux is
@@ -232,13 +232,12 @@ def test_aux_gate_is_the_success_marker_not_readability(spark, tmp_path):
     )
     _, wrong_cb = pq_index(junk, m=4, ksub=4, iters=1)
     aux = os.path.join(index, "aux")
-    wrong_cb.write.parquet(aux)
-    os.remove(os.path.join(aux, "_SUCCESS"))
+    wrong_cb.write.parquet(aux)  # no _TRAINED_EPOCH: training "never completed"
 
     _run(spark, src, ckpt, index, out)
 
     # the partial aux was replaced by a completed (marker-present) train
-    assert os.path.exists(os.path.join(aux, "_SUCCESS"))
+    assert os.path.exists(os.path.join(aux, "_TRAINED_EPOCH"))
     # and the index behaves exactly like the happy path: the near-copy's
     # top-1 neighbor is its twin with ~1.0 cosine
     top = {h["query_id"]: h for h in _epoch_hits(out, 1) if h["rank"] == 1}
@@ -395,3 +394,69 @@ def test_ivf_recode_roundtrip(spark, tmp_path):
     run()
     hits = {h["rank"]: h for h in _epoch_hits(out, 2)}
     assert hits[1]["vec_id"] == 102 and hits[1]["cosine"] > 0.999
+
+
+def _crash_commit(ckpt: str) -> None:
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if "." not in os.path.basename(p)
+    )
+    last = commits[-1]
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_training_epoch_replay_keeps_baseline_flag(spark, tmp_path):
+    """Crash AFTER the training epoch's aux commit but before the
+    streaming commit: the replay must re-emit the health row with
+    baseline=True (the durable trained-epoch marker, not a per-attempt
+    'did I train?' recomputation — which would permanently blind the
+    drift monitor)."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        ann_ingest_health,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    _run(spark, src, ckpt, index, out)
+    assert ann_ingest_health(index)[0]["baseline"]
+
+    _crash_commit(ckpt)  # aux + codes are on disk, the commit is not
+    _run(spark, src, ckpt, index, out)
+    rows = ann_ingest_health(index)
+    assert [r["epoch"] for r in rows] == [0]
+    assert rows[0]["baseline"], "replayed training epoch lost its baseline flag"
+
+
+def test_codes_without_completed_aux_fails_loud(spark, tmp_path):
+    """Encoded epochs + missing trained-epoch marker = a recode crashed
+    mid-swap: the restarted stream must REFUSE to retrain on its own
+    batch (which would disagree with every existing code) and point at
+    the recode repair path."""
+    import pytest
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        streaming_pq_ingest,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    _run(spark, src, ckpt, index, out)
+
+    shutil.rmtree(os.path.join(index, "aux"))  # the crashed-swap window
+    _write_batch(src, "b1.json", [(100, _vec(1))], 1_700_000_060)
+    q = streaming_pq_ingest(
+        spark, src, ckpt, SCHEMA, index, out,
+        m=4, ksub=4, k=3, rerank=10, max_files_per_trigger=1,
+    )
+    with pytest.raises(StreamingQueryException, match="recode"):
+        q.awaitTermination(180)
+        raise AssertionError("stream retrained over an inconsistent index")

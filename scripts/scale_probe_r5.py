@@ -113,6 +113,27 @@ def build(spark, replicas: int) -> None:
         f"{PROBE_DIR}/lineitem.parquet"
     )
 
+    # embeddings for the ANN probes: ids offset per replica, one component
+    # deterministically jittered so replicas are near- but not exact-copies
+    emb = load_table(spark, BASE, "embeddings")
+    rep_v = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        *emb.columns,
+    ).select(
+        (F.col("vec_id") + F.col("r") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            + F.when(i == 0, (F.col("r") % 10).cast("double") / 1000).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    rep_v.repartition(32).write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/embeddings.parquet"
+    )
+
 
 def timed(spark, name: str, sf_dir: str, repeats: int = 3) -> float:
     build_q = REGISTRY[name].build

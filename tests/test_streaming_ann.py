@@ -460,3 +460,41 @@ def test_codes_without_completed_aux_fails_loud(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="recode"):
         q.awaitTermination(180)
         raise AssertionError("stream retrained over an inconsistent index")
+
+
+def test_recode_rerun_heals_half_swapped_index(spark, tmp_path):
+    """Crash between the aux swap and the codes swap leaves new aux over
+    old per-epoch codes; the documented recovery (re-run the same recode)
+    must converge to exactly the completed recode's codes."""
+    import shutil
+
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        recode_pq_index,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    _write_batch(src, "b1.json", [(100, _vec(9)), (101, _vec(10))], 1_700_000_060)
+    _run(spark, src, ckpt, index, out)
+
+    codes_dir = os.path.join(index, "codes")
+    backup = str(tmp_path / "codes_backup")
+    shutil.copytree(codes_dir, backup)
+
+    assert recode_pq_index(spark, index, upto_epoch=2, m=4, ksub=4) == 10 * 4
+    final = {
+        (r["vec_id"], r["sub"], r["code"], r["epoch"])
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+
+    # emulate the mid-swap crash: retrained aux is installed, but the
+    # codes are still the OLD per-epoch layout
+    shutil.rmtree(codes_dir)
+    shutil.copytree(backup, codes_dir)
+    assert recode_pq_index(spark, index, upto_epoch=2, m=4, ksub=4) == 10 * 4
+    healed = {
+        (r["vec_id"], r["sub"], r["code"], r["epoch"])
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+    assert healed == final

@@ -394,3 +394,83 @@ def test_knn_label_vote_planted_neighborhood(spark, tmp_path):
     out = REGISTRY["c10_knn_label_vote"].build(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert (out[0]["pred_label"], out[0]["votes"]) == (1, 3)
+
+
+def test_vwap_exact_cents(spark, tmp_path):
+    """Two months, hand-computed Σ(price·qty)/Σqty in exact cents."""
+    import datetime
+
+    rows = [
+        # month 1: (10.00 × 2) + (20.00 × 3) → pv = 2000·2 + 2000·3... no:
+        # price cents 1000·2 + 2000·3 = 8000, qty 5 → vwap_c 1600.0
+        (1, 2.0, datetime.date(2024, 1, 5), 10.0),
+        (1, 3.0, datetime.date(2024, 1, 20), 20.0),
+        # month 2: single line → vwap = its own price in cents
+        (2, 4.0, datetime.date(2024, 2, 10), 7.25),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_shipdate date, l_extendedprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = {
+        r["ship_month"]: (r["total_qty"], r["vwap_c"])
+        for r in REGISTRY["c16_vwap"].build(spark, str(tmp_path)).collect()
+    }
+    assert out == {"2024-01": (5, 1600.0), "2024-02": (4, 725.0)}
+
+
+def test_readability_counts_and_guards(spark, tmp_path):
+    """Hand-counted words/syllables/sentences, plus the no-words NULL and
+    the no-punctuation sentence floor."""
+    docs = [
+        (1, "The cat sat. It ran!", "en", "s0", 20),
+        (2, "word word word", "en", "s0", 14),   # no terminators → floor 1
+        (3, "12345 !!!", "en", "s0", 9),          # no words → NULL grade
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["c11_readability"].build(spark, str(tmp_path)).collect()
+    }
+    # doc 1: words 6 (The cat sat It ran -> 5? 'The','cat','sat','It','ran' = 5)
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sent"]) == (5, 2)
+    # syllables = vowel runs in lowercase: the(1) cat(1) sat(1) it(1) ran(1) = 5
+    assert r1["n_syll"] == 5
+    expect = round(0.39 * 5 / 2 + 11.8 * 5 / 5 - 15.59, 6)
+    assert r1["fk_grade"] == expect
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_sent"]) == (3, 1)
+    assert out[3]["fk_grade"] is None
+
+
+def test_vocab_coverage_replay(spark, tmp_path):
+    """Tiny corpus with a known top-DF vocabulary: per-language coverage
+    sums replay in plain Python."""
+    docs = [
+        (1, "alpha beta alpha", "en", "s0", 10),
+        (2, "alpha gamma", "en", "s0", 10),
+        (3, "beta beta delta", "fr", "s0", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["lang"]: (r["n_docs"], r["sum_coverage"])
+        for r in REGISTRY["c20_vocab_coverage"].build(spark, str(tmp_path)).collect()
+    }
+    # DFs: alpha 2, beta 2, gamma 1, delta 1 — top-100 covers everything,
+    # so every doc's coverage is 1.0
+    assert out == {"en": (2, 2.0), "fr": (1, 1.0)}
+
+
+def test_lexical_diversity_counts(spark, tmp_path):
+    docs = [(1, "a b a c a", "en", "s0", 9)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = REGISTRY["c11_lexical_diversity"].build(spark, str(tmp_path)).head()
+    # tokens 5, types {a,b,c} = 3, hapax {b,c} = 2, ttr 0.6
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"], r["ttr"]) == (5, 3, 2, 0.6)

@@ -473,6 +473,29 @@ def _pq_cell_d2(
     )
 
 
+def _checked_geometry(
+    vectors: DataFrame, corpus_id: str, vec_col: str, m: int, dsub: int, who: str
+) -> DataFrame:
+    """Shared loud length guard for the encode AND drift-scoring paths —
+    one contract for malformed input.  NULL embeddings report length -1
+    (F.size(NULL) is NULL; an unguarded concat would feed raise_error a
+    NULL message, killing the batch with no diagnostics)."""
+    return vectors.select(
+        F.col(corpus_id),
+        F.when(F.size(vec_col) == m * dsub, F.col(vec_col))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{who}: vector length "),
+                    F.coalesce(F.size(vec_col), F.lit(-1)).cast("string"),
+                    F.lit(f" != m*dsub = {m * dsub} (-1 = NULL embedding)"),
+                )
+            )
+        )
+        .alias(vec_col),
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -498,20 +521,7 @@ def pq_encode(
         F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
     ).head()
     m, dsub = meta["max_sub"] + 1, meta["dsub"]
-    checked = vectors.select(
-        F.col(corpus_id),
-        F.when(F.size(vec_col) == m * dsub, F.col(vec_col))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("pq_encode: vector length "),
-                    F.size(vec_col).cast("string"),
-                    F.lit(f" != m*dsub = {m * dsub}"),
-                )
-            )
-        )
-        .alias(vec_col),
-    )
+    checked = _checked_geometry(vectors, corpus_id, vec_col, m, dsub, "pq_encode")
     scored = _pq_cell_d2(checked, codebooks, m, dsub, corpus_id, vec_col)
     return scored.groupBy(corpus_id, "sub").agg(
         F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias("code")
@@ -540,8 +550,10 @@ def pq_quantization_error(
         F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
     ).head()
     m, dsub = meta["max_sub"] + 1, meta["dsub"]
+    # same loud guard as pq_encode: a malformed vector must fail the
+    # health scan, not silently shrink the sample the mean is taken over
     scored = _pq_cell_d2(
-        vectors.filter(F.size(vec_col) == m * dsub),
+        _checked_geometry(vectors, corpus_id, vec_col, m, dsub, "pq_quantization_error"),
         codebooks, m, dsub, corpus_id, vec_col,
     )
     return (

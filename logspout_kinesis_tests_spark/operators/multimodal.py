@@ -812,3 +812,251 @@ def audio_energy_windows(
             )
 
     return df.mapInPandas(run, AUDIO_ENERGY_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL PNG pixel decode — stdlib zlib + numpy un-filtering, no codec
+# library (the same move that made audio real: WAV was np.frombuffer over
+# the RIFF data chunk; PNG is zlib.decompress over the IDAT stream plus
+# the five per-row filters of the spec).  Reference parity: the reference
+# pipeline has no image path at all (logspoutkinesis.go:1 is record
+# transport) — this is the [EXT] multimodal north star; only JPEG/video
+# entropy coding remains behind the import-guarded stub tier.
+# --------------------------------------------------------------------------
+
+PNG_PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channel", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", LongType()),
+        StructField("max_val", LongType()),
+    ]
+)
+
+#: Decoded-pixel budget per payload: rows whose IHDR advertises more pixels
+#: are quarantined unread — a corrupt/hostile length field must not balloon
+#: executor memory (width·height·4 bytes materialize on decode).
+PNG_MAX_PIXELS = 16_000_000
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG row filters (spec §9): each scanline starts
+    with a filter-type byte, and Sub/Average/Paeth carry an intra-row
+    byte recurrence, so rows decode sequentially left-to-right (Up is
+    vectorized; the recurrent filters loop over the row's bytes — stride
+    is bounded by the PNG_MAX_PIXELS gate, so the loop is bounded too)."""
+    out = np.zeros((height, stride), dtype=np.int64)
+    raw = raw.astype(np.int64)
+    for y in range(height):
+        ftype = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                a = out[y, i - bpp] if i >= bpp else 0
+                out[y, i] = (line[i] + a) & 0xFF
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = out[y, i - bpp] if i >= bpp else 0
+                out[y, i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[y, i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[y, i] = (line[i] + pred) & 0xFF
+        else:  # unknown filter type: the row (and image) is undecodable
+            raise ValueError(f"png filter {ftype}")
+    return out
+
+
+def _png_decode_rgb(raw: bytes) -> tuple[np.ndarray, int] | None:
+    """bytes -> (pixels[h, w, ch] int64, channels) for 8-bit RGB/RGBA
+    non-interlaced PNGs, or None for anything malformed (bad signature,
+    CRC mismatch, unsupported geometry, corrupt IDAT) — quarantine-by-skip,
+    the A19 policy: a poisoned payload must not kill a 100 TB scan."""
+    import struct
+    import zlib
+
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width, height, channels, idat = 8, 0, 0, 0, []
+    bit_depth = color_type = interlace = -1
+    while pos + 8 <= len(raw):
+        (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + clen]
+        crc_bytes = raw[pos + 8 + clen : pos + 12 + clen]
+        if len(body) != clen or len(crc_bytes) != 4:
+            return None  # truncated chunk
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk: do not trust its bytes
+        if ctype == b"IHDR" and clen == 13:
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    channels = {2: 3, 6: 4}.get(color_type, 0)
+    if (
+        not idat
+        or channels == 0
+        or bit_depth != 8
+        or interlace != 0
+        or width == 0
+        or height == 0
+        or width * height > PNG_MAX_PIXELS
+    ):
+        return None
+    try:
+        plain = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(plain) != height * (stride + 1):
+        return None
+    try:
+        flat = _png_unfilter(np.frombuffer(plain, dtype=np.uint8), height, stride, channels)
+    except ValueError:
+        return None
+    return flat.reshape(height, width, channels), channels
+
+
+def png_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode: zlib-inflate the IDAT stream, reverse the five
+    row filters, and emit exact per-channel pixel statistics — (doc_id,
+    channel, n_pixels, sum_val, min_val, max_val), all int64, so the
+    output is deterministic across partitionings and replays and the
+    channel means divide exactly downstream.
+
+    Scale shape: one stateless ``mapInPandas`` pass, embarrassingly
+    parallel over docs; payload bytes never leave the executor (only the
+    ≤4-row stat rows per doc shuffle).  Malformed rows — bad signature,
+    CRC mismatch, non-8-bit/interlaced/palette geometry, IHDR advertising
+    more than PNG_MAX_PIXELS, corrupt deflate — are skipped, never
+    mis-decoded (same quarantine policy as the RIFF walk)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, ns, ss, mns, mxs = [], [], [], [], [], []
+            for d, raw in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
+                decoded = _png_decode_rgb(bytes(raw))
+                if decoded is None:
+                    continue
+                px, channels = decoded
+                for ch in range(channels):
+                    plane = px[:, :, ch]
+                    ids.append(d)
+                    chs.append(ch)
+                    ns.append(int(plane.size))
+                    ss.append(int(plane.sum()))
+                    mns.append(int(plane.min()))
+                    mxs.append(int(plane.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chs,
+                    "n_pixels": ns,
+                    "sum_val": ss,
+                    "min_val": mns,
+                    "max_val": mxs,
+                }
+            )
+
+    return df.mapInPandas(run, PNG_PIXEL_SCHEMA)
+
+
+def synth_png_pixel_payload(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """Fixture side: attach a fully-valid 8-bit RGB PNG per doc — real
+    CRCs, real deflate stream, and a different ROW FILTER per scanline
+    (y mod 5 walks None/Sub/Up/Average/Paeth) so every un-filter branch
+    of the decoder is exercised by every payload.  Pixel (x, y, c) of doc
+    d = (d·7 + y·31 + x·13 + c·5) mod 256 — hand-computable, so tests pin
+    decoded stats against the formula, not against the decoder."""
+
+    def encode_one(d: int) -> bytes:
+        import struct
+        import zlib
+
+        y_idx, x_idx, c_idx = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3), indexing="ij"
+        )
+        px = (d * 7 + y_idx * 31 + x_idx * 13 + c_idx * 5) % 256
+        stride, bpp = width * 3, 3
+        lines = []
+        for y in range(height):
+            row = px[y].reshape(stride)
+            prev = px[y - 1].reshape(stride) if y > 0 else np.zeros(stride, dtype=np.int64)
+            ftype = y % 5
+            enc = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) % 256
+            lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        idat = zlib.compress(b"".join(lines))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [encode_one(int(d)) for d in pdf[id_col].tolist()],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )

@@ -212,8 +212,20 @@ def _gather_referenced_sources(fn, seen: set, parts: list) -> None:
             if name.startswith(_PKG_PREFIX + "."):
                 candidates = [name]
             elif lvl > 0:
-                base = (getattr(fn, "__module__", "") or "").rsplit(".", lvl)[0]
+                # a level-N import binds to the module's __package__
+                # trimmed by N-1 (NOT __module__ trimmed by N: for a
+                # builder in a package __init__, __module__ ==
+                # __package__ and the rsplit would land one level too
+                # high).  Keep the ancestor walk as fallback so a failed
+                # import never silently drops the module from the print.
+                pkg = (getattr(fn, "__globals__", {}) or {}).get("__package__")
+                if not pkg:
+                    pkg = (getattr(fn, "__module__", "") or "").rsplit(".", 1)[0]
+                base = pkg.rsplit(".", lvl - 1)[0] if lvl > 1 else pkg
                 candidates = [f"{base}.{name}"] if base else []
+                candidates += [
+                    c for c in _ancestor_candidates(fn, name) if c not in candidates
+                ]
             else:
                 candidates = _ancestor_candidates(fn, name)
             for cand in candidates:

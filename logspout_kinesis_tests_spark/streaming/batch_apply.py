@@ -590,8 +590,13 @@ def _write_health_row(
         "mean_qerr": round(mean_qerr, 9),
         "baseline": baseline,
     }
-    with open(os.path.join(health_dir, f"epoch={epoch_id}.json"), "w") as f:
+    # atomic tmp+replace: ann_ingest_health runs from a monitoring cron
+    # beside the live stream, so a reader must never see a partial row
+    final = os.path.join(health_dir, f"epoch={epoch_id}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(row, f, sort_keys=True)
+    os.replace(tmp, final)
 
 
 def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:

@@ -453,7 +453,15 @@ PCT_OUTPUT = StructType(
     ]
 )
 
-_PCT_STATE = StructType([StructField("counts", ArrayType(LongType()))])
+_PCT_STATE = StructType(
+    [
+        StructField("counts", ArrayType(LongType())),
+        # the grid RANGE travels with the counts: a restart with the same
+        # bucket count but shifted [mn, mx] would silently re-grid history
+        StructField("grid_mn", LongType()),
+        StructField("grid_mx", LongType()),
+    ]
+)
 
 
 def streaming_percentiles(
@@ -485,19 +493,22 @@ def streaming_percentiles(
     def monitor(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        counts = (
-            np.array(state.get[0], dtype=np.int64)
-            if state.exists
-            else np.zeros(buckets, dtype=np.int64)
-        )
-        if len(counts) != buckets:
-            # Checkpoint written under a different grid: restarting with a
-            # smaller `buckets` would otherwise clip indices silently and
-            # mis-grid every count.  The grid is part of the contract —
-            # changing it requires a fresh checkpoint.
+        if state.exists:
+            stored, s_mn, s_mx = state.get
+            counts = np.array(stored, dtype=np.int64)
+        else:
+            counts, s_mn, s_mx = np.zeros(buckets, dtype=np.int64), mn, mx
+        if len(counts) != buckets or s_mn != mn or s_mx != mx:
+            # Checkpoint written under a different grid: a smaller
+            # `buckets` would clip indices silently, and the SAME bucket
+            # count over a shifted [mn, mx] would re-grid every
+            # historical count into the wrong cells.  All three grid
+            # parameters are part of the contract — changing any of them
+            # requires a fresh checkpoint.
             raise ValueError(
                 f"streaming_percentiles: restored state has {len(counts)} "
-                f"buckets but the query was started with buckets={buckets}; "
+                f"buckets over [{s_mn}, {s_mx}] but the query was started "
+                f"with buckets={buckets} over [{mn}, {mx}]; "
                 "grid changes across restart require a new checkpoint"
             )
         frames = [pdf for pdf in pdfs if len(pdf)]
@@ -513,7 +524,7 @@ def streaming_percentiles(
         b = np.clip((cents - mn) * buckets // span, 0, buckets - 1)
         for i, c in zip(*np.unique(b, return_counts=True)):
             counts[int(i)] += int(c)
-        state.update((counts.tolist(),))
+        state.update((counts.tolist(), mn, mx))
         n = int(counts.sum())
         if n == 0:
             # A key whose traffic so far is all-NULL/NaN values has no

@@ -655,6 +655,67 @@ def test_streaming_percentiles_grid_change_across_restart_fails_loud(
         raise AssertionError("restart with a shrunken grid must not succeed")
 
 
+def test_streaming_percentiles_range_shift_across_restart_fails_loud(
+    spark, tmp_path
+):
+    """Restarting with the SAME bucket count but a shifted [mn, mx] must
+    FAIL: the bucket-count check alone would pass while every historical
+    count silently lands in the wrong grid cell.  The full (counts, mn,
+    mx) contract now travels in the state row."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_percentiles,
+    )
+
+    mk = lambda i, v: {
+        "event_id": i,
+        "ts": f"2024-01-01 00:00:{i:02d}",
+        "user_id": 1,
+        "event_type": "m",
+        "value": v,
+        "props": "{}",
+    }
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_events(os.path.join(src, "b1.json"), [mk(i, i / 100) for i in range(8)])
+    seen: list[tuple[int, int]] = []
+
+    def start(mn: int, mx: int):
+        stream = (
+            spark.readStream.schema(EVENTS)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        return (
+            streaming_percentiles(stream, mn, mx, buckets=16)
+            .writeStream.foreachBatch(
+                lambda df, _bid: seen.extend(
+                    (r["n_events"], r["p50_c"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(0, 399)
+    assert q.awaitTermination(180)
+    while any(a.id == q.id for a in spark.streams.active):
+        time.sleep(0.1)
+    assert seen == [(8, 24)]
+
+    _write_events(os.path.join(src, "b2.json"), [mk(20 + i, 1.0) for i in range(4)])
+    q2 = start(100, 499)
+    with pytest.raises(StreamingQueryException, match=r"\[0, 399\]"):
+        q2.awaitTermination(180)
+        raise AssertionError("restart with a shifted grid range must not succeed")
+
+
 def test_streaming_percentiles_match_batch_twin(spark, tmp_path):
     """The r9 batch parity row (c20_grid_percentiles) and the live monitor
     share one contract: same frozen grid, same ceil-rank arithmetic, same

@@ -159,6 +159,18 @@ HEADLINE = (
     "c20_vocab_coverage",
     "c14_temporal_split_days",
     "c10_knn_label_vote",
+    # round 10 — distinct plan shapes of the new batch: rank-arithmetic
+    # interval overlap (bucketed CDF, no pair join), 2-hop neighbor join,
+    # bounded joint-table Kendall concordance, DF-rollup + broadcast term
+    # monitor, ordered session funnel, mapInPandas PNG pixel decode,
+    # min-by-cluster dedup-aware sampling
+    "c15_session_overlap",
+    "c17_two_hop_neighborhood",
+    "c2_kendall_tau",
+    "c20_term_monitor",
+    "c7_session_funnel",
+    "c12_png_pixel_stats",
+    "c14_dedup_aware_sample",
 )
 
 
@@ -200,6 +212,14 @@ _CAL_REF_TOTAL = round(sum(_CAL_REF.values()), 3)
 _CAL_REPEATS = 7
 _CAL_WARMUPS = 2
 
+#: Mid-loop calibration cadence (VERDICT r9 #6): both r9 runs tripped the
+#: within-run drift warning, discarding the calibrated totals wholesale
+#: because a start + end sample cannot say WHICH queries ran on the drifted
+#: box.  A sample every ~25 headline queries records per-segment host
+#: factors, so a mover adjudication attributes each query to its segment's
+#: factor instead of throwing away the whole run.
+_CAL_SEGMENT_EVERY = 25
+
 #: host_factor band outside which the frozen yardstick itself is suspect
 #: (VERDICT r7 #5): calibration corrects same-box drift (observed class
 #: ~1.25×), but a factor this far from 1.0 means the BOX changed — the
@@ -224,6 +244,15 @@ _HEAVY = frozenset(
         "c16_hampel",
     }
 )
+
+
+def segment_boundaries(n_queries: int, every: int = _CAL_SEGMENT_EVERY) -> list[int]:
+    """Headline-loop indices at which a mid-loop calibration sample runs
+    (VERDICT r9 #6).  A sample fires BEFORE query ``i`` for every non-zero
+    multiple of ``every`` — so query i belongs to the segment whose sample
+    preceded it, and start/mid.../end factors tile the whole loop.  Pure
+    function for unit-testability (tests/test_bench_contract.py)."""
+    return [i for i in range(1, n_queries) if i % every == 0]
 
 
 def drift_warning(start_factor: float, end_factor: float, loop_secs: float) -> str | None:
@@ -362,7 +391,22 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    # per-segment host factors (VERDICT r9 #6): one calibration sample per
+    # _CAL_SEGMENT_EVERY headline queries; each entry says which factor was
+    # live while its segment's queries ran
+    segments: list[dict] = []
+    boundaries = set(segment_boundaries(len(HEADLINE)))
+    for i, name in enumerate(HEADLINE):
+        if i in boundaries:
+            seg = _run_calibration(spark, sf_dir)
+            segments.append(
+                {
+                    "after_index": i,
+                    "after_query": HEADLINE[i - 1],
+                    "host_factor": seg["host_factor"],
+                    "queries": seg["queries"],
+                }
+            )
         build = REGISTRY[name].build
         # one untimed warmup: per-query codegen compile + shuffle-file setup
         # otherwise lands in the median (5-run probes show first runs 2-3×
@@ -429,6 +473,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "calibration": calibration,
+        "calibration_mid": segments,
         "calibration_end": calibration_end,
         "host_drift_within_run": drift,
         **({"calibration_warning": warning} if warning else {}),

@@ -1048,3 +1048,236 @@ def c20_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance_vs_max"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# C20+ — fixed-vocabulary term monitor, batch twin of
+# streaming/stateful.streaming_term_monitor (the OHLC/grid-percentile
+# parity pattern: driver verifies batch vs DuckDB, pytest verifies
+# streaming vs batch, transitively pinning all three).
+# --------------------------------------------------------------------------
+
+#: Vocabulary size of the monitor grid (a frozen top-K by document
+#: frequency; the streaming twin receives the same list as its contract).
+_TERM_MON_K = 20
+
+
+def _term_monitor_batch(
+    docs: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """(lang, term, cnt, n_tokens, share) for a FROZEN vocab DataFrame —
+    the exact arithmetic of the streaming monitor's emit: int64 counts,
+    one HALF-UP 6dp rounding of cnt/n_tokens.  Zero-count (lang, term)
+    cells are emitted, not dropped (the streaming twin always reports
+    every vocab slot)."""
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    lt = toks.groupBy("lang").agg(F.count("*").alias("n_tokens"))
+    cnts = toks.join(F.broadcast(vocab), "term").groupBy("lang", "term").agg(
+        F.count("*").alias("cnt")
+    )
+    grid = lt.crossJoin(F.broadcast(vocab))
+    return (
+        grid.join(cnts, ["lang", "term"], "left")
+        .select(
+            "lang",
+            "term",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            "n_tokens",
+            F.round(
+                F.coalesce("cnt", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("share"),
+        )
+    )
+
+
+def _top_df_vocab(docs: DataFrame, k: int = _TERM_MON_K) -> DataFrame:
+    """Top-k document-frequency terms (ties by term) as a 1-column frame."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    df_tab = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        df_tab.orderBy(F.col("df").desc(), "term").limit(k).select("term")
+    )
+
+
+@register(
+    "c20_term_monitor",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+    toks AS (SELECT doc_id, lang, term FROM tok WHERE term <> ''),
+    vocab AS (
+        SELECT term
+        FROM (SELECT term, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term)
+        ORDER BY df DESC, term
+        LIMIT {_TERM_MON_K}),
+    lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM toks GROUP BY lang),
+    cnts AS (
+        SELECT t.lang, t.term, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks t JOIN vocab v ON v.term = t.term
+        GROUP BY t.lang, t.term)
+    SELECT l.lang, v.term,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+           l.n_tokens,
+           round(CAST(coalesce(c.cnt, 0) AS DOUBLE) / l.n_tokens, 6) AS share
+    FROM lt l
+    CROSS JOIN vocab v
+    LEFT JOIN cnts c ON c.lang = l.lang AND c.term = v.term
+    """,
+    doc="C20+: fixed-vocabulary term monitor (batch twin of "
+    "streaming_term_monitor) — exact per-language occurrence counts and "
+    "token shares of the corpus-wide top-20 document-frequency terms, "
+    "zero cells included: the vocab-drift dashboard a streaming ingest "
+    "watches, recomputed batch-side for audit.  DF rollup → 20-row "
+    "TakeOrdered vocab → broadcast hash lookup over one token pass; the "
+    "streaming twin is pinned equal in pytest (same tokenization, same "
+    "int64 counts, same HALF-UP rounding).",
+)
+def c20_term_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _term_monitor_batch(docs, _top_df_vocab(docs))
+
+
+# --------------------------------------------------------------------------
+# C15+ — per-session overlap counts WITHOUT a pair join: rank arithmetic.
+# --------------------------------------------------------------------------
+
+_OVL_BUCKETS = 256
+
+
+def _rank_counts(
+    ref: DataFrame, qry: DataFrame, bounds: DataFrame, strict: bool
+) -> DataFrame:
+    """For every (user_id, session_seq, q) in ``qry``: the number of
+    ``ref.v`` values ≤ q (or < q when ``strict``), via the bucketed-CDF
+    pattern (c2_ks_test): a monotone integer bucket map, exclusive prefix
+    offsets over the ≤256-row bucket table (the one allowed tiny global
+    window), and per-bucket cumulative windows that run in parallel.  At
+    tie values refs sort before queries for ≤ and after them for <, so
+    the inclusive cumsum over is_ref reads exactly the wanted rank."""
+    pts = ref.select(
+        F.col("v"),
+        F.lit(1).alias("is_ref"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("session_seq"),
+    ).unionAll(
+        qry.select(
+            F.col("q").alias("v"),
+            F.lit(0).alias("is_ref"),
+            "user_id",
+            "session_seq",
+        )
+    )
+    b = pts.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            (F.col("v") - F.col("mn")) * _OVL_BUCKETS / (F.col("mx") - F.col("mn") + 1),
+            F.lit(_OVL_BUCKETS - 1),
+        ).cast("long"),
+    )
+    bucket_tot = (
+        b.filter(F.col("is_ref") == 1).groupBy("bucket").agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off")
+    )
+    order = [F.col("v").asc(), F.col("is_ref").desc() if not strict else F.col("is_ref").asc()]
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(F.broadcast(offs), "bucket", "left").select(
+        "user_id",
+        "session_seq",
+        "is_ref",
+        (F.coalesce("off", F.lit(0)) + F.sum("is_ref").over(wv)).alias("rank"),
+    )
+    return cum.filter(F.col("is_ref") == 0).select("user_id", "session_seq", "rank")
+
+
+@register(
+    "c15_session_overlap",
+    oracle=f"""
+    WITH {_SESSION_CTE}
+    SELECT i.user_id, i.session_seq,
+           CAST(count(*) - 1 AS BIGINT) AS n_overlap
+    FROM sessions i
+    JOIN sessions j
+      ON j.start_us <= i.end_us AND j.end_us >= i.start_us
+    GROUP BY i.user_id, i.session_seq
+    """,
+    doc="C15+: concurrent-session count per session — how many OTHER "
+    "sessions (any user) overlap each session's [start, end] interval, "
+    "the live-concurrency/load signal.  NO pair join: overlap count = "
+    "(#starts ≤ my end) − (#ends < my start) − 1, two exact rank lookups "
+    "via the bucketed-CDF pattern (≤256-row offset table + per-bucket "
+    "windows), so the plan stays O(n log n)-shaped where the naive "
+    "interval self-join is O(n²) in the worst hour.  The DuckDB oracle "
+    "runs the self-join form (IEJoin) — two independent formulations "
+    "agreeing is the point.",
+)
+def c15_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.plans.round9_queries import _session_table
+
+    iv = _session_table(spark, sf_dir).select(
+        "user_id", "session_seq", "start_us", "end_us"
+    ).localCheckpoint(eager=True)  # feeds both rank passes + the bounds agg
+    bounds = iv.agg(F.min("start_us").alias("mn"), F.max("end_us").alias("mx"))
+    starts = iv.select(F.col("start_us").alias("v"))
+    ends = iv.select(F.col("end_us").alias("v"))
+    le = _rank_counts(
+        starts, iv.select("user_id", "session_seq", F.col("end_us").alias("q")),
+        bounds, strict=False,
+    ).withColumnRenamed("rank", "n_starts_le")
+    lt = _rank_counts(
+        ends, iv.select("user_id", "session_seq", F.col("start_us").alias("q")),
+        bounds, strict=True,
+    ).withColumnRenamed("rank", "n_ends_lt")
+    return le.join(lt, ["user_id", "session_seq"]).select(
+        "user_id",
+        "session_seq",
+        (F.col("n_starts_le") - F.col("n_ends_lt") - 1).alias("n_overlap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C12+ — real PNG pixel statistics (rows-only: no SQL engine can inflate
+# an IDAT stream; pinned instead by the formula-replay pytest
+# tests/test_png_pixels.py against hand-computable synthesized payloads).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c12_png_pixel_stats",
+    doc="C12+: REAL PNG pixel decode over synthesized deterministic "
+    "payloads — per (doc, channel) exact int64 pixel sum/extrema from "
+    "zlib-inflated, un-filtered scanlines (all five PNG row filters "
+    "exercised per payload).  Rows-only by necessity (DuckDB cannot "
+    "inflate an IDAT stream); the arithmetic is pinned by the "
+    "formula-replay pytest and the payload set is the 40 lowest doc ids, "
+    "so the output is fully deterministic.  Scale shape: stateless "
+    "mapInPandas decode, payload bytes never leave the executor.",
+)
+def c12_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        png_pixel_stats,
+        synth_png_pixel_payload,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    return png_pixel_stats(
+        synth_png_pixel_payload(docs, width=24, height=18)
+    )

@@ -363,6 +363,18 @@ def streaming_minhash_dedup(
         _banded(surv_sig).write.mode("overwrite").parquet(
             os.path.join(index_dir, "bands", f"epoch={epoch_id}")
         )
+        # health row (the ann_ingest_health contract applied to dedup): all
+        # counts derive from the batch + pre-batch index only, so a crash
+        # replay overwrites the row byte-identically
+        n_in = bdf.count()
+        n_cross = 0 if dup_new is None else dup_new.count()
+        # count the plan, not the written files: an all-dropped epoch's JSON
+        # dir is empty and schema inference on it would kill the stream
+        n_out = survivors.count()
+        _write_dedup_health_row(
+            index_dir, epoch_id, n_in=n_in, n_dropped_cross=n_cross,
+            n_dropped_intra=n_in - n_cross - n_out, n_survivors=n_out,
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -640,6 +652,87 @@ def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
             and base is not None
             and r["mean_qerr"] > (factor * base if base > 0 else 1e-12)
         )
+    return rows
+
+
+def _write_dedup_health_row(
+    index_dir: str,
+    epoch_id: int,
+    n_in: int,
+    n_dropped_cross: int,
+    n_dropped_intra: int,
+    n_survivors: int,
+) -> None:
+    """One JSON health row per dedup-ingest epoch (driver-side; atomic
+    tmp+replace so a monitoring cron never reads a partial row — the same
+    contract as the ANN health writer)."""
+    import json
+
+    health_dir = os.path.join(index_dir, "health")
+    os.makedirs(health_dir, exist_ok=True)
+    row = {
+        "epoch": epoch_id,
+        "n_in": n_in,
+        "n_dropped_cross": n_dropped_cross,
+        "n_dropped_intra": n_dropped_intra,
+        "n_survivors": n_survivors,
+    }
+    final = os.path.join(health_dir, f"epoch={epoch_id}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(row, f, sort_keys=True)
+    os.replace(tmp, final)
+
+
+def dedup_ingest_health(index_dir: str, factor: float = 3.0) -> list:
+    """Read the per-epoch health rows of a streaming dedup index and flag
+    duplicate-rate SPIKES: an epoch is ``spiked`` when its dup_rate
+    (dropped / arrived) exceeds ``factor`` × the mean dup_rate of all prior
+    epochs.
+
+    This is the monitor the persisted-index contract needs on the dedup
+    side: the failure modes of a 100 TB streaming dedup are silent in the
+    output (an upstream replay loop re-sends yesterday's corpus and the
+    flow "works", quietly dropping the whole feed; a mis-routed feed sends
+    an already-deduped mirror and survivors collapse).  A dup-rate spike
+    against the flow's own history is the loud version of both.  The
+    opposite direction — dup_rate pinned at 0 — is indistinguishable from
+    genuinely fresh data, so it is reported (every row carries its rate)
+    but never auto-flagged.
+
+    Pure driver-side file reads — no Spark session needed, so it can run
+    from a monitoring cron beside the stream (unparseable rows are skipped:
+    a row mid-write by a crashed pre-atomic writer must not kill the
+    monitor).
+    """
+    import json
+
+    health_dir = os.path.join(index_dir, "health")
+    if not os.path.isdir(health_dir):
+        return []
+    rows = []
+    for name in os.listdir(health_dir):
+        if name.startswith("epoch=") and name.endswith(".json"):
+            try:
+                with open(os.path.join(health_dir, name)) as f:
+                    rows.append(json.load(f))
+            except (OSError, ValueError):
+                continue
+    rows.sort(key=lambda r: r["epoch"])
+    prior_rates: list[float] = []
+    for r in rows:
+        dropped = r["n_dropped_cross"] + r["n_dropped_intra"]
+        rate = dropped / r["n_in"] if r["n_in"] else 0.0
+        r["dup_rate"] = round(rate, 9)
+        base = sum(prior_rates) / len(prior_rates) if prior_rates else None
+        r["baseline_rate"] = None if base is None else round(base, 9)
+        # a zero-duplicate history makes ANY later rate infinitely "above
+        # baseline"; require a material absolute rate (half the feed
+        # duplicated) before flagging against a zero baseline
+        r["spiked"] = bool(
+            base is not None and rate > (factor * base if base > 0 else 0.5)
+        )
+        prior_rates.append(rate)
     return rows
 
 

@@ -546,3 +546,125 @@ def streaming_percentiles(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming fixed-vocabulary term monitor — cross-batch exact counts of a
+# frozen reference vocabulary per language, the OOV/vocab-drift twin of
+# the batch c20_term_monitor row (plans/round10_queries.py).  Same
+# contract pattern as streaming_percentiles: the "grid" here is the
+# vocabulary itself, fingerprinted into the state row so a restart with a
+# different term list fails loud instead of silently re-keying history.
+# --------------------------------------------------------------------------
+
+TERM_MON_OUTPUT = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("term", StringType()),
+        StructField("cnt", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("share", DoubleType()),
+    ]
+)
+
+_TERM_MON_STATE = StructType(
+    [
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_tokens", LongType()),
+        # md5-derived fingerprint of the vocab list: the term order AND
+        # spelling are part of the state contract
+        StructField("vocab_fp", LongType()),
+    ]
+)
+
+
+def _vocab_fingerprint(vocab: list[str]) -> int:
+    import hashlib
+
+    digest = hashlib.md5("\x00".join(vocab).encode("utf-8")).hexdigest()
+    return int(digest[:15], 16)
+
+
+def _spark_round6(x: float) -> float:
+    """Replicate F.round(x, 6): HALF_UP over the shortest decimal repr
+    (Python's round() is binary half-even and diverges in the last digit)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def streaming_term_monitor(stream: DataFrame, vocab: list[str]) -> DataFrame:
+    """Cross-batch term monitor: exact occurrence counts of a FROZEN
+    ``vocab`` (order-significant) per language over all documents seen so
+    far, emitted each batch as (lang, term, cnt, n_tokens, share).
+
+    Tokenization is byte-identical to the batch family (lower, split on
+    single space, drop empties), counts and token totals are exact int64
+    (order-free, replay-deterministic), and ``share`` rounds HALF-UP like
+    ``F.round(·, 6)`` so the batch twin pins equality bit-for-bit.
+
+    State per language is ONE bounded |vocab| long array + a total — at
+    100 TB stream scale the store is O(live langs · |vocab|) regardless of
+    history.  A restart whose ``vocab`` differs from the list that wrote
+    the checkpoint fails loud on the stored fingerprint (the
+    streaming_percentiles grid contract, applied to vocabularies)."""
+    vocab = list(vocab)
+    vfp = _vocab_fingerprint(vocab)
+    vindex = {t: i for i, t in enumerate(vocab)}
+
+    def monitor(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stored, n_tokens, s_fp = state.get
+            counts = list(stored)
+            if len(counts) != len(vocab) or s_fp != vfp:
+                raise ValueError(
+                    f"streaming_term_monitor: restored state was written by "
+                    f"a different vocabulary (fp {s_fp} != {vfp} or size "
+                    f"{len(counts)} != {len(vocab)}); vocab changes across "
+                    "restart require a new checkpoint"
+                )
+        else:
+            counts, n_tokens = [0] * len(vocab), 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return iter(())
+        for text in pd.concat(frames)["text"].tolist():
+            toks = [t for t in (text or "").lower().split(" ") if t]
+            n_tokens += len(toks)
+            for t in toks:
+                i = vindex.get(t)
+                if i is not None:
+                    counts[i] += 1
+        state.update((counts, n_tokens, vfp))
+        if n_tokens == 0:
+            # nothing tokenizable yet: no distribution to report
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "lang": [key[0]] * len(vocab),
+                        "term": vocab,
+                        "cnt": counts,
+                        "n_tokens": [n_tokens] * len(vocab),
+                        "share": [
+                            _spark_round6(c / n_tokens) for c in counts
+                        ],
+                    }
+                )
+            ]
+        )
+
+    return stream.groupBy("lang").applyInPandasWithState(
+        monitor,
+        outputStructType=TERM_MON_OUTPUT,
+        stateStructType=_TERM_MON_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -58,3 +58,23 @@ def test_drift_warns_outside_band(start, end):
     # r8's observed day: same-code factors swung 0.736 <-> 1.176
     msg = bench.drift_warning(start, end, 500.0)
     assert msg is not None and "spread" in msg
+
+
+def test_segment_boundaries_tile_the_headline_loop():
+    # VERDICT r9 #6: mid-loop calibration samples every _CAL_SEGMENT_EVERY
+    # queries — no boundary at 0 (that's the start sample), none at/after
+    # the end (that's calibration_end), and every headline query falls in
+    # exactly one [prev_boundary, next_boundary) segment.
+    n = len(bench.HEADLINE)
+    bounds = bench.segment_boundaries(n)
+    assert bounds == sorted(set(bounds))
+    assert all(0 < b < n for b in bounds)
+    assert all(b % bench._CAL_SEGMENT_EVERY == 0 for b in bounds)
+    # the current headline list is long enough that the feature is live
+    assert len(bounds) == (n - 1) // bench._CAL_SEGMENT_EVERY >= 3
+
+
+def test_segment_boundaries_small_loop_is_unsegmented():
+    assert bench.segment_boundaries(10) == []
+    assert bench.segment_boundaries(25) == []
+    assert bench.segment_boundaries(26) == [25]

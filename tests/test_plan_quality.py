@@ -319,6 +319,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "c2_quantile_normalize": 2,
     "c2_kruskal_wallis": 1,  # ≤256-row bucket-offset prefix-sum table
     "c14_pareto_skyline": 1,  # ≤256-row bucket suffix-max table
+    # two ≤256-row bucket-offset prefix tables (one per rank pass)
+    "c15_session_overlap": 2,
 }
 
 

@@ -13,6 +13,7 @@ pytestmark = _pytest_mark_mod.mark.slow
 import glob
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -466,3 +467,152 @@ def test_compact_epoch_index_sums_additive_counts(spark, tmp_path):
         with open(p) as f:
             rows += [json.loads(line) for line in f]
     assert {(r["user_id"], r["cnt"]) for r in rows} >= {(7, 4)}
+
+
+def _minhash_doc(seed: int, n: int = 60) -> str:
+    return " ".join(f"tok{seed}w{i}" for i in range(n))
+
+
+def _minhash_rewrite(text: str) -> str:
+    words = text.split(" ")
+    return " ".join(words[:-3] + ["changed", "tail", "here"])
+
+
+def _write_doc_batch(src_dir: str, name: str, rows, t: int) -> None:
+    path = os.path.join(src_dir, name)
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.utime(path, (t, t))
+
+
+def test_minhash_dedup_health_flags_replay_spike(spark, tmp_path):
+    """The dedup ingest writes one health row per epoch; a later batch that
+    re-sends an earlier corpus (the upstream-replay-loop failure mode) must
+    read as a dup-rate SPIKE against the flow's own history — and a crash
+    replay must regenerate the row byte-identically."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        dedup_ingest_health,
+        streaming_minhash_dedup,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    base = {i: _minhash_doc(i) for i in range(6)}
+    _write_doc_batch(src, "b0.json", list(base.items()), 1_700_000_000)
+    # epoch 1: five fresh docs + ONE near-rewrite of doc 0 (rate 1/6 — below
+    # the zero-baseline absolute floor, must NOT flag)
+    _write_doc_batch(
+        src,
+        "b1.json",
+        [(10 + i, _minhash_doc(100 + i)) for i in range(5)]
+        + [(99, _minhash_rewrite(base[0]))],
+        1_700_000_060,
+    )
+    # epoch 2: a full re-send of epoch 0 under new ids (rate 6/6 — the spike)
+    _write_doc_batch(
+        src,
+        "b2.json",
+        [(1000 + i, t) for i, t in base.items()],
+        1_700_000_120,
+    )
+
+    def run():
+        q = streaming_minhash_dedup(
+            spark, src, ckpt, "doc_id long, text string", index, out,
+            threshold=0.7, max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(180)
+        while any(a.id == q.id for a in spark.streams.active):
+            time.sleep(0.1)
+
+    run()
+    rows = dedup_ingest_health(index)
+    assert [r["epoch"] for r in rows] == [0, 1, 2]
+    assert [r["n_in"] for r in rows] == [6, 6, 6]
+    assert rows[0]["n_dropped_cross"] == 0 and rows[0]["spiked"] is False
+    assert rows[1]["n_dropped_cross"] == 1 and rows[1]["spiked"] is False
+    assert rows[2]["n_dropped_cross"] == 6 and rows[2]["n_survivors"] == 0
+    assert rows[2]["spiked"] is True
+
+    # crash emulation: drop the last commit marker (+ .crc), replay epoch 2
+    health_file = os.path.join(index, "health", "epoch=2.json")
+    with open(health_file, "rb") as f:
+        before = f.read()
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if "." not in os.path.basename(p)
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    with open(health_file, "rb") as f:
+        assert f.read() == before, "replayed health row diverged"
+
+
+def test_minhash_dedup_composes_with_epoch_compaction(spark, tmp_path):
+    """`compact_epoch_index` folds the near-dup index's bands AND sigs while
+    the stream is quiesced; the next epoch's survivors are identical to the
+    uncompacted twin run, and rewrites of pre-compaction survivors still
+    drop (the fold keeps every row visible to epoch<N probes)."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_epoch_index,
+        streaming_minhash_dedup,
+    )
+
+    def run_flow(root: str, compact: bool) -> set:
+        src, ckpt, index, out = (
+            os.path.join(root, d) for d in ("src", "ckpt", "idx", "out")
+        )
+        os.makedirs(src)
+        base = {i: _minhash_doc(i) for i in range(3)}
+        _write_doc_batch(src, "b0.json", list(base.items()), 1_700_000_000)
+        _write_doc_batch(src, "b1.json", [(3, _minhash_doc(3))], 1_700_000_060)
+
+        def run():
+            q = streaming_minhash_dedup(
+                spark, src, ckpt, "doc_id long, text string", index, out,
+                threshold=0.7, max_files_per_trigger=1,
+            )
+            assert q.awaitTermination(180)
+            while any(a.id == q.id for a in spark.streams.active):
+                time.sleep(0.1)
+
+        run()
+        if compact:
+            for sub in ("bands", "sigs"):
+                compact_epoch_index(spark, os.path.join(index, sub), upto_epoch=2)
+                eps = {
+                    n
+                    for n in os.listdir(os.path.join(index, sub))
+                    if n.startswith("epoch=")
+                }
+                assert eps == {"epoch=1"}
+        # epoch 2: rewrite of an EPOCH-0 survivor (tests the folded rows) +
+        # rewrite of the epoch-1 survivor + one fresh doc
+        _write_doc_batch(
+            src,
+            "b2.json",
+            [
+                (100, _minhash_rewrite(base[0])),
+                (101, _minhash_rewrite(_minhash_doc(3))),
+                (200, _minhash_doc(999)),
+            ],
+            1_700_000_120,
+        )
+        run()
+        survived = set()
+        for p in glob.glob(os.path.join(out, "epoch=2", "part-*.json")):
+            with open(p) as f:
+                survived |= {json.loads(line)["doc_id"] for line in f}
+        return survived
+
+    plain = run_flow(str(tmp_path / "plain"), compact=False)
+    compacted = run_flow(str(tmp_path / "compacted"), compact=True)
+    assert plain == {200}
+    assert compacted == plain

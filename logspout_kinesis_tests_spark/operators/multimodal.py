@@ -836,51 +836,60 @@ PNG_PIXEL_SCHEMA = StructType(
 )
 
 #: Decoded-pixel budget per payload: rows whose IHDR advertises more pixels
-#: are quarantined unread — a corrupt/hostile length field must not balloon
-#: executor memory (width·height·4 bytes materialize on decode).
-PNG_MAX_PIXELS = 16_000_000
+#: are quarantined unread.  The budget bounds BOTH costs a hostile-but-valid
+#: payload can impose per task: resident memory (the decode works in uint8,
+#: so ~width·height·channels bytes live at once) and, the binding one, the
+#: pure-Python per-byte loops of the Sub/Average/Paeth filters — 4M pixels
+#: of RGBA is ≤16M loop iterations, seconds not minutes.
+PNG_MAX_PIXELS = 4_000_000
 
 
 def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the five PNG row filters (spec §9): each scanline starts
     with a filter-type byte, and Sub/Average/Paeth carry an intra-row
-    byte recurrence, so rows decode sequentially left-to-right (Up is
-    vectorized; the recurrent filters loop over the row's bytes — stride
-    is bounded by the PNG_MAX_PIXELS gate, so the loop is bounded too)."""
-    out = np.zeros((height, stride), dtype=np.int64)
-    raw = raw.astype(np.int64)
+    byte recurrence, so rows decode sequentially left-to-right (None/Up
+    are vectorized; the recurrent filters loop over the row's bytes —
+    stride is bounded by the PNG_MAX_PIXELS gate, so the loop is too).
+
+    Everything stays uint8: the spec's "& 0xFF" IS uint8 wraparound, so
+    the working set is one byte per sample (an int64 image would cost 8×
+    the memory the PNG_MAX_PIXELS comment budgets); callers widen to
+    int64 only when aggregating."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
         ftype = int(raw[y * (stride + 1)])
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].copy()
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        prev = out[y - 1] if y > 0 else zero_row
+        row = out[y]
         if ftype == 0:  # None
-            out[y] = line
+            row[:] = line
         elif ftype == 1:  # Sub
             for i in range(stride):
-                a = out[y, i - bpp] if i >= bpp else 0
-                out[y, i] = (line[i] + a) & 0xFF
-        elif ftype == 2:  # Up
-            out[y] = (line + prev) & 0xFF
+                a = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(line[i]) + a) & 0xFF
+        elif ftype == 2:  # Up — uint8 addition wraps mod 256 by itself
+            np.add(line, prev, out=row)
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = out[y, i - bpp] if i >= bpp else 0
-                out[y, i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+                a = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(line[i]) + (a + int(prev[i])) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = out[y, i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                b = prev[i]
+                a = int(row[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[y, i] = (line[i] + pred) & 0xFF
+                row[i] = (int(line[i]) + pred) & 0xFF
         else:  # unknown filter type: the row (and image) is undecodable
             raise ValueError(f"png filter {ftype}")
     return out
 
 
 def _png_decode_rgb(raw: bytes) -> tuple[np.ndarray, int] | None:
-    """bytes -> (pixels[h, w, ch] int64, channels) for 8-bit RGB/RGBA
+    """bytes -> (pixels[h, w, ch] uint8, channels) for 8-bit RGB/RGBA
     non-interlaced PNGs, or None for anything malformed (bad signature,
     CRC mismatch, unsupported geometry, corrupt IDAT) — quarantine-by-skip,
     the A19 policy: a poisoned payload must not kill a 100 TB scan."""
@@ -964,7 +973,8 @@ def png_pixel_stats(
                     ids.append(d)
                     chs.append(ch)
                     ns.append(int(plane.size))
-                    ss.append(int(plane.sum()))
+                    # widen at the aggregate only — the image stays uint8
+                    ss.append(int(plane.sum(dtype=np.int64)))
                     mns.append(int(plane.min()))
                     mxs.append(int(plane.max()))
             yield pd.DataFrame(

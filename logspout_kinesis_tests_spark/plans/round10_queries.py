@@ -740,10 +740,11 @@ def c16_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT term, CAST(count(*) AS BIGINT) AS df,
                CAST(sum(c) AS BIGINT) AS sc,
-               CAST(sum(c * c) AS BIGINT) AS sq
+               sum(CAST(CAST(c AS DECIMAL(19,0)) * c AS DECIMAL(38,0))) AS sq
         FROM per_doc GROUP BY term)
     SELECT term, df, sc AS total_cnt,
-           round((CAST(df AS DOUBLE) * sq - CAST(sc AS DOUBLE) * sc)
+           round((CAST(df AS DOUBLE) * CAST(sq AS DOUBLE)
+                  - CAST(sc AS DOUBLE) * sc)
                  / (CAST(df AS DOUBLE) * sc), 6) AS fano
     FROM stats
     ORDER BY df DESC, term
@@ -766,14 +767,19 @@ def c11_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = per_doc.groupBy("term").agg(
         F.count("*").alias("df"),
         F.sum("c").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        # quadratic moment in DECIMAL(38,0) per the overflow policy: sum of
+        # c² wraps BIGINT once a term's per-doc counts square past ~9e18
+        F.sum(
+            (F.col("c").cast("decimal(19,0)") * F.col("c")).cast("decimal(38,0)")
+        ).alias("sq"),
     )
     return (
         stats.selectExpr(
             "term",
             "df",
             "sc AS total_cnt",
-            "round((CAST(df AS DOUBLE) * sq - CAST(sc AS DOUBLE) * sc)"
+            "round((CAST(df AS DOUBLE) * CAST(sq AS DOUBLE)"
+            " - CAST(sc AS DOUBLE) * sc)"
             " / (CAST(df AS DOUBLE) * sc), 6) AS fano",
         )
         .orderBy(F.col("df").desc(), "term")
@@ -1181,9 +1187,10 @@ def _rank_counts(
             F.lit(_OVL_BUCKETS - 1),
         ).cast("long"),
     )
-    bucket_tot = (
-        b.filter(F.col("is_ref") == 1).groupBy("bucket").agg(F.count("*").alias("cnt"))
-    )
+    # ref counts per bucket over ALL points (like c2_ks_test): a bucket
+    # holding only queries must still appear with cnt=0, or its rows would
+    # coalesce to offset 0 and silently lose every lower bucket's ref mass
+    bucket_tot = b.groupBy("bucket").agg(F.sum("is_ref").alias("cnt"))
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offs = bucket_tot.select(
         "bucket", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off")

@@ -289,7 +289,25 @@ def streaming_minhash_dedup(
         ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
-        sig = minhash_signatures(bdf, id_col, text_col, num_hashes)
+        # sig feeds the cross-index probe, the intra-batch join (twice) and
+        # the survivor index writes; dup_new feeds the anti-join + its
+        # health count; survivors feeds three writes + its count.  Persist
+        # all three for the sink's scope or every extra consumer re-runs
+        # the full signature/LSH pipeline.
+        pinned: list[DataFrame] = []
+
+        def pin(df: DataFrame) -> DataFrame:
+            pinned.append(df.persist())
+            return df
+
+        try:
+            _sink_inner(bdf, epoch_id, pin)
+        finally:
+            for df in pinned:
+                df.unpersist()
+
+    def _sink_inner(bdf: DataFrame, epoch_id: int, pin) -> None:
+        sig = pin(minhash_signatures(bdf, id_col, text_col, num_hashes))
         old_bands = _index_before_epoch(
             spark, os.path.join(index_dir, "bands"), epoch_id, id_col, "band", "bucket"
         )
@@ -324,6 +342,7 @@ def streaming_minhash_dedup(
                 .select(id_col)
                 .distinct()
             )
+            dup_new = pin(dup_new)
         fresh = bdf if dup_new is None else bdf.join(dup_new, id_col, "left_anti")
         # intra-batch: candidate pairs within the batch, estimate-verified,
         # clusters resolved to the min id
@@ -352,7 +371,7 @@ def streaming_minhash_dedup(
             .filter(signature_jaccard_estimate(F.col("_sa"), F.col("_sb"), num_hashes) >= threshold)
             .select("id_a", "id_b")
         )
-        survivors = dedup_keep_one(fresh, intra, id_col=id_col)
+        survivors = pin(dedup_keep_one(fresh, intra, id_col=id_col))
         survivors.coalesce(1).write.mode("overwrite").json(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )

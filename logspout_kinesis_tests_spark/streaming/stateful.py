@@ -486,6 +486,16 @@ def streaming_percentiles(
 
     Per-key state is ONE bounded long array; at 100 TB stream scale the
     store is O(live keys · buckets) regardless of history length.
+
+    Upgrade note: widening the state row from 1 field (counts) to 3
+    (counts, grid_mn, grid_mx) was a ONE-TIME checkpoint-layout break —
+    Spark's state-store schema check rejects a pre-widening checkpoint
+    before this function runs, so the error is Spark's schema-incompat
+    message, not the grid-contract one below.  Restarting such a query
+    means re-aggregating from the source (the monitor is a derived view
+    of the event stream, so nothing is lost — only recomputed).  Within
+    the current layout, restarts with an unchanged grid recover cleanly
+    and any grid change fails loud below.
     """
     span = mx - mn + 1
     qs = ((1, 2, "p50_c"), (19, 20, "p95_c"), (99, 100, "p99_c"))

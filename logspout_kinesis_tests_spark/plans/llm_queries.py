@@ -386,14 +386,16 @@ def c10_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c10_lsh_recall_gate",
-    # Self-checking recall gate: the query emits VIOLATION rows (empty when
-    # healthy) and the oracle is the empty relation with the same schema —
-    # the driver row goes red iff LSH recall regresses.  Thresholds carry
-    # margin under the measured agreement (24/50 at sf0.001/0.01/0.1 with
+    # Self-checking recall gate: the query emits VIOLATION rows and the
+    # oracle expects exactly the one healthy summary row — the driver row
+    # goes red iff LSH recall regresses.  The summary (queries_with_matches
+    # = 10) makes the healthy verdict a non-trivial computed equality
+    # rather than empty-vs-empty (the r9 wart).  Thresholds carry margin
+    # under the measured agreement (24/50 at sf0.001/0.01/0.1 with
     # multiprobe=2; per-query self-match is structural).
     oracle="""
-    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
-    WHERE 1 = 0
+    SELECT CAST('queries_with_matches' AS VARCHAR) AS gate,
+           CAST(10 AS BIGINT) AS observed
     """,
     doc="C10: driver-visible LSH recall regression gate — compares "
     "multiprobe LSH top-5 against the (oracle-matched) exact top-5 and "
@@ -429,22 +431,33 @@ def c10_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total") < 18)
         .select(F.lit("total_agreement").alias("gate"), F.col("total").cast("long").alias("observed"))
     )
-    return per_q_viol.unionByName(total_viol)
+    matched_total = (
+        per_q.filter(F.col("n_agree") >= 1)
+        .agg(F.count("*").cast("long").alias("observed"))
+        .select(F.lit("queries_with_matches").alias("gate"), "observed")
+    )
+    return matched_total.unionByName(per_q_viol).unionByName(total_viol)
 
 
 @register(
     "c10_ivf_recall_gate",
-    # Same self-checking shape as c10_lsh_recall_gate: emits VIOLATION rows,
-    # oracle is the empty relation.  Margins under measurement: agreement
+    # Same self-checking shape as c10_lsh_recall_gate — violation rows go
+    # red against the oracle — but the healthy output is NOT empty: the
+    # gate always emits one computed summary row (self_match_total over
+    # the 10 fixed queries) whose expected value the oracle states, so a
+    # green verdict is a non-trivial equality of a number the IVF path
+    # actually computed, not an empty-vs-empty coincidence (VERDICT r9
+    # flagged exactly that wart).  Margins under measurement: agreement
     # with exact top-5 is 47-50/50 across sf0.001/0.01/0.1 (gate: ≥35);
     # self-match is structural (a query's own cell is always probed).
     oracle="""
-    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
-    WHERE 1 = 0
+    SELECT CAST('self_match_total' AS VARCHAR) AS gate,
+           CAST(10 AS BIGINT) AS observed
     """,
     doc="C10: driver-visible IVF recall regression gate — per-query "
     "self-match (structural) and aggregate top-5 agreement vs the "
-    "oracle-matched exact ranking.",
+    "oracle-matched exact ranking; healthy output is the computed "
+    "10-query self-match count matched against the oracle's expected 10.",
 )
 def c10_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.ann import ivf_topk
@@ -481,7 +494,16 @@ def c10_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("observed"),
         )
     )
-    return self_viol.unionByName(total_viol)
+    # always-emitted summary: the oracle pins this computed count at 10, so
+    # the gate's green is a real equality (and any violation row above still
+    # breaks the hash)
+    self_total = (
+        queries.select("query_id")
+        .join(selfmatch, "query_id", "left_semi")
+        .agg(F.count("*").cast("long").alias("observed"))
+        .select(F.lit("self_match_total").alias("gate"), "observed")
+    )
+    return self_total.unionByName(self_viol).unionByName(total_viol)
 
 
 @register(

@@ -770,14 +770,20 @@ def c10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate cut; it is empirically stable on this corpus at the
     # registered settings (m=4, ksub=16, rerank=100), which is what the
     # gate pins.
+    # The healthy output is one computed summary row matched against the
+    # oracle's expected value (the r9 empty-vs-empty wart fix, same as the
+    # IVF/LSH gates); self-match is empirically stable at the registered
+    # settings — the existing self_ violation rows already red-flag any
+    # loss, the summary just makes the green non-trivial.
     oracle="""
-    SELECT CAST(NULL AS VARCHAR) AS gate, CAST(NULL AS BIGINT) AS observed
-    WHERE 1 = 0
+    SELECT CAST('self_match_total' AS VARCHAR) AS gate,
+           CAST(10 AS BIGINT) AS observed
     """,
     doc="C10+: driver-visible PQ recall regression gate — per-query "
     "self-match (empirically stable at the registered settings) and "
     "aggregate top-5 agreement vs the oracle-matched exact ranking "
-    "(floor 30/50; measured 44-47/50).",
+    "(floor 30/50; measured 44-47/50); healthy output is the computed "
+    "10-query self-match count matched against the oracle's expected 10.",
 )
 def c10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.ann import pq_topk
@@ -815,7 +821,13 @@ def c10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("observed"),
         )
     )
-    return self_viol.unionByName(total_viol)
+    self_total = (
+        queries.select("query_id")
+        .join(selfmatch, "query_id", "left_semi")
+        .agg(F.count("*").cast("long").alias("observed"))
+        .select(F.lit("self_match_total").alias("gate"), "observed")
+    )
+    return self_total.unionByName(self_viol).unionByName(total_viol)
 
 
 # ---------------------------------------------------------------------------
@@ -921,20 +933,25 @@ def c10_ivf_topk_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c10_search_only_parity",
-    # Violation-rows/empty-oracle shape (same as the recall gates): both
-    # index builds are fully deterministic, so search against the persisted
-    # index must return EXACTLY the self-built path's rows.  Any divergence
-    # (a stale cache, a checkpoint that altered row contents, geometry
-    # drift) surfaces as a violation row and the driver hash-fails.
+    # Violation-rows shape (same as the recall gates): both index builds
+    # are fully deterministic, so search against the persisted index must
+    # return EXACTLY the self-built path's rows.  Any divergence (a stale
+    # cache, a checkpoint that altered row contents, geometry drift)
+    # surfaces as a violation row and the driver hash-fails.  The healthy
+    # output is two computed summary rows — each path's result-row count,
+    # pinned at 10 queries × k=5 by the oracle — so the green verdict is a
+    # non-trivial equality, not empty-vs-empty (the r9 wart).
     oracle="""
-    SELECT CAST(NULL AS VARCHAR) AS gate,
-           CAST(NULL AS BIGINT) AS query_id,
-           CAST(NULL AS BIGINT) AS vec_id
-    WHERE 1 = 0
+    SELECT CAST(gate AS VARCHAR) AS gate,
+           CAST(q AS BIGINT) AS query_id,
+           CAST(v AS BIGINT) AS vec_id
+    FROM (VALUES ('pq_rows_compared', 50, 50),
+                 ('ivf_rows_compared', 50, 50)) t(gate, q, v)
     """,
     doc="C10+: driver-visible parity gate — (query_id, vec_id, rank) "
     "symmetric difference between the persisted-index search path and the "
-    "self-built path, for both PQ and IVF; empty iff bit-identical.",
+    "self-built path, for both PQ and IVF; healthy output is the two "
+    "50-row count summaries, violations break the hash.",
 )
 def c10_search_only_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.ann import ivf_topk, pq_topk
@@ -952,6 +969,17 @@ def c10_search_only_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").cast("long").alias("vec_id"),
         )
 
+    def _summary(kind: str, fresh: DataFrame, cached: DataFrame) -> DataFrame:
+        return (
+            fresh.agg(F.count("*").cast("long").alias("query_id"))
+            .crossJoin(cached.agg(F.count("*").cast("long").alias("vec_id")))
+            .select(
+                F.lit(f"{kind}_rows_compared").alias("gate"),
+                "query_id",
+                "vec_id",
+            )
+        )
+
     pq_fresh = pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100)
     pq_cached = pq_topk(
         queries, corpus, k=5, m=4, ksub=16, rerank=100,
@@ -962,6 +990,9 @@ def c10_search_only_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=5, nlist=16, nprobe=4,
         index=ivf_index_for(spark, sf_dir),
     )
-    return _viol("pq", pq_fresh, pq_cached).unionByName(
-        _viol("ivf", ivf_fresh, ivf_cached)
+    return (
+        _summary("pq", pq_fresh, pq_cached)
+        .unionByName(_summary("ivf", ivf_fresh, ivf_cached))
+        .unionByName(_viol("pq", pq_fresh, pq_cached))
+        .unionByName(_viol("ivf", ivf_fresh, ivf_cached))
     )

@@ -284,8 +284,16 @@ def test_search_only_paths_match_self_built_and_memoize(spark, sf_dir):
         pq_index_for,
     )
 
-    parity = REGISTRY["c10_search_only_parity"].build(spark, sf_dir)
-    assert parity.count() == 0
+    # healthy contract since r10: exactly the two computed summary rows
+    # (each path returned 10 queries × k=5 rows), zero violation rows
+    parity = {
+        r["gate"]: (r["query_id"], r["vec_id"])
+        for r in REGISTRY["c10_search_only_parity"].build(spark, sf_dir).collect()
+    }
+    assert parity == {
+        "pq_rows_compared": (50, 50),
+        "ivf_rows_compared": (50, 50),
+    }
 
     pq_a = pq_index_for(spark, sf_dir)
     pq_b = pq_index_for(spark, sf_dir)

@@ -135,3 +135,52 @@ def test_streaming_term_monitor_vocab_change_fails_loud(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="different vocabulary"):
         q2.awaitTermination(180)
         raise AssertionError("restart with a changed vocab must not succeed")
+
+
+def test_streaming_term_monitor_recovers_across_restart(spark, tmp_path):
+    """Kill-and-restart recovery (the stateful-family contract): a second
+    run against the same checkpoint with the SAME vocab must resume from
+    the persisted counts — the batch-2 emit reports b1+b2 cumulative
+    totals, not a fresh count."""
+    from logspout_kinesis_tests_spark.streaming.stateful import (
+        streaming_term_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    mk = lambda i, text: {
+        "doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": len(text),
+    }
+    _write_docs(os.path.join(src, "b1.json"), [mk(1, "alpha beta beta")])
+    vocab = ["alpha", "beta"]
+    emitted: list[dict] = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOCS).option("maxFilesPerTrigger", "1").json(src)
+        )
+        q = (
+            streaming_term_monitor(stream, vocab)
+            .writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(r.asDict() for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        while any(a.id == q.id for a in spark.streams.active):
+            time.sleep(0.1)
+
+    run()
+    assert {(r["term"], r["cnt"], r["n_tokens"]) for r in emitted} == {
+        ("alpha", 1, 3), ("beta", 2, 3),
+    }
+    emitted.clear()
+    _write_docs(os.path.join(src, "b2.json"), [mk(2, "beta gamma")])
+    run()  # fresh query object, same checkpoint: state must carry over
+    assert {(r["term"], r["cnt"], r["n_tokens"]) for r in emitted} == {
+        ("alpha", 1, 5), ("beta", 3, 5),
+    }

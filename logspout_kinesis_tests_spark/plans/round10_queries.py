@@ -1288,3 +1288,32 @@ def c12_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(
         synth_png_pixel_payload(docs, width=24, height=18)
     )
+
+
+@register(
+    "c12_gif_pixel_stats",
+    doc="C12+: REAL GIF pixel decode over synthesized deterministic "
+    "payloads — per (doc, channel) exact int64 pixel sum/extrema from a "
+    "pure-Python LZW decompression of the first frame mapped through the "
+    "16-color palette.  Rows-only by necessity (no SQL engine runs LZW); "
+    "the arithmetic is pinned by the formula-replay pytest "
+    "(tests/test_gif_pixels.py, every pixel compared, KwKwK corner "
+    "exercised) and the payload set is the 40 lowest doc ids, so the "
+    "output is fully deterministic.  Scale shape: stateless mapInPandas "
+    "decode, payload bytes never leave the executor.",
+)
+def c12_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        gif_pixel_stats,
+        synth_gif_pixel_payload,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    return gif_pixel_stats(
+        synth_gif_pixel_payload(docs, width=24, height=18)
+    )

@@ -616,3 +616,26 @@ def test_minhash_dedup_composes_with_epoch_compaction(spark, tmp_path):
     compacted = run_flow(str(tmp_path / "compacted"), compact=True)
     assert plain == {200}
     assert compacted == plain
+
+
+def test_dedup_ingest_health_skips_unparseable_rows(tmp_path):
+    """A garbage file in the health dir (hard-crash debris) must not kill
+    the monitor — documented skip, remaining rows still analyzed."""
+    import json as _json
+
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        dedup_ingest_health,
+    )
+
+    health = tmp_path / "idx" / "health"
+    health.mkdir(parents=True)
+    (health / "epoch=0.json").write_text(
+        _json.dumps(
+            {"epoch": 0, "n_in": 10, "n_dropped_cross": 0,
+             "n_dropped_intra": 0, "n_survivors": 10}
+        )
+    )
+    (health / "epoch=1.json").write_text("{ partial garbage")
+    rows = dedup_ingest_health(str(tmp_path / "idx"))
+    assert [r["epoch"] for r in rows] == [0]
+    assert rows[0]["dup_rate"] == 0.0 and rows[0]["spiked"] is False

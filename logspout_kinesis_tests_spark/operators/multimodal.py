@@ -964,7 +964,7 @@ def png_pixel_stats(
         for pdf in batches:
             ids, chs, ns, ss, mns, mxs = [], [], [], [], [], []
             for d, raw in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
-                decoded = _png_decode_rgb(bytes(raw))
+                decoded = _png_decode_rgb(bytes(raw)) if raw is not None else None
                 if decoded is None:
                     continue
                 px, channels = decoded
@@ -1191,7 +1191,10 @@ def _gif_decode_rgb(raw: bytes) -> np.ndarray | None:
             return None
         min_code_size = raw[pos]
         pos += 1
-        if not 2 <= min_code_size <= 11:
+        # spec maximum is 8 (indices are single bytes); 9-11 would make the
+        # literal table overflow bytes(range(256)) and crash the task
+        # instead of quarantining
+        if not 2 <= min_code_size <= 8:
             return None
         sub = []
         while pos < len(raw) and raw[pos] != 0:
@@ -1219,15 +1222,16 @@ def gif_pixel_stats(
     channel, n_pixels, sum_val, min_val, max_val), all int64.
 
     Scale shape: one stateless ``mapInPandas`` pass; payload bytes never
-    leave the executor.  Malformed rows (bad signature, truncated blocks,
-    missing color table, interlaced frames, IHDR-advertised pixels over
-    GIF_MAX_PIXELS, corrupt LZW) are skipped, never mis-decoded."""
+    leave the executor.  Malformed rows (NULL payload, bad signature,
+    truncated blocks, missing color table, interlaced frames,
+    image-descriptor-advertised pixels over GIF_MAX_PIXELS, corrupt LZW)
+    are skipped, never mis-decoded."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, chs, ns, ss, mns, mxs = [], [], [], [], [], []
             for d, raw in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
-                px = _gif_decode_rgb(bytes(raw))
+                px = _gif_decode_rgb(bytes(raw)) if raw is not None else None
                 if px is None:
                     continue
                 for ch in range(3):

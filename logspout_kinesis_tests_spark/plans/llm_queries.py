@@ -419,6 +419,10 @@ def c10_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.select("query_id")
         .join(agree, "query_id", "left")
         .select("query_id", F.coalesce("n_agree", F.lit(0)).alias("n_agree"))
+        # ≤10 rows feeding three consumers (per-query violations, the total
+        # threshold, the pinned summary): checkpoint once or each re-runs
+        # the exact+LSH join tree
+        .localCheckpoint(eager=True)
     )
     # violation 1: a query lost even its structural self-match (bucket logic
     # broken); violation 2: aggregate neighbor agreement dropped below 18/50
@@ -468,7 +472,12 @@ def c10_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding")
     exact = cosine_topk(queries, corpus, k=5)
-    ivf = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4)
+    # 50-row result feeding three consumers (agreement join, self-match
+    # anti-join, the pinned summary): checkpoint once or each re-runs the
+    # whole IVF build+probe
+    ivf = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4).localCheckpoint(
+        eager=True
+    )
     agree = (
         exact.select("query_id", "vec_id")
         .join(ivf.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi")

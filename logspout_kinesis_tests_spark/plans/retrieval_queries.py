@@ -795,7 +795,12 @@ def c10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding")
     exact = cosine_topk(queries, corpus, k=5)
-    pq = pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100)
+    # 50-row result feeding three consumers (agreement join, self-match
+    # anti-join, the pinned summary): checkpoint once or each re-runs the
+    # whole PQ train+encode+scan
+    pq = pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100).localCheckpoint(
+        eager=True
+    )
     agree = (
         exact.select("query_id", "vec_id")
         .join(pq.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi")
@@ -980,16 +985,23 @@ def c10_search_only_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    pq_fresh = pq_topk(queries, corpus, k=5, m=4, ksub=16, rerank=100)
+    # each 50-row result feeds three consumers (two exceptAll branches +
+    # the count summary): checkpoint once per path or every consumer
+    # re-runs the full build/search
+    pq_fresh = pq_topk(
+        queries, corpus, k=5, m=4, ksub=16, rerank=100
+    ).localCheckpoint(eager=True)
     pq_cached = pq_topk(
         queries, corpus, k=5, m=4, ksub=16, rerank=100,
         index=pq_index_for(spark, sf_dir),
+    ).localCheckpoint(eager=True)
+    ivf_fresh = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4).localCheckpoint(
+        eager=True
     )
-    ivf_fresh = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4)
     ivf_cached = ivf_topk(
         queries, corpus, k=5, nlist=16, nprobe=4,
         index=ivf_index_for(spark, sf_dir),
-    )
+    ).localCheckpoint(eager=True)
     return (
         _summary("pq", pq_fresh, pq_cached)
         .unionByName(_summary("ivf", ivf_fresh, ivf_cached))

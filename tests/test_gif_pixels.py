@@ -119,6 +119,14 @@ def test_poisoned_payloads_quarantined():
         + struct.pack("<HHHHB", 0, 0, W, H, 0)
         + bytes([4, 2, 0xFF, 0xFF, 0x00])
         + b"\x3b",
+        # spec max LZW min-code-size is 8; 9-11 once crashed the literal
+        # table build instead of quarantining
+        "oversize_code_size": good_header
+        + bytes(48)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, W, H, 0)
+        + bytes([9, 2, 0xFF, 0xFF, 0x00])
+        + b"\x3b",
     }
     for name, raw in cases.items():
         assert _gif_decode_rgb(raw) is None, name
@@ -137,7 +145,11 @@ def test_gif_pixel_stats_matches_formula(spark):
     docs = spark.createDataFrame([(d,) for d in range(6)], "doc_id long")
     payloads = synth_gif_pixel_payload(docs, width=W, height=H)
     poison = spark.createDataFrame(
-        [(100, bytearray(b"JIF89a junk")), (101, bytearray(b"GIF89a\x01"))],
+        [
+            (100, bytearray(b"JIF89a junk")),
+            (101, bytearray(b"GIF89a\x01")),
+            (102, None),  # NULL payload must skip, not TypeError the task
+        ],
         "doc_id long, payload binary",
     )
     got = {

@@ -34,7 +34,7 @@ PROBE_DIR = "/tmp/scale_probe_r5"
 def build(spark, replicas: int) -> None:
     docs = load_table(spark, BASE, "documents")
     rep = docs.select(
-        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(replicas - 1).cast("long"))).alias("r"),
         *docs.columns,
     )
     w = F.split(F.lower("text"), " ")
@@ -55,7 +55,9 @@ def build(spark, replicas: int) -> None:
 
     ev = load_table(spark, BASE, "events")
     rep_e = ev.select(
-        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        # LONG replica index: r * 1e8 overflows int32 past r=21, which the
+        # ANSI mode turns into a corpus-build crash at 30x replicas
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(replicas - 1).cast("long"))).alias("r"),
         *ev.columns,
     ).select(
         (F.col("event_id") + F.col("r") * F.lit(100_000_000)).alias("event_id"),
@@ -79,7 +81,7 @@ def build(spark, replicas: int) -> None:
     # part's customer list past the link-prediction df-cut)
     orders = load_table(spark, BASE, "orders")
     rep_o = orders.select(
-        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(replicas - 1).cast("long"))).alias("r"),
         *orders.columns,
     ).select(
         (F.col("o_orderkey") + F.col("r") * F.lit(100_000_000)).alias(
@@ -98,7 +100,7 @@ def build(spark, replicas: int) -> None:
     )
     li = load_table(spark, BASE, "lineitem")
     rep_l = li.select(
-        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(replicas - 1).cast("long"))).alias("r"),
         *li.columns,
     ).select(
         (F.col("l_orderkey") + F.col("r") * F.lit(100_000_000)).alias(
@@ -117,7 +119,7 @@ def build(spark, replicas: int) -> None:
     # deterministically jittered so replicas are near- but not exact-copies
     emb = load_table(spark, BASE, "embeddings")
     rep_v = emb.select(
-        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(replicas - 1).cast("long"))).alias("r"),
         *emb.columns,
     ).select(
         (F.col("vec_id") + F.col("r") * F.lit(10_000_000)).alias("vec_id"),

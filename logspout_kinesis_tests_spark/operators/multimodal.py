@@ -930,12 +930,19 @@ def _png_decode_rgb(raw: bytes) -> tuple[np.ndarray, int] | None:
         or width * height > PNG_MAX_PIXELS
     ):
         return None
+    stride = width * channels
+    expected = height * (stride + 1)
+    # Bounded inflate: a valid-CRC payload can declare tiny IHDR dims yet
+    # carry an IDAT that inflates ~1000x its size (deflate bomb).  Cap the
+    # output at expected+1 — one sentinel byte past the exact scanline
+    # length — so an over-long stream is detected and quarantined without
+    # ever materializing it, keeping PNG_MAX_PIXELS an actual memory bound.
     try:
-        plain = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        plain = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error:
         return None
-    stride = width * channels
-    if len(plain) != height * (stride + 1):
+    if len(plain) != expected or dec.unconsumed_tail or not dec.eof:
         return None
     try:
         flat = _png_unfilter(np.frombuffer(plain, dtype=np.uint8), height, stride, channels)

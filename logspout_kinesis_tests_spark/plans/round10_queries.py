@@ -160,6 +160,13 @@ def c2_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "flag",
         "n",
+        # KNOWN CAP (ADVICE r10): the closing BIGINT cast on the raw pair
+        # counts overflows (ANSI error, loud not silent) past ~4.3e9 rows
+        # per flag (nc ~ n²/2 vs BIGINT max 9.2e18).  Decimal output
+        # columns are driver-unsafe (hash convention) and DOUBLE loses
+        # exactness three orders of magnitude EARLIER (2^53), so BIGINT is
+        # the widest safe reporting type; tau_b itself closes in double
+        # off the DECIMAL(38,0) masses and is correct at any corpus size.
         F.col("nc").cast("long").alias("concordant"),
         F.col("nd").cast("long").alias("discordant"),
         F.when(vx * vy <= 0, F.lit(None).cast("double"))

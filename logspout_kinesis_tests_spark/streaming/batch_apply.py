@@ -630,6 +630,42 @@ def _write_health_row(
     os.replace(tmp, final)
 
 
+def _read_health_rows(index_dir: str, required: dict) -> list:
+    """Read ``health/epoch=*.json`` rows, skipping anything that is not a
+    dict carrying every ``required`` key with the right type — crash debris
+    from a pre-atomic writer OR valid-JSON-of-the-wrong-shape (a scalar, a
+    row missing a counter) must not kill a monitoring cron with a
+    KeyError/TypeError three lines later (ADVICE r10).  bool is rejected
+    where int is required (bool subclasses int but ``"epoch": true`` is
+    debris, not an epoch id)."""
+    import json
+
+    health_dir = os.path.join(index_dir, "health")
+    if not os.path.isdir(health_dir):
+        return []
+    rows = []
+    for name in os.listdir(health_dir):
+        if not (name.startswith("epoch=") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(health_dir, name)) as f:
+                row = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(row, dict):
+            continue
+        ok = True
+        for key, typ in required.items():
+            val = row.get(key)
+            if not isinstance(val, typ) or (typ is not bool and isinstance(val, bool)):
+                ok = False
+                break
+        if ok:
+            rows.append(row)
+    rows.sort(key=lambda r: r["epoch"])
+    return rows
+
+
 def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
     """Read the per-epoch health rows of a streaming ANN index and flag
     codebook/centroid drift: an epoch is ``drifted`` when its mean
@@ -647,17 +683,10 @@ def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
     Pure driver-side file reads — no Spark session needed, so it can run
     from a monitoring cron beside the stream.
     """
-    import json
-
-    health_dir = os.path.join(index_dir, "health")
-    if not os.path.isdir(health_dir):
-        return []
-    rows = []
-    for name in os.listdir(health_dir):
-        if name.startswith("epoch=") and name.endswith(".json"):
-            with open(os.path.join(health_dir, name)) as f:
-                rows.append(json.load(f))
-    rows.sort(key=lambda r: r["epoch"])
+    rows = _read_health_rows(
+        index_dir,
+        {"epoch": int, "mean_qerr": (int, float), "baseline": bool},
+    )
     base = None
     for r in rows:
         if r.get("baseline"):
@@ -724,20 +753,16 @@ def dedup_ingest_health(index_dir: str, factor: float = 3.0) -> list:
     a row mid-write by a crashed pre-atomic writer must not kill the
     monitor).
     """
-    import json
-
-    health_dir = os.path.join(index_dir, "health")
-    if not os.path.isdir(health_dir):
-        return []
-    rows = []
-    for name in os.listdir(health_dir):
-        if name.startswith("epoch=") and name.endswith(".json"):
-            try:
-                with open(os.path.join(health_dir, name)) as f:
-                    rows.append(json.load(f))
-            except (OSError, ValueError):
-                continue
-    rows.sort(key=lambda r: r["epoch"])
+    rows = _read_health_rows(
+        index_dir,
+        {
+            "epoch": int,
+            "n_in": int,
+            "n_dropped_cross": int,
+            "n_dropped_intra": int,
+            "n_survivors": int,
+        },
+    )
     prior_rates: list[float] = []
     for r in rows:
         dropped = r["n_dropped_cross"] + r["n_dropped_intra"]

@@ -151,3 +151,41 @@ def test_png_decode_quarantines_malformed(spark):
     out = png_pixel_stats(df).collect()
     assert sorted(set(r["doc_id"] for r in out)) == [1]
     assert len(out) == 3
+
+
+def test_png_decode_quarantines_deflate_bomb():
+    """A valid-CRC payload whose IHDR declares tiny dims but whose IDAT
+    inflates far past the declared scanline length must quarantine WITHOUT
+    materializing the inflated stream — the decoder caps the inflate at
+    expected+1 bytes, so the ~64 MB this stream would expand to is never
+    allocated (the ADVICE r10 zlib-bomb hole)."""
+    from logspout_kinesis_tests_spark.operators.multimodal import _png_decode_rgb
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # IHDR says 2x2 RGB (expected plain = 2*(2*3+1) = 14 bytes) but the
+    # deflate stream holds 64 MiB of zeros (~64 KiB compressed).
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    assert _png_decode_rgb(bomb) is None
+
+    # A truncated-but-valid-prefix deflate stream (decompressobj does not
+    # raise on truncation the way zlib.decompress does) must also skip.
+    full = zlib.compress(b"\x00" * 14)
+    truncated = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", full[: len(full) - 3])
+        + chunk(b"IEND", b"")
+    )
+    assert _png_decode_rgb(truncated) is None

@@ -639,3 +639,52 @@ def test_dedup_ingest_health_skips_unparseable_rows(tmp_path):
     rows = dedup_ingest_health(str(tmp_path / "idx"))
     assert [r["epoch"] for r in rows] == [0]
     assert rows[0]["dup_rate"] == 0.0 and rows[0]["spiked"] is False
+
+
+def test_health_monitors_skip_wrong_shape_rows(tmp_path):
+    """Valid JSON of the WRONG SHAPE — a scalar, a list, a dict missing a
+    counter, a counter of the wrong type — must be skipped exactly like
+    unparseable bytes; previously these raised KeyError/TypeError past the
+    json.load try (ADVICE r10).  Covers both monitors via the shared
+    shape-checked reader."""
+    import json as _json
+
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        ann_ingest_health,
+        dedup_ingest_health,
+    )
+
+    dd = tmp_path / "dedup" / "health"
+    dd.mkdir(parents=True)
+    good = {"epoch": 0, "n_in": 10, "n_dropped_cross": 1,
+            "n_dropped_intra": 0, "n_survivors": 9}
+    (dd / "epoch=0.json").write_text(_json.dumps(good))
+    (dd / "epoch=1.json").write_text("42")  # scalar
+    (dd / "epoch=2.json").write_text("[1, 2]")  # list
+    (dd / "epoch=3.json").write_text(_json.dumps({"epoch": 3}))  # missing keys
+    (dd / "epoch=4.json").write_text(
+        _json.dumps({**good, "epoch": 4, "n_in": "10"})  # str where int due
+    )
+    (dd / "epoch=5.json").write_text(
+        _json.dumps({**good, "epoch": True})  # bool is not an epoch id
+    )
+    rows = dedup_ingest_health(str(tmp_path / "dedup"))
+    assert [r["epoch"] for r in rows] == [0]
+    assert rows[0]["dup_rate"] == 0.1
+
+    ann = tmp_path / "ann" / "health"
+    ann.mkdir(parents=True)
+    (ann / "epoch=0.json").write_text(
+        _json.dumps({"epoch": 0, "n_vectors": 5, "mean_qerr": 0.5, "baseline": True})
+    )
+    (ann / "epoch=1.json").write_text(_json.dumps({"epoch": 1, "mean_qerr": "x"}))
+    (ann / "epoch=2.json").write_text("null")
+    (ann / "epoch=3.json").write_text(
+        _json.dumps({"epoch": 3, "mean_qerr": 2.0, "baseline": 1})  # int not bool
+    )
+    (ann / "epoch=4.json").write_text(
+        _json.dumps({"epoch": 4, "mean_qerr": 2.0, "baseline": False})
+    )
+    arows = ann_ingest_health(str(tmp_path / "ann"))
+    assert [r["epoch"] for r in arows] == [0, 4]
+    assert arows[1]["drifted"] is True

@@ -99,18 +99,48 @@ def triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Enumerate triangles ``(a < b < c)`` of an undirected graph given as
     ORDERED distinct edge pairs (u < v, one row per edge).
 
-    Edge-iterator form: wedge join (a,b)⋈(b,c) on the middle vertex, then a
-    closing equi-join against the edge set on (a,c).  Because every edge is
-    stored only in its (min, max) orientation, each triangle is produced
-    exactly once — no /6 correction, no orientation dedup.  Two shuffles on
-    vertex keys; the wedge fan-out is Σ deg(v)² over v's HIGHER-numbered
-    neighbors, the standard compact-forward bound, so hub vertices don't
-    quadratically explode the join (their wedges split across orientations).
+    DEGREE-ordered compact-forward (the r11 hub-skew fix): every edge is
+    re-oriented from its lower-(degree, id) endpoint to the higher, the
+    wedge join runs on the middle vertex of that orientation, and one
+    closing equi-join confirms the third edge.  The total order makes each
+    triangle appear exactly once — no /6 correction — and the wedge
+    fan-out at vertex m is in(m)·out(m) where out(m) counts only
+    HIGHER-degree neighbors: a star hub of degree D has out = 0, so its
+    D² wedge candidates vanish outright (id-ordering, the previous
+    orientation, splits a mid-id hub ~(D/2)² — measured 26 s vs 3 s on a
+    planted 3e4-degree hub, scripts/scale_probe_skew.py).  The classic
+    arboricity bound caps out-degree at O(√E), so candidate pairs are
+    O(E^1.5) worst-case and far lower on power-law graphs.  Output is
+    re-sorted to ids via array_sort, so the (a < b < c) contract — and
+    every oracle built on it — is unchanged.
     """
-    e1 = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
-    e2 = edges.select(F.col(u).alias("b"), F.col(v).alias("c"))
-    e3 = edges.select(F.col(u).alias("a"), F.col(v).alias("c"))
-    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    e = edges.select(F.col(u).alias("eu"), F.col(v).alias("ev"))
+    deg = (
+        e.select(F.col("eu").alias("node"))
+        .unionAll(e.select(F.col("ev").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ranked = (
+        e.join(deg.select(F.col("node").alias("eu"), F.col("d").alias("du")), "eu")
+        .join(deg.select(F.col("node").alias("ev"), F.col("d").alias("dv")), "ev")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("eu") < F.col("ev"))
+    )
+    # one materialization: the oriented table feeds all three join branches
+    fwd = ranked.select(
+        F.when(u_first, F.col("eu")).otherwise(F.col("ev")).alias("lo"),
+        F.when(u_first, F.col("ev")).otherwise(F.col("eu")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    e1 = fwd.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = fwd.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    e3 = fwd.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    srt = F.array_sort(F.array("x", "y", "z"))
+    return tri.select(
+        srt.getItem(0).alias("a"), srt.getItem(1).alias("b"), srt.getItem(2).alias("c")
+    )
 
 
 def common_neighbor_pairs(

@@ -800,6 +800,17 @@ def c11_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: Mid vertices of symmetrized degree above this are excluded from 2-hop
+#: pair generation (the link_prediction hub df-cut applied to the wedge
+#: mid): a mid of degree D emits D² candidate pairs AND ~D² genuinely
+#: distinct 2-hop pairs, so the exact answer through a 1e5-degree hub is
+#: inherently quadratic — the cut makes n_2hop a documented lower bound
+#: and `n_hub_mids` reports, per node, how many of its neighbors were cut
+#: (0 ⇒ that node's count is exact).  Organic co-purchase degrees max at
+#: 13 (sf0.01/sf0.1), so the cap never bites outside planted-hub corpora.
+_TWOHOP_MID_CAP = 1000
+
+
 @register(
     "c17_two_hop_neighborhood",
     oracle=f"""
@@ -808,28 +819,39 @@ def c11_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (
         SELECT u AS node, CAST(count(*) AS BIGINT) AS n_1hop
         FROM sym GROUP BY u),
+    hubs AS (SELECT node FROM deg WHERE n_1hop > {_TWOHOP_MID_CAP}),
     two AS (
         SELECT DISTINCT a.u AS node, b.v AS w
         FROM sym a JOIN sym b ON b.u = a.v
-        WHERE b.v <> a.u),
+        LEFT JOIN hubs h ON h.node = a.v
+        WHERE b.v <> a.u AND h.node IS NULL),
     two_f AS (
         SELECT t.node, t.w FROM two t
         LEFT JOIN sym s ON s.u = t.node AND s.v = t.w
         WHERE s.u IS NULL),
     cnt2 AS (
         SELECT node, CAST(count(*) AS BIGINT) AS n_2hop
-        FROM two_f GROUP BY node)
+        FROM two_f GROUP BY node),
+    hubadj AS (
+        SELECT s.u AS node, CAST(count(*) AS BIGINT) AS n_hub_mids
+        FROM sym s JOIN hubs h ON h.node = s.v GROUP BY s.u)
     SELECT d.node, d.n_1hop,
-           CAST(coalesce(c.n_2hop, 0) AS BIGINT) AS n_2hop
-    FROM deg d LEFT JOIN cnt2 c ON c.node = d.node
+           CAST(coalesce(c.n_2hop, 0) AS BIGINT) AS n_2hop,
+           CAST(coalesce(a.n_hub_mids, 0) AS BIGINT) AS n_hub_mids
+    FROM deg d
+    LEFT JOIN cnt2 c ON c.node = d.node
+    LEFT JOIN hubadj a ON a.node = d.node
     """,
-    doc="C17+: exact 2-hop neighborhood size per node — friends-of-friends "
+    doc="C17+: 2-hop neighborhood size per node — friends-of-friends "
     "reach excluding self and direct neighbors, the expansion signal "
-    "behind influence scoring and sampling fan-out estimates.  One "
-    "symmetrized self-join on the mid vertex, a DISTINCT to collapse "
-    "multi-path pairs, an anti-join against the 1-hop set; every join "
-    "keys on a vertex id, so the shuffle partitioning survives all three "
-    "steps.",
+    "behind influence scoring and sampling fan-out estimates.  Mid "
+    "vertices of degree > 1000 are excluded from pair generation (the "
+    "link_prediction hub df-cut applied to the wedge mid — a 1e5-degree "
+    "hub otherwise emits 1e10 candidate AND distinct pairs, inherently "
+    "quadratic), and each node REPORTS its cut exposure: n_hub_mids = "
+    "how many of its neighbors were hub-cut, 0 meaning the count is "
+    "exact.  One mid-keyed self-join on the cut adjacency, DISTINCT, "
+    "anti-join against the 1-hop set; every join keys on a vertex id.",
 )
 def c17_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.plans.round9_queries import _copurchase_edges
@@ -837,10 +859,18 @@ def c17_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)  # three consumers: deg, pair join ×2, anti
+    ).localCheckpoint(eager=True)  # consumers: deg, mid-cut, hub-adj, anti
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("n_1hop"))
-    a = sym.select(F.col("u").alias("node"), F.col("v").alias("mid"))
-    b = sym.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    hubs = deg.filter(F.col("n_1hop") > _TWOHOP_MID_CAP).select("node")
+    # the cut applies to the MID role only (a node's own count stays exact
+    # wherever its wedges ride non-hub mids); hub mids are rare by
+    # construction (degree > cap) — broadcast the anti-join
+    a = sym.select(F.col("u").alias("node"), F.col("v").alias("mid")).join(
+        F.broadcast(hubs).withColumnRenamed("node", "mid"), "mid", "left_anti"
+    )
+    b = sym.select(F.col("u").alias("mid"), F.col("v").alias("w")).join(
+        F.broadcast(hubs).withColumnRenamed("node", "mid"), "mid", "left_anti"
+    )
     two = (
         a.join(b, "mid")
         .filter(F.col("w") != F.col("node"))
@@ -853,8 +883,20 @@ def c17_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     cnt2 = two_f.groupBy("node").agg(F.count("*").alias("n_2hop"))
-    return deg.join(cnt2, "node", "left").select(
-        "node", "n_1hop", F.coalesce("n_2hop", F.lit(0)).alias("n_2hop")
+    hubadj = (
+        sym.join(F.broadcast(hubs).withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("n_hub_mids"))
+    )
+    return (
+        deg.join(cnt2, "node", "left")
+        .join(hubadj, "node", "left")
+        .select(
+            "node",
+            "n_1hop",
+            F.coalesce("n_2hop", F.lit(0)).alias("n_2hop"),
+            F.coalesce("n_hub_mids", F.lit(0)).alias("n_hub_mids"),
+        )
     )
 
 
@@ -886,24 +928,31 @@ def c17_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="C17+: local bridges per node — incident edges whose endpoints "
     "share NO common neighbor (span > 2), the weak-tie/community-boundary "
     "signal from Granovetter/Easley-Kleinberg: removing a local bridge "
-    "lengthens its endpoints' shortest path past 2.  Triangle-closure "
-    "detection reuses the compact two-join adjacency probe, then one "
-    "anti-join marks the open edges; all joins key on vertex ids.",
+    "lengthens its endpoints' shortest path past 2.  Closure detection = "
+    "triangle membership via the degree-ordered compact-forward iterator "
+    "(hub-safe: a star hub's D² wedges vanish under degree orientation), "
+    "then one anti-join marks the open edges; all joins key on vertex ids.",
 )
 def c17_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.graph import triangles
     from logspout_kinesis_tests_spark.plans.round9_queries import _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    a = sym.select(F.col("u").alias("eu"), F.col("v").alias("w"))
-    b = sym.select(F.col("u").alias("ev"), F.col("v").alias("w"))
+    # An edge is CLOSED iff it sits in ≥1 triangle, so closure detection is
+    # triangle enumeration — and the degree-ordered compact-forward
+    # iterator is hub-safe where the r10 wedge probe (sym⋈sym keyed on one
+    # endpoint, Σ deg(eu) candidates ⇒ deg² at a star hub) was not:
+    # measured 67 s → 3 s on a planted 3e4-degree hub
+    # (scripts/scale_probe_skew.py).  Each triangle closes its three
+    # id-ordered sides; DISTINCT collapses multi-triangle edges.
+    tri = triangles(edges)
     closed = (
-        edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
-        .join(a, "eu")
-        .join(b, ["ev", "w"])
-        .select("eu", "ev")
+        tri.select(F.col("a").alias("eu"), F.col("b").alias("ev"))
+        .union(tri.select(F.col("a").alias("eu"), F.col("c").alias("ev")))
+        .union(tri.select(F.col("b").alias("eu"), F.col("c").alias("ev")))
         .distinct()
     )
     br = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev")).join(

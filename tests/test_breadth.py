@@ -605,3 +605,69 @@ def test_acf_lag1_matches_pearson_replay(spark, sf_dir):
         if den > 0:
             want = (n * sxy - sx * sy) / math.sqrt(den)
             assert abs(r["acf"] - want) < 1e-6
+
+
+def test_triangles_degree_ordered_matches_bruteforce(spark):
+    """The degree-ordered compact-forward enumeration (r11 hub-skew fix)
+    must return the IDENTICAL triangle set as a brute-force adjacency
+    check on a random graph dense enough to carry degree ties — the
+    orientation change may alter join order, never the output."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    nodes = list(range(30))
+    edge_set = {
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if rnd.random() < 0.25
+    }
+    adj = {n: set() for n in nodes}
+    for u, v in edge_set:
+        adj[u].add(v)
+        adj[v].add(u)
+    expected = {
+        (a, b, c)
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    }
+    edges = spark.createDataFrame(sorted(edge_set), "u long, v long")
+    got = {tuple(r) for r in triangles(edges).collect()}
+    assert got == expected and len(got) > 50
+
+
+def test_two_hop_hub_cut_reports_exposure(spark, tmp_path):
+    """Planted star wired over the mid cap: nodes whose only 2-hop paths
+    ride the hub mid report the cut via n_hub_mids > 0 (count lower-bound,
+    documented); nodes with n_hub_mids == 0 stay exact.  Graph: hub h
+    adjacent to s1..sk (k > cap via monkeypatched cap=3) plus an exact
+    chain x - y - z off one spoke."""
+    from logspout_kinesis_tests_spark.plans import round10_queries as r10
+
+    # star: hub 100 with spokes 1..5 (deg 5 > cap 3), chain 1-201, 201-202
+    edges = [(1, 100), (2, 100), (3, 100), (4, 100), (5, 100),
+             (1, 201), (201, 202)]
+    rows = []
+    for k, (u, v) in enumerate(edges):
+        rows += [(2 * k, u), (2 * k, v), (2 * k + 1, u), (2 * k + 1, v)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    old = r10._TWOHOP_MID_CAP
+    r10._TWOHOP_MID_CAP = 3
+    try:
+        out = {r["node"]: r for r in r10.c17_two_hop_neighborhood(spark, sf).collect()}
+    finally:
+        r10._TWOHOP_MID_CAP = old
+    # spokes 2..5: their only mid is the hub (cut) -> n_2hop 0, flagged
+    for s in (2, 3, 4, 5):
+        assert out[s]["n_hub_mids"] == 1 and out[s]["n_2hop"] == 0
+    # node 1: hub mid cut, but mid 201 is not a hub -> exactly reaches 202
+    assert out[1]["n_hub_mids"] == 1 and out[1]["n_2hop"] == 1
+    # node 202: no hub neighbors -> exact; reaches only 1 (via 201)
+    assert out[202]["n_hub_mids"] == 0 and out[202]["n_2hop"] == 1
+    # hub itself: mids are its spokes (non-hub) -> exact; reaches 201
+    assert out[100]["n_hub_mids"] == 0 and out[100]["n_2hop"] == 1
+    # node 201: neighbors 1 and 202 are mids -> reaches 100 and nothing new
+    assert out[201]["n_hub_mids"] == 0 and out[201]["n_2hop"] == 1

@@ -78,3 +78,51 @@ def test_segment_boundaries_small_loop_is_unsegmented():
     assert bench.segment_boundaries(10) == []
     assert bench.segment_boundaries(25) == []
     assert bench.segment_boundaries(26) == [25]
+
+
+def test_calibration_prewarm_runs_untimed_full_passes():
+    """VERDICT r10 #5: the recorded session-start sample must sit PAST the
+    JIT warm-up transient — ``prewarm_passes`` full untimed passes of the
+    whole set run first, and only the post-prewarm runs reach the medians.
+    Driven with injected builders (no Spark session): a fake whose first
+    full-set pass is 'slow' must not move the recorded median."""
+    calls: list[str] = []
+
+    class _Save:
+        def save(self):  # terminal of the write chain
+            pass
+
+    class _Mode:
+        def mode(self, _):
+            return _Save()
+
+    class _Write:
+        def format(self, _):
+            return _Mode()
+
+    class _DF:
+        write = _Write()
+
+    def mk(name):
+        def build(spark, sf_dir):
+            calls.append(name)
+            return _DF()
+        return build
+
+    builders = {n: mk(n) for n in bench._CAL_REF}
+    out = bench._run_calibration(None, None, builders=builders, prewarm_passes=1)
+    per_query = bench._CAL_WARMUPS + bench._CAL_REPEATS
+    # one full untimed pass + the recorded pass = 2x per-query runs each
+    assert len(calls) == 2 * per_query * len(builders)
+    # prewarm covers the WHOLE set before any recorded run: the first
+    # per_query*len calls are the prewarm pass in builder order
+    assert calls[: per_query * len(builders)] == [
+        n for n in builders for _ in range(per_query)
+    ]
+    assert set(out["queries"]) == set(bench._CAL_REF)
+
+
+def test_start_sample_is_prewarmed():
+    # the constant main() passes to the session-start sample; 0 would
+    # silently restore the r9/r10 transient-starts
+    assert bench._CAL_PREWARM_PASSES >= 1

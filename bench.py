@@ -171,6 +171,18 @@ HEADLINE = (
     "c7_session_funnel",
     "c12_png_pixel_stats",
     "c14_dedup_aware_sample",
+    # round 11 — distinct plan shapes of the new batch: the 3-epoch
+    # search-before-append dedup cascade, the 32-replicate hash-bootstrap
+    # fan-out, broadcast-moment Mahalanobis scoring, triangle-support
+    # rollup off the degree-ordered iterator, posexplode norm audit, and
+    # the minute-bucket signed cumsum (entropy/skew/histogram/rich-club
+    # ride existing rollup shapes and add no new plan)
+    "c9_minhash_ingest_parity",
+    "c2_cohens_d_bootstrap",
+    "c2_mahalanobis_outlier",
+    "c17_truss_support",
+    "c10_embedding_norm_audit",
+    "c16_obv",
 )
 
 

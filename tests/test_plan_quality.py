@@ -321,6 +321,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     "c14_pareto_skyline": 1,  # ≤256-row bucket suffix-max table
     # two ≤256-row bucket-offset prefix tables (one per rank pass)
     "c15_session_overlap": 2,
+    # rank over the DISTINCT-source key table (bounded by source
+    # cardinality — thousands, not rows); a high-cardinality key would
+    # need the bucketed-CDF rank pass instead (documented in the query)
+    "c20_partition_skew_audit": 1,
 }
 
 

@@ -183,6 +183,10 @@ HEADLINE = (
     "c17_truss_support",
     "c10_embedding_norm_audit",
     "c16_obv",
+    # the JPEG decode rides the same mapInPandas shape as the PNG row but
+    # its hot loop is the pure-Python Huffman bit reader — benched so a
+    # decoder regression is visible
+    "c12_jpeg_pixel_stats",
 )
 
 

@@ -820,7 +820,7 @@ def audio_energy_windows(
 # the RIFF data chunk; PNG is zlib.decompress over the IDAT stream plus
 # the five per-row filters of the spec).  Reference parity: the reference
 # pipeline has no image path at all (logspoutkinesis.go:1 is record
-# transport) — this is the [EXT] multimodal north star; only JPEG/video
+# transport) — this is the [EXT] multimodal north star; only video
 # entropy coding remains behind the import-guarded stub tier.
 # --------------------------------------------------------------------------
 
@@ -1084,7 +1084,8 @@ def synth_png_pixel_payload(
 # appendix F), so like PNG (zlib+filters) and WAV (PCM) it is decodable
 # with zero codec libraries: a variable-width LSB-first bit reader, the
 # standard LZW string table, and a palette lookup.  After this, only the
-# lossy/entropy-coded formats (JPEG, video) remain import-guarded stubs.
+# only video codecs remain import-guarded stubs (JPEG is real as of r11:
+# baseline 4:4:4 JFIF decode further down this module).
 # Reference parity: the logspout reference ships no decoders at all
 # (logspoutkinesis.go is transport-only); this is [EXT] surface.
 # ---------------------------------------------------------------------------
@@ -1343,6 +1344,535 @@ def synth_gif_pixel_payload(
             + sub
             + b"\x00\x3b"
         )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [encode_one(int(d)) for d in pdf[id_col].tolist()],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL JPEG pixel decode (r11 — the last stubbed tier, VERDICT r10 #4).
+# Baseline sequential DCT JFIF only (the overwhelming majority of real
+# crawl JPEGs): marker walk -> stream-carried DQT/DHT tables -> Huffman
+# entropy decode with byte-unstuffing and restart handling -> dequantize
+# -> exact float64 IDCT (numpy basis product, the spec's Annex A formula)
+# -> level shift -> JFIF full-range YCbCr->RGB.  Zero codec libraries,
+# same discipline as the PNG (zlib+unfilter) and GIF (LZW) paths.
+# Progressive (SOF2), arithmetic coding, 12-bit precision, and sampling
+# factors other than 4:4:4 quarantine-by-skip — documented scope, exactly
+# like PNG's 8-bit non-interlaced scope.
+# --------------------------------------------------------------------------
+
+#: Decoded-pixel budget per payload (the PNG/GIF policy): bounds memory AND
+#: the pure-Python Huffman bit loop a hostile-but-valid payload can impose.
+JPEG_MAX_PIXELS = 4_000_000
+
+#: Zig-zag scan order of the 64 coefficients (ITU-T T.81 Figure 5): entry i
+#: is the (row, col) linear index of the i-th transmitted coefficient.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_idct_basis() -> np.ndarray:
+    """8x8 DCT-III basis B[u, x] = C(u)/2 * cos((2x+1) u pi / 16); the 2-D
+    inverse transform is then B.T @ F @ B (T.81 Annex A.3.3)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    b = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    b[0, :] *= 1 / np.sqrt(2.0)
+    return b
+
+
+_JPEG_BASIS = _jpeg_idct_basis()
+
+
+def _jpeg_build_huffman(bits: bytes, vals: bytes) -> dict | None:
+    """Canonical Huffman decode map {(length, code): value} per T.81 Annex
+    C, or None when the table overflows its code space (corrupt DHT)."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals) or code >= (1 << length):
+                return None
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; restart markers are surfaced to the caller (they sit
+    on byte boundaries by construction)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bit = data, pos, 0
+
+    def read_bit(self) -> int | None:
+        d = self.data
+        if self.pos >= len(d):
+            return None
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt != 0x00:
+                return None  # a marker mid-entropy-data: handled by caller
+        bit = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if byte == 0xFF else 1  # skip the stuffed 0x00
+        return bit
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_and_expect_rst(self, n: int) -> bool:
+        """Consume a restart marker FFD0+n at a byte boundary."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            return False
+        if d[self.pos + 1] != 0xD0 + n:
+            return False
+        self.pos += 2
+        return True
+
+    def decode_huffman(self, table: dict) -> int | None:
+        code, length = 0, 0
+        while length < 16:
+            b = self.read_bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        return None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category EXTEND (T.81 F.12)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
+    """bytes -> pixels[h, w, 3] uint8 (or [h, w, 1] grayscale widened to 3)
+    for baseline sequential 8-bit 4:4:4 JFIF JPEGs, or None for anything
+    malformed or out of scope — quarantine-by-skip, the A19 policy."""
+    import struct
+
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(comp_id, qt_id)])
+    scan = None  # [(comp_idx, dc_id, ac_id)]
+    restart_interval = 0
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        body = raw[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None  # truncated segment
+        if marker == 0xDB:  # DQT: one or more tables
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:  # 16-bit tables: out of scope
+                    return None
+                if b + 65 > len(body):
+                    return None
+                qt[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = body[b + 1 : b + 17]
+                n = sum(bits)
+                vals = body[b + 17 : b + 17 + n]
+                if len(vals) != n:
+                    return None
+                table = _jpeg_build_huffman(bits, vals)
+                if table is None:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                b += 17 + n
+            if b != len(body):
+                return None
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            if len(body) < 6:
+                return None
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8 or nc not in (1, 3) or len(body) != 6 + 3 * nc:
+                return None
+            if w == 0 or h == 0 or w * h > JPEG_MAX_PIXELS:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:  # only 4:4:4 (1x1 sampling) in scope
+                    return None
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive/extended/arithmetic: out of scope
+        elif marker == 0xDD:  # DRI
+            if seglen != 4:
+                return None
+            (restart_interval,) = struct.unpack(">H", body)
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None or len(body) < 1:
+                return None
+            ns = body[0]
+            if len(body) != 1 + 2 * ns + 3 or ns != len(frame[2]):
+                return None
+            cid_index = {cid: i for i, (cid, _) in enumerate(frame[2])}
+            scan = [None] * ns
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s], body[2 + 2 * s]
+                if cs not in cid_index:
+                    return None
+                scan[cid_index[cs]] = (tt >> 4, tt & 0x0F)
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        return None
+    h, w, comps = frame
+    for _, tq in comps:
+        if tq not in qt:
+            return None
+    for dc_id, ac_id in scan:
+        if dc_id not in huff_dc or ac_id not in huff_ac:
+            return None
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    nc = len(comps)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
+    reader = _JpegBitReader(raw, pos)
+    pred = [0] * nc
+    rst_n = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not reader.align_and_expect_rst(rst_n):
+                    return None
+                rst_n = (rst_n + 1) & 7
+                pred = [0] * nc
+            for ci in range(nc):
+                dc_tab = huff_dc[scan[ci][0]]
+                ac_tab = huff_ac[scan[ci][1]]
+                q = qt[comps[ci][1]]
+                coef = np.zeros(64, dtype=np.int64)
+                t = reader.decode_huffman(dc_tab)
+                if t is None or t > 11:
+                    return None
+                bits = reader.read_bits(t) if t else 0
+                if bits is None:
+                    return None
+                pred[ci] += _jpeg_extend(bits, t)
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.decode_huffman(ac_tab)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        return None
+                    bits = reader.read_bits(s)
+                    if bits is None:
+                        return None
+                    coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits, s)
+                    k += 1
+                # dequantize in natural order: coef was written at natural
+                # positions via the zigzag map, q arrives in zigzag order
+                qnat = np.empty(64, dtype=np.int64)
+                qnat[list(_JPEG_ZIGZAG)] = q
+                f = (coef * qnat).reshape(8, 8).astype(np.float64)
+                sp = _JPEG_BASIS.T @ f @ _JPEG_BASIS
+                px = np.floor(sp + 128.5)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    px, 0, 255
+                ).astype(np.uint8)
+            mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if nc == 1:
+        g = planes[0][..., None]
+        return np.repeat(g, 3, axis=2)
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    # JFIF full-range conversion; floor(x + 0.5) so the DC-only closed
+    # form is replayable in SQL (round() would be banker's in numpy)
+    r = np.floor(y + 1.402 * cr + 0.5)
+    g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+    b = np.floor(y + 1.772 * cb + 0.5)
+    out = np.stack(
+        [np.clip(c, 0, 255).astype(np.uint8) for c in (r, g, b)], axis=2
+    )
+    return out
+
+
+#: DC coefficient of the DC-only block coding; q[0] below is 8, so the
+#: decoded plane value is exactly the formula target (IDCT of a DC-only
+#: block is the constant F00·q00/8).
+_JPEG_DC_ONLY_Q = 8
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category (number of bits) of a DC/AC value."""
+    t, a = 0, abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t
+
+
+class _JpegBitWriter:
+    """Fixture-side MSB-first bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+
+
+#: Fixture Huffman geometry: DC categories 0..11 all at code length 4 is an
+#: illegal canonical table (12 > 2^4 usable slots once the all-ones code is
+#: reserved); 0..11 at length 5 is legal and trivially canonical.  The AC
+#: table carries EOB, ZRL and run/size 0x01..0x?A at length 8.
+_JPEG_FIX_DC_BITS = bytes([0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+_JPEG_FIX_DC_VALS = bytes(range(12))
+_JPEG_FIX_AC_SYMBOLS = tuple(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_FIX_AC_BITS = bytes(
+    [0, 0, 0, 0, 0, 0, 0, len(_JPEG_FIX_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+)
+_JPEG_FIX_AC_VALS = bytes(_JPEG_FIX_AC_SYMBOLS)
+
+
+def _jpeg_fix_codes(bits: bytes, vals: bytes) -> dict:
+    """symbol -> (code, length) for the fixture writer (canonical order)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_encode_blocks(
+    width: int, height: int, blocks: "np.ndarray", dri: int = 0
+) -> bytes:
+    """Fixture-side baseline 4:4:4 encoder from PER-BLOCK COEFFICIENT
+    matrices: ``blocks[by, bx, comp]`` is a 64-long int vector in NATURAL
+    order (pre-quantization multiplies are the caller's business; the
+    quant tables written are all-{q} with q=_JPEG_DC_ONLY_Q).  Shares only
+    the T.81 spec with the decoder: its own canonical-code builder, its
+    own bit writer, its own stuffing."""
+    import struct
+
+    dc_codes = _jpeg_fix_codes(_JPEG_FIX_DC_BITS, _JPEG_FIX_DC_VALS)
+    ac_codes = _jpeg_fix_codes(_JPEG_FIX_AC_BITS, _JPEG_FIX_AC_VALS)
+    q = bytes([_JPEG_DC_ONLY_Q] * 64)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    head = b"\xff\xd8"
+    head += seg(0xDB, bytes([0x00]) + q)  # DQT id 0 (Y)
+    head += seg(0xDB, bytes([0x01]) + q)  # DQT id 1 (Cb/Cr)
+    head += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    head += seg(0xC4, bytes([0x00]) + _JPEG_FIX_DC_BITS + _JPEG_FIX_DC_VALS)
+    head += seg(0xC4, bytes([0x01]) + _JPEG_FIX_DC_BITS + _JPEG_FIX_DC_VALS)
+    head += seg(0xC4, bytes([0x10]) + _JPEG_FIX_AC_BITS + _JPEG_FIX_AC_VALS)
+    head += seg(0xC4, bytes([0x11]) + _JPEG_FIX_AC_BITS + _JPEG_FIX_AC_VALS)
+    if dri:
+        head += seg(0xDD, struct.pack(">H", dri))
+    head += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    bh, bw = blocks.shape[0], blocks.shape[1]
+    out = bytearray(head)
+    wtr = _JpegBitWriter()
+    pred = [0, 0, 0]
+    rst_n, mcu = 0, 0
+    zz = list(_JPEG_ZIGZAG)
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and mcu and mcu % dri == 0:
+                wtr.flush()
+                out += wtr.out
+                out += bytes([0xFF, 0xD0 + rst_n])
+                wtr = _JpegBitWriter()
+                rst_n = (rst_n + 1) & 7
+                pred = [0, 0, 0]
+            for ci in range(3):
+                vec = blocks[by, bx, ci]
+                diff = int(vec[0]) - pred[ci]
+                pred[ci] = int(vec[0])
+                t = _jpeg_category(diff)
+                code, ln = dc_codes[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for k in range(1, 64):
+                    v = int(vec[zz[k]])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = _jpeg_category(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]
+                    wtr.write(code, ln)
+            mcu += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL JPEG decode: baseline-DCT marker walk, stream-carried
+    Huffman/quant tables, entropy decode, exact float64 IDCT, JFIF
+    YCbCr->RGB — same exact per-channel statistics contract as
+    :func:`png_pixel_stats` / :func:`gif_pixel_stats`.
+
+    Scale shape: one stateless ``mapInPandas`` pass; payload bytes never
+    leave the executor.  Out-of-scope streams (progressive, arithmetic,
+    12-bit, subsampled) and malformed bytes are skipped, never
+    mis-decoded."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, ns, ss, mns, mxs = [], [], [], [], [], []
+            for d, raw in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
+                px = _jpeg_decode_rgb(bytes(raw)) if raw is not None else None
+                if px is None:
+                    continue
+                for ch in range(3):
+                    plane = px[:, :, ch]
+                    ids.append(d)
+                    chs.append(ch)
+                    ns.append(int(plane.size))
+                    ss.append(int(plane.sum(dtype=np.int64)))
+                    mns.append(int(plane.min()))
+                    mxs.append(int(plane.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chs,
+                    "n_pixels": ns,
+                    "sum_val": ss,
+                    "min_val": mns,
+                    "max_val": mxs,
+                }
+            )
+
+    return df.mapInPandas(run, PNG_PIXEL_SCHEMA)
+
+
+def synth_jpeg_pixel_payload(
+    df: DataFrame, id_col: str = "doc_id", width: int = 24, height: int = 16
+) -> DataFrame:
+    """Fixture side: attach a fully-valid baseline 4:4:4 JFIF JPEG per doc
+    whose blocks are DC-ONLY, so the decode has a CLOSED FORM: with all
+    quant entries 8, a DC coefficient c decodes to the constant plane
+    value c + 128 (IDCT of a DC-only block is F00*q00/8), and the block's
+    RGB is the JFIF conversion of the three constants.  Per block (bx, by)
+    of doc d: Y = (d*7 + by*13 + bx*5) mod 256, Cb = (d*11 + by*3 + bx*7)
+    mod 256, Cr = (d*13 + by*5 + bx*11) mod 256 — hand-computable, so both
+    the pytest AND the DuckDB oracle replay the formula, never the
+    decoder."""
+
+    bw, bh = width // 8, height // 8
+
+    def encode_one(d: int) -> bytes:
+        blocks = np.zeros((bh, bw, 3, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blocks[by, bx, 0, 0] = (d * 7 + by * 13 + bx * 5) % 256 - 128
+                blocks[by, bx, 1, 0] = (d * 11 + by * 3 + bx * 7) % 256 - 128
+                blocks[by, bx, 2, 0] = (d * 13 + by * 5 + bx * 11) % 256 - 128
+        return _jpeg_encode_blocks(width, height, blocks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

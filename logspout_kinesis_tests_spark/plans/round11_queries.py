@@ -1014,3 +1014,76 @@ def c9_minhash_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     return index.select("doc_id", F.col("e").cast("long").alias("epoch"))
+
+
+# --------------------------------------------------------------------------
+# C12+ — REAL JPEG pixel decode (the tier VERDICT r10 #4 asked to close).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c12_jpeg_pixel_stats",
+    # The oracle cannot run Huffman/IDCT — it doesn't have to: the synth
+    # payloads are DC-ONLY baseline 4:4:4 streams, whose decode has a
+    # CLOSED FORM (IDCT of a DC-only block is the constant F00*q00/8; all
+    # quant entries are 8, so each 8x8 block is the formula constant
+    # (Y, Cb, Cr) pushed through the JFIF conversion with floor(x+0.5)).
+    # Spark runs the REAL decoder — marker walk, stream-carried canonical
+    # Huffman tables, entropy decode, float64 IDCT — over real JPEG bytes;
+    # the oracle replays the generator formula over a SQL grid (the
+    # PNG/GIF expected-vs-computed pattern).
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40),
+    g AS (SELECT t1.by, t2.bx FROM range(2) t1(by), range(3) t2(bx)),
+    ycc AS (
+        SELECT i.doc_id, g.by, g.bx,
+               (i.doc_id * 7 + g.by * 13 + g.bx * 5) % 256 AS y,
+               (i.doc_id * 11 + g.by * 3 + g.bx * 7) % 256 AS cb,
+               (i.doc_id * 13 + g.by * 5 + g.bx * 11) % 256 AS cr
+        FROM ids i CROSS JOIN g),
+    px AS (
+        SELECT doc_id, 0 AS channel,
+               LEAST(255, GREATEST(0, CAST(floor(y + 1.402 * (cr - 128)
+                   + 0.5) AS BIGINT))) AS v
+        FROM ycc
+        UNION ALL
+        SELECT doc_id, 1,
+               LEAST(255, GREATEST(0, CAST(floor(y - 0.344136 * (cb - 128)
+                   - 0.714136 * (cr - 128) + 0.5) AS BIGINT)))
+        FROM ycc
+        UNION ALL
+        SELECT doc_id, 2,
+               LEAST(255, GREATEST(0, CAST(floor(y + 1.772 * (cb - 128)
+                   + 0.5) AS BIGINT)))
+        FROM ycc)
+    SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+           CAST(64 * count(*) AS BIGINT) AS n_pixels,
+           CAST(64 * sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val
+    FROM px GROUP BY doc_id, channel
+    """,
+    doc="C12+: REAL JPEG pixel decode over synthesized deterministic "
+    "payloads — baseline sequential 4:4:4 JFIF: marker walk, "
+    "stream-carried canonical Huffman tables, entropy decode with "
+    "byte-unstuffing, exact float64 IDCT, JFIF YCbCr->RGB; per (doc, "
+    "channel) exact int64 pixel sum/extrema.  Spark decodes real JPEG "
+    "bytes; the oracle replays the generator's closed-form DC-only "
+    "constants over a SQL grid, pinning the decoder against the spec, "
+    "not against itself (the AC/restart paths carry their own "
+    "independent-IDCT pytests).  Scale shape: stateless mapInPandas "
+    "decode, payload bytes never leave the executor.",
+)
+def c12_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        jpeg_pixel_stats,
+        synth_jpeg_pixel_payload,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    return jpeg_pixel_stats(synth_jpeg_pixel_payload(docs, width=24, height=16))

@@ -178,14 +178,12 @@ _BOOT_OUT = (
         WHERE a.n > 1 AND b.n > 1),
     ds AS (
         SELECT g1, g2, r,
-               CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
-               / sqrt((((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
-                        / (CAST(n1 AS DOUBLE) * (n1 - 1))) * (n1 - 1)
-                     + ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
-                        / (CAST(n2 AS DOUBLE) * (n2 - 1))) * (n2 - 1))
-                      / (CAST(n1 AS DOUBLE) + n2 - 2)), 9)
-                    AS DECIMAL(18,9)) AS d
-        FROM pairs),
+               CASE WHEN (((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1))) * (n1 - 1) + ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1))) * (n2 - 1)) / (CAST(n1 AS DOUBLE) + n2 - 2) <= 0 THEN NULL
+               ELSE CAST(round((CAST(s1 AS DOUBLE) / n1
+                                - CAST(s2 AS DOUBLE) / n2)
+               / sqrt((((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1))) * (n1 - 1) + ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1))) * (n2 - 1)) / (CAST(n1 AS DOUBLE) + n2 - 2)), 9) AS DECIMAL(18,9)) END AS d
+        FROM pairs WHERE n1 > 1 AND n2 > 1),
+    dsnn AS (SELECT g1, g2, r, d FROM ds WHERE d IS NOT NULL),
     summ AS (
         SELECT g1, g2, CAST(count(*) AS BIGINT) AS b,
                CAST(sum(d) AS DECIMAL(38,9)) AS sd_sum,
@@ -193,7 +191,7 @@ _BOOT_OUT = (
                    AS sq_sum,
                CAST(min(d) AS DOUBLE) AS d_lo,
                CAST(max(d) AS DOUBLE) AS d_hi
-        FROM ds GROUP BY g1, g2)
+        FROM dsnn GROUP BY g1, g2)
     SELECT g1, g2, CAST(b AS BIGINT) AS n_reps,
            round(CAST(sd_sum AS DOUBLE) / b, 6) AS d_mean,
            CASE WHEN b <= 1 THEN NULL ELSE round(sqrt((CAST(sq_sum AS DOUBLE)
@@ -246,15 +244,15 @@ def c2_cohens_d_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("g1") < F.col("g2")) & (F.col("r") == F.col("r2"))
     ).filter((F.col("n1") > 1) & (F.col("n2") > 1))
+    # the zero-variance guard (constant corpus -> pooled sd 0) is the SAME
+    # CASE text as the oracle: divide-by-zero is an ANSI crash, not a NaN
     ds = pairs.selectExpr(
         "g1", "g2", "r",
-        "CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
-        " / sqrt((((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)"
-        " / (CAST(n1 AS DOUBLE) * (n1 - 1))) * (n1 - 1)"
-        " + ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)"
-        " / (CAST(n2 AS DOUBLE) * (n2 - 1))) * (n2 - 1))"
-        " / (CAST(n1 AS DOUBLE) + n2 - 2)), 9) AS DECIMAL(18,9)) AS d",
-    )
+        "CASE WHEN (((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1))) * (n1 - 1) + ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1))) * (n2 - 1)) / (CAST(n1 AS DOUBLE) + n2 - 2) <= 0 THEN NULL"
+        " ELSE CAST(round((CAST(s1 AS DOUBLE) / n1"
+        " - CAST(s2 AS DOUBLE) / n2)"
+        " / sqrt((((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1))) * (n1 - 1) + ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1))) * (n2 - 1)) / (CAST(n1 AS DOUBLE) + n2 - 2)), 9) AS DECIMAL(18,9)) END AS d",
+    ).filter(F.col("d").isNotNull())
     summ = ds.groupBy("g1", "g2").agg(
         F.count("*").alias("b"),
         F.sum("d").cast("decimal(38,9)").alias("sd_sum"),
@@ -502,7 +500,10 @@ def c16_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     buck = ev.select(
-        "event_type", (F.col("us") / F.lit(60_000_000)).cast("long").alias("minute"),
+        "event_type",
+        # integer DIV, matching the oracle's // — a double division could
+        # round a near-boundary quotient up across the minute edge
+        F.expr("us DIV 60000000").alias("minute"),
         "event_id", "us", "cents",
     )
     closes = buck.groupBy("event_type", "minute").agg(

@@ -1008,12 +1008,14 @@ def c9_minhash_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ver = n_equal(fresh, fresh, cand, "id_a", "id_b")
         surv = dedup_keep_one(fresh, ver)
+        index = index.unionAll(surv) if index is not None else surv
         # checkpoint the accumulated index once per epoch: the next epoch
         # reads it from two join branches (banded search + verify), and the
-        # CC fixpoint inside dedup_keep_one must not re-execute upstream
-        index = (index.unionAll(surv) if index is not None else surv).localCheckpoint(
-            eager=True
-        )
+        # CC fixpoint inside dedup_keep_one must not re-execute upstream.
+        # The LAST epoch's index feeds exactly one downstream action, so
+        # its materialization would be pure overhead
+        if k < _ING_EPOCHS - 1:
+            index = index.localCheckpoint(eager=True)
     return index.select("doc_id", F.col("e").cast("long").alias("epoch"))
 
 

@@ -187,6 +187,8 @@ HEADLINE = (
     # its hot loop is the pure-Python Huffman bit reader — benched so a
     # decoder regression is visible
     "c12_jpeg_pixel_stats",
+    # container walk + frame sampling + per-frame JPEG decode
+    "c12_video_frame_stats",
 )
 
 

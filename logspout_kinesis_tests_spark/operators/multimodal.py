@@ -1892,3 +1892,246 @@ def synth_jpeg_pixel_payload(
             ]
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL video frame decode (r11): MJPEG-in-AVI — the honest baseline video
+# tier.  Inter-frame codecs (H.264/VP9/AV1) are out of pure-Python scope
+# by disposition (entropy coding + motion compensation, zero pipeline
+# value over frame sampling at our fixture scale), but MJPEG — every
+# frame an independent baseline JPEG in a RIFF AVI container — composes
+# the two decoders the module already has: the RIFF chunk walk (the WAV
+# path) and _jpeg_decode_rgb.  This is also the real shape of a frame-
+# sampling training pipeline: parse container -> sample every k-th frame
+# -> decode sampled frames only.
+# --------------------------------------------------------------------------
+
+#: Total decoded-pixel budget across a payload's SAMPLED frames (the
+#: JPEG_MAX_PIXELS policy applied at the video grain).
+VIDEO_MAX_PIXELS = 16_000_000
+
+
+def _avi_mjpeg_frames(raw: bytes) -> list | None:
+    """bytes -> ordered list of compressed MJPEG frame payloads from a
+    RIFF AVI container, or None for anything malformed or out of scope
+    (non-AVI RIFF, non-'vids'/'MJPG' first stream, truncated chunks) —
+    quarantine-by-skip, the A19 policy.
+
+    Only structure is validated here; per-frame JPEG malformation is the
+    frame decoder's quarantine to make (a corrupt frame drops that frame,
+    not the container — at 100 TB one bad GOP must not void the clip)."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return None
+    (riff_size,) = struct.unpack("<I", raw[4:8])
+    if riff_size + 8 > len(raw):
+        return None  # truncated container
+    pos, end = 12, 8 + riff_size
+    handler_ok = False
+    frames: list[bytes] = []
+    while pos + 8 <= end:
+        fourcc = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body_end = pos + 8 + size
+        if body_end > end:
+            return None  # chunk overruns the container
+        if fourcc == b"LIST":
+            list_type = raw[pos + 8 : pos + 12]
+            inner = pos + 12
+            if list_type == b"hdrl":
+                # find the first strl/strh and check vids+MJPG
+                p = inner
+                while p + 8 <= body_end:
+                    fc = raw[p : p + 4]
+                    (sz,) = struct.unpack("<I", raw[p + 4 : p + 8])
+                    if fc == b"LIST" and raw[p + 8 : p + 12] == b"strl":
+                        q = p + 12
+                        if raw[q : q + 4] == b"strh" and q + 24 <= body_end:
+                            fcc_type = raw[q + 8 : q + 12]
+                            fcc_handler = raw[q + 12 : q + 16]
+                            handler_ok = (
+                                fcc_type == b"vids" and fcc_handler == b"MJPG"
+                            )
+                        break
+                    p += 8 + sz + (sz & 1)
+            elif list_type == b"movi":
+                p = inner
+                while p + 8 <= body_end:
+                    fc = raw[p : p + 4]
+                    (sz,) = struct.unpack("<I", raw[p + 4 : p + 8])
+                    if p + 8 + sz > body_end:
+                        return None
+                    if fc[2:4] in (b"dc", b"db"):
+                        frames.append(raw[p + 8 : p + 8 + sz])
+                    p += 8 + sz + (sz & 1)
+            pos = body_end + (size & 1)
+        else:
+            pos = body_end + (size & 1)  # idx1 / JUNK etc.: skip
+    if not handler_ok or not frames:
+        return None
+    return frames
+
+
+def video_frame_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 2,
+) -> DataFrame:
+    """REAL video decode at the MJPEG baseline: RIFF-AVI container walk,
+    sample every ``every``-th frame (frame 0 always kept), decode each
+    sampled frame with the baseline JPEG decoder, and emit exact
+    per-(frame, channel) statistics — (doc_id, frame_idx, channel,
+    n_pixels, sum_val, min_val, max_val), all int64.
+
+    The frame-sampling training-pipeline shape: the container walk is
+    cheap; only sampled frames pay the decode.  Malformed containers skip
+    whole; a malformed individual frame skips that frame (its stats rows
+    are simply absent); a sampled-frame pixel total past
+    VIDEO_MAX_PIXELS quarantines the payload (budget policy).  One
+    stateless ``mapInPandas`` pass, payload bytes never leave the
+    executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fis, chs, ns, ss, mns, mxs = [], [], [], [], [], [], []
+            for d, raw in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
+                frames = (
+                    _avi_mjpeg_frames(bytes(raw)) if raw is not None else None
+                )
+                if frames is None:
+                    continue
+                sampled = [(i, f) for i, f in enumerate(frames) if i % every == 0]
+                budget = 0
+                rows = []
+                for i, fb in sampled:
+                    px = _jpeg_decode_rgb(fb)
+                    if px is None:
+                        continue  # corrupt frame: drop it, keep the clip
+                    budget += px.shape[0] * px.shape[1]
+                    if budget > VIDEO_MAX_PIXELS:
+                        rows = None  # budget blown: quarantine the payload
+                        break
+                    for ch in range(3):
+                        plane = px[:, :, ch]
+                        rows.append(
+                            (
+                                d, i, ch, int(plane.size),
+                                int(plane.sum(dtype=np.int64)),
+                                int(plane.min()), int(plane.max()),
+                            )
+                        )
+                if rows:
+                    for r in rows:
+                        ids.append(r[0]); fis.append(r[1]); chs.append(r[2])
+                        ns.append(r[3]); ss.append(r[4])
+                        mns.append(r[5]); mxs.append(r[6])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fis,
+                    "channel": chs,
+                    "n_pixels": ns,
+                    "sum_val": ss,
+                    "min_val": mns,
+                    "max_val": mxs,
+                }
+            )
+
+    return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("channel", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", LongType()),
+        StructField("max_val", LongType()),
+    ]
+)
+
+
+def synth_mjpeg_avi_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 24,
+    height: int = 16,
+    n_frames: int = 6,
+) -> DataFrame:
+    """Fixture side: attach a fully-valid MJPEG AVI per doc — real RIFF
+    chunk sizes, avih/strh/strf headers ('vids'/'MJPG'), one '00dc' chunk
+    per frame carrying a DC-only baseline JPEG from the same closed-form
+    family as synth_jpeg_pixel_payload, with the FRAME INDEX folded into
+    the formula: block (bx, by) of frame f of doc d has
+    Y = (d*7 + f*17 + by*13 + bx*5) mod 256,
+    Cb = (d*11 + f*19 + by*3 + bx*7) mod 256,
+    Cr = (d*13 + f*23 + by*5 + bx*11) mod 256 — hand-computable, so the
+    pytest AND the DuckDB oracle replay the formula, never the decoders."""
+    import struct
+
+    bw, bh = width // 8, height // 8
+
+    def jpeg_frame(d: int, f: int) -> bytes:
+        blocks = np.zeros((bh, bw, 3, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blocks[by, bx, 0, 0] = (d * 7 + f * 17 + by * 13 + bx * 5) % 256 - 128
+                blocks[by, bx, 1, 0] = (d * 11 + f * 19 + by * 3 + bx * 7) % 256 - 128
+                blocks[by, bx, 2, 0] = (d * 13 + f * 23 + by * 5 + bx * 11) % 256 - 128
+        return _jpeg_encode_blocks(width, height, blocks)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    def encode_one(d: int) -> bytes:
+        avih = struct.pack(
+            "<IIIIIIIIII4I",
+            33366, 0, 0, 0x10, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 30, 0, n_frames, 0, 10000, -1)
+            + struct.pack("<HHHH", 0, 0, width, height)
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        movi = lst(
+            b"movi",
+            b"".join(chunk(b"00dc", jpeg_frame(d, f)) for f in range(n_frames)),
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [encode_one(int(d)) for d in pdf[id_col].tolist()],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )

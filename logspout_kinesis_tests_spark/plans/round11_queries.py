@@ -4,8 +4,9 @@ scores off exact 2-D moments, deterministic hash-bootstrap CIs for
 Cohen's d, session entry/exit entropy (the marginal+surprisal companion
 to the r9 entry/exit matrix), k-truss edge support and rich-club density
 off the degree-ordered triangle machinery, on-balance volume, per-source
-skew audit (Gini), embedding-norm health audit, and exact-dup
-cluster-size histograms.
+skew audit (Gini), embedding-norm health audit, exact-dup cluster-size
+histograms, REAL baseline-JPEG pixel decode, and REAL MJPEG-in-AVI video
+frame sampling/decode.
 
 Registered LAST (see plans/__init__) so the staleness-ordered rotation
 spends the window's remaining slots on the r5-era green cohort
@@ -1090,3 +1091,74 @@ def c12_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
     )
     return jpeg_pixel_stats(synth_jpeg_pixel_payload(docs, width=24, height=16))
+
+
+@register(
+    "c12_video_frame_stats",
+    # Same expected-vs-computed pattern as the image tiers, one level up:
+    # the AVI fixture's MJPEG frames are DC-only JPEGs with the frame
+    # index folded into the closed-form block constants, so the sampled
+    # frames' expected stats replay exactly in SQL.  Spark walks the REAL
+    # container (RIFF chunk sizes, stream-header handler check), samples
+    # every 2nd frame, and runs the REAL baseline-JPEG decoder per frame.
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+    fr AS (SELECT unnest([0, 2, 4]) AS f),
+    g AS (SELECT t1.by, t2.bx FROM range(2) t1(by), range(3) t2(bx)),
+    ycc AS (
+        SELECT i.doc_id, fr.f, g.by, g.bx,
+               (i.doc_id * 7 + fr.f * 17 + g.by * 13 + g.bx * 5) % 256 AS y,
+               (i.doc_id * 11 + fr.f * 19 + g.by * 3 + g.bx * 7) % 256 AS cb,
+               (i.doc_id * 13 + fr.f * 23 + g.by * 5 + g.bx * 11) % 256 AS cr
+        FROM ids i CROSS JOIN fr CROSS JOIN g),
+    px AS (
+        SELECT doc_id, f, 0 AS channel,
+               LEAST(255, GREATEST(0, CAST(floor(y + 1.402 * (cr - 128)
+                   + 0.5) AS BIGINT))) AS v
+        FROM ycc
+        UNION ALL
+        SELECT doc_id, f, 1,
+               LEAST(255, GREATEST(0, CAST(floor(y - 0.344136 * (cb - 128)
+                   - 0.714136 * (cr - 128) + 0.5) AS BIGINT)))
+        FROM ycc
+        UNION ALL
+        SELECT doc_id, f, 2,
+               LEAST(255, GREATEST(0, CAST(floor(y + 1.772 * (cb - 128)
+                   + 0.5) AS BIGINT)))
+        FROM ycc)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(channel AS BIGINT) AS channel,
+           CAST(64 * count(*) AS BIGINT) AS n_pixels,
+           CAST(64 * sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val
+    FROM px GROUP BY doc_id, f, channel
+    """,
+    doc="C12+: REAL video frame decode at the MJPEG-in-AVI baseline — "
+    "RIFF container walk (chunk sizes validated, 'vids'/'MJPG' stream "
+    "header required), every-2nd-frame sampling, REAL baseline-JPEG "
+    "decode per sampled frame; per (doc, frame, channel) exact int64 "
+    "pixel statistics.  The frame-sampling training-pipeline shape: only "
+    "sampled frames pay the decode; a corrupt frame drops that frame, a "
+    "corrupt container the payload (pytest-pinned grains).  The oracle "
+    "replays the generator's closed-form constants over a SQL grid.  "
+    "Inter-frame codecs (H.264/VP9/AV1) are out of pure-Python scope by "
+    "disposition; MJPEG is the honest baseline every-frame-independent "
+    "codec, and it exercises the full container->sample->decode path a "
+    "real pipeline runs.",
+)
+def c12_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.multimodal import (
+        synth_mjpeg_avi_payload,
+        video_frame_stats,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+    return video_frame_stats(
+        synth_mjpeg_avi_payload(docs, width=24, height=16, n_frames=6), every=2
+    )

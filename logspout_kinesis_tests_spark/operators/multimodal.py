@@ -1456,10 +1456,14 @@ class _JpegBitReader:
 
     def align_and_expect_rst(self, n: int) -> bool:
         """Consume a restart marker FFD0+n at a byte boundary."""
-        if self.bit:
-            self.bit = 0
-            self.pos += 1
         d = self.data
+        if self.bit:
+            # mid-byte: finish this byte.  If it is 0xFF, the encoder
+            # stuffed a 0x00 after it (padding bits that end in 0xFF are
+            # spec-legal, the repo's own writer emits them) — skip BOTH,
+            # else spec-valid restart streams quarantine ~1/256 per RST
+            self.pos += 2 if self.pos < len(d) and d[self.pos] == 0xFF else 1
+            self.bit = 0
         if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
             return False
         if d[self.pos + 1] != 0xD0 + n:
@@ -1532,8 +1536,10 @@ def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
                 if len(vals) != n:
                     return None
                 table = _jpeg_build_huffman(bits, vals)
-                if table is None:
-                    return None
+                if table is None or tc > 1:
+                    return None  # table class 2-15 is spec-invalid: a
+                    # silent else-branch would install it as AC and
+                    # mis-decode instead of quarantining
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 b += 17 + n
             if b != len(body):
@@ -1570,7 +1576,9 @@ def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
             scan = [None] * ns
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
-                if cs not in cid_index:
+                # a duplicate selector would re-write one slot and leave
+                # another None, crashing the unpack below the loop
+                if cs not in cid_index or scan[cid_index[cs]] is not None:
                     return None
                 scan[cid_index[cs]] = (tt >> 4, tt & 0x0F)
             pos += 2 + seglen
@@ -1588,6 +1596,16 @@ def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
 
     bw, bh = (w + 7) // 8, (h + 7) // 8
     nc = len(comps)
+    # de-zigzag each component's quant table ONCE: coefficients are
+    # written at natural positions via the zigzag map, q arrives in
+    # zigzag order, and rebuilding this permutation per block is pure
+    # waste in the pure-Python hot loop (~187k rebuilds on a 4M-px image)
+    zz = np.array(_JPEG_ZIGZAG)
+    qnat_by_comp = []
+    for _, tq in comps:
+        qn = np.empty(64, dtype=np.int64)
+        qn[zz] = qt[tq]
+        qnat_by_comp.append(qn)
     planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
     reader = _JpegBitReader(raw, pos)
     pred = [0] * nc
@@ -1603,7 +1621,6 @@ def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
             for ci in range(nc):
                 dc_tab = huff_dc[scan[ci][0]]
                 ac_tab = huff_ac[scan[ci][1]]
-                q = qt[comps[ci][1]]
                 coef = np.zeros(64, dtype=np.int64)
                 t = reader.decode_huffman(dc_tab)
                 if t is None or t > 11:
@@ -1632,11 +1649,7 @@ def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
                         return None
                     coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits, s)
                     k += 1
-                # dequantize in natural order: coef was written at natural
-                # positions via the zigzag map, q arrives in zigzag order
-                qnat = np.empty(64, dtype=np.int64)
-                qnat[list(_JPEG_ZIGZAG)] = q
-                f = (coef * qnat).reshape(8, 8).astype(np.float64)
+                f = (coef * qnat_by_comp[ci]).reshape(8, 8).astype(np.float64)
                 sp = _JPEG_BASIS.T @ f @ _JPEG_BASIS
                 px = np.floor(sp + 128.5)
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
@@ -1962,7 +1975,10 @@ def _avi_mjpeg_frames(raw: bytes) -> list | None:
                     (sz,) = struct.unpack("<I", raw[p + 4 : p + 8])
                     if p + 8 + sz > body_end:
                         return None
-                    if fc[2:4] in (b"dc", b"db"):
+                    # ONLY stream 00 — the strl the handler check
+                    # verified; a second stream's '01dc' chunks must not
+                    # masquerade as MJPG frames
+                    if fc[:2] == b"00" and fc[2:4] in (b"dc", b"db"):
                         frames.append(raw[p + 8 : p + 8 + sz])
                     p += 8 + sz + (sz & 1)
             pos = body_end + (size & 1)

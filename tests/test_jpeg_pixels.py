@@ -149,3 +149,37 @@ def test_jpeg_pixel_stats_spark_path(spark):
             assert row["sum_val"] == int(plane.sum(dtype=np.int64))
             assert row["min_val"] == int(plane.min())
             assert row["max_val"] == int(plane.max())
+
+
+def test_jpeg_restart_marker_after_ff_padding_decodes():
+    """Review-found (r11): entropy bits that pad to 0xFF before a RST
+    marker carry a stuffed 0x00 the aligner must skip — an AC coefficient
+    at the last zigzag slot with dri=1 produces exactly that byte
+    sequence, and the decoder used to quarantine its own encoder's valid
+    output (~1/256 of restarts on real streams)."""
+    blocks = np.zeros((1, 2, 3, 64), dtype=np.int64)
+    blocks[0, 0, 0, 63] = 3  # long run then a coefficient: bit patterns
+    blocks[0, 1, 0, 0] = -5  # that historically padded to 0xFF
+    raw = _jpeg_encode_blocks(16, 8, blocks, dri=1)
+    plain = _jpeg_decode_rgb(_jpeg_encode_blocks(16, 8, blocks))
+    rst = _jpeg_decode_rgb(raw)
+    assert plain is not None and rst is not None
+    assert (plain == rst).all()
+
+
+def test_jpeg_quarantines_duplicate_sos_selector_and_bad_dht_class():
+    """Review-found (r11): a duplicate SOS component selector used to
+    crash the unpack (TypeError, killing the Spark task) instead of
+    quarantining; a DHT table class outside {0,1} used to be silently
+    installed as an AC table (mis-decode risk)."""
+    blocks = np.zeros((1, 1, 3, 64), dtype=np.int64)
+    good = _jpeg_encode_blocks(8, 8, blocks)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dup = good.replace(sos, bytes([3, 1, 0x00, 1, 0x00, 1, 0x00, 0, 63, 0]))
+    assert dup != good
+    assert _jpeg_decode_rgb(dup) is None  # was: TypeError
+    bad_dht = good.replace(b"\xff\xc4", b"\xff\xc4", 1)
+    i = good.index(b"\xff\xc4")  # first DHT: tc/th byte sits 4 bytes in
+    mut = bytearray(good)
+    mut[i + 4] = 0x30  # table class 3: spec-invalid
+    assert _jpeg_decode_rgb(bytes(mut)) is None

@@ -125,3 +125,29 @@ def test_video_pixel_budget_quarantines_payload(spark, monkeypatch):
     monkeypatch.setattr(m, "VIDEO_MAX_PIXELS", 1000)
     df = spark.createDataFrame([(3, raw)], "doc_id long, payload binary")
     assert m.video_frame_stats(df, every=2).count() == 0
+
+
+def test_avi_second_stream_chunks_are_not_frames(spark):
+    """Review-found (r11): '01dc' chunks of an unverified second stream
+    must not masquerade as frames of the verified MJPG stream 00."""
+    import struct as _struct
+
+    raw = _one_avi(spark, 3)
+    frames = _avi_mjpeg_frames(raw)
+    assert frames is not None and len(frames) == 6
+    # splice a '01dc' chunk (garbage body) into movi, fixing up sizes
+    i = raw.index(b"LIST")
+    i = raw.index(b"movi")  # start of the movi list type tag
+    insert_at = i + 4  # right after 'movi'
+    alien = b"01dc" + _struct.pack("<I", 4) + b"JUNK"
+    mut = bytearray(raw)
+    mut[insert_at:insert_at] = alien
+    # the LIST size field sits 4 bytes before its 'movi' type tag
+    # ('LIST' + size + 'movi'); the RIFF size at offset 4
+    (movi_sz,) = _struct.unpack("<I", bytes(mut[i - 4 : i]))
+    mut[i - 4 : i] = _struct.pack("<I", movi_sz + len(alien))
+    (riff_sz,) = _struct.unpack("<I", bytes(mut[4:8]))
+    mut[4:8] = _struct.pack("<I", riff_sz + len(alien))
+    frames2 = _avi_mjpeg_frames(bytes(mut))
+    assert frames2 is not None and len(frames2) == 6  # alien chunk ignored
+    assert [len(f) for f in frames2] == [len(f) for f in frames]

@@ -183,3 +183,68 @@ def test_jpeg_quarantines_duplicate_sos_selector_and_bad_dht_class():
     mut = bytearray(good)
     mut[i + 4] = 0x30  # table class 3: spec-invalid
     assert _jpeg_decode_rgb(bytes(mut)) is None
+
+
+def test_jpeg_randomized_coefficient_sweep_matches_independent_idct():
+    """Seeded randomized sweep: 25 block grids with random sparse DC+AC
+    coefficients (values spanning all magnitude categories the fixture
+    tables carry), DRI alternating on/off — every decoded Y pixel must
+    equal an IDCT computed independently in this test.  Catches
+    run-length/category/EXTEND edge combinations no hand-written case
+    enumerates."""
+    rng = np.random.RandomState(1234)
+
+    def idct(vec):
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        basis = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        basis[0, :] *= 1 / np.sqrt(2.0)
+        f = (vec * _JPEG_DC_ONLY_Q).reshape(8, 8).astype(float)
+        return np.clip(np.floor(basis.T @ f @ basis + 128.5), 0, 255).astype(
+            np.uint8
+        )
+
+    for trial in range(25):
+        bh, bw = int(rng.randint(1, 3)), int(rng.randint(1, 4))
+        blocks = np.zeros((bh, bw, 3, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    n_coef = int(rng.randint(0, 8))
+                    pos = rng.choice(64, size=n_coef, replace=False)
+                    # category <= 10 (the fixture AC table's size range);
+                    # draw across small and large magnitudes
+                    vals = rng.randint(-1000, 1001, size=n_coef)
+                    for p, v in zip(pos, vals):
+                        blocks[by, bx, ci, int(p)] = int(v)
+        dri = int(rng.randint(0, 3))  # 0 = off
+        px = _jpeg_decode_rgb(
+            _jpeg_encode_blocks(bw * 8, bh * 8, blocks, dri=dri)
+        )
+        assert px is not None, trial
+        # replay the full pipeline independently (all three channels)
+        y = np.block([[idct(blocks[by, bx, 0]) for bx in range(bw)] for by in range(bh)]).astype(float)
+        cb = np.block([[idct(blocks[by, bx, 1]) for bx in range(bw)] for by in range(bh)]).astype(float) - 128.0
+        cr = np.block([[idct(blocks[by, bx, 2]) for bx in range(bw)] for by in range(bh)]).astype(float) - 128.0
+        exp_r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255).astype(np.uint8)
+        exp_g = np.clip(
+            np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+        ).astype(np.uint8)
+        exp_b = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255).astype(np.uint8)
+        assert (px[:, :, 0] == exp_r).all(), trial
+        assert (px[:, :, 1] == exp_g).all(), trial
+        assert (px[:, :, 2] == exp_b).all(), trial
+
+
+def test_jpeg_non_multiple_of_8_dimensions_crop():
+    """SOF dims that are not block multiples: the MCU grid covers the
+    ceiling, the decoder must CROP to the declared w x h (T.81 A.2.1)."""
+    blocks = np.zeros((2, 3, 3, 64), dtype=np.int64)
+    for by in range(2):
+        for bx in range(3):
+            blocks[by, bx, 0, 0] = 10 * by + 5 * bx
+    raw = _jpeg_encode_blocks(20, 12, blocks)  # 3x2 MCUs, declared 20x12
+    px = _jpeg_decode_rgb(raw)
+    assert px is not None and px.shape == (12, 20, 3)
+    full = _jpeg_decode_rgb(_jpeg_encode_blocks(24, 16, blocks))
+    assert (px == full[:12, :20]).all()

@@ -693,6 +693,140 @@ def connected_components(
     return labels
 
 
+def cluster_losers(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    small_graph_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """Loser ids (every clustered node except its cluster's min id) from a
+    MATERIALIZED pair set, with a size-adaptive physical strategy.
+
+    Duplicate-pair graphs are a tiny fraction of the corpus they came from
+    (pairs exist only where near-dups exist), so the common case — even at
+    100 TB corpus scale — is an edge set that fits one task comfortably.
+    Strategy selection mirrors Spark's own broadcast-threshold adaptivity,
+    keyed on a MEASURED count (one cheap job; callers pass a checkpointed
+    ``pairs`` so the probe does not re-execute the candidate pipeline):
+
+    - ``<= small_graph_max_edges``: single-partition union-find via
+      ``applyInPandas`` — one shuffle, one task, O(E α(E)) — instead of the
+      distributed fixpoint's 4+ checkpoint jobs whose scheduler floor
+      dominates at this size (measured 0.7 s -> 0.15 s per call at sf0.1).
+      2M edges ≈ 32 MB of longs: trivially within one task's memory.
+    - above the threshold: the exact distributed ``connected_components``
+      min-label fixpoint — unbounded scale, O(diameter) rounds.
+
+    Both paths are exact (same min-id-representative semantics); only the
+    physical plan differs.
+    """
+    if pairs.limit(small_graph_max_edges + 1).count() <= small_graph_max_edges:
+        import pandas as pd
+
+        out_col = id_a
+
+        def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in zip(pdf[id_a].values, pdf[id_b].values):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id so the root IS the representative
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            losers = [x for x in parent if find(x) != x]
+            return pd.DataFrame({out_col: losers})
+
+        return (
+            pairs.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(_uf, schema=f"{out_col} long")
+            .select(out_col)
+        )
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_a)
+    )
+
+
+def resolve_ingest_removals(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cross_col: str = "cross",
+    small_graph_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """One-shot removal resolution for a search-before-append dedup epoch.
+
+    Input: a MATERIALIZED verified pair frame carrying BOTH kinds of pairs
+    one ingest epoch produces — cross pairs (``cross_col`` true: new doc
+    ``id_a`` matched index doc ``id_b``) and intra pairs (``cross_col``
+    false: two new docs, ``id_a < id_b``).  Output: one ``doc_id`` column —
+    every new doc the epoch must NOT append to the index:
+
+    - every cross-matched doc (dropped by the index search), plus
+    - the keep-one losers of the intra-pair graph RESTRICTED to docs that
+      survived the cross cut (pairs touching a dropped doc are discarded —
+      equivalent to having generated candidates among survivors only,
+      since dropping endpoints commutes with pair generation).
+
+    Size-adaptive like ``cluster_losers``: below the threshold the whole
+    resolution (cross cut + restriction + union-find) runs in ONE
+    single-partition ``applyInPandas`` task — dedup pair sets are a tiny
+    fraction of the corpus, so this is the common case even at 100 TB —
+    and above it a distributed anti-join + ``connected_components``
+    fixpoint path computes the identical set.
+    """
+    if pairs.limit(small_graph_max_edges + 1).count() <= small_graph_max_edges:
+        import pandas as pd
+
+        def _resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+            dropped = set(pdf.loc[pdf[cross_col], id_a].tolist())
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            intra = pdf.loc[~pdf[cross_col], [id_a, id_b]]
+            for a, b in zip(intra[id_a].values, intra[id_b].values):
+                if a in dropped or b in dropped:
+                    continue
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            removed = dropped | {x for x in parent if find(x) != x}
+            return pd.DataFrame({"doc_id": sorted(removed)})
+
+        return (
+            pairs.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(_resolve, schema="doc_id long")
+            .select("doc_id")
+        )
+    dropped = (
+        pairs.filter(F.col(cross_col)).select(F.col(id_a).alias("doc_id")).distinct()
+    )
+    intra = (
+        pairs.filter(~F.col(cross_col))
+        .join(dropped.withColumnRenamed("doc_id", id_a), id_a, "left_anti")
+        .join(dropped.withColumnRenamed("doc_id", id_b), id_b, "left_anti")
+    )
+    losers = cluster_losers(intra, id_a, id_b, small_graph_max_edges=0)
+    return dropped.unionAll(losers.withColumnRenamed(id_a, "doc_id"))
+
+
 def dedup_keep_one(
     df: DataFrame,
     pairs: DataFrame,

@@ -918,11 +918,18 @@ def _ing_oracle() -> str:
 )
 def c9_minhash_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.dedup import (
-        dedup_keep_one,
         exploded_shingles,
+        resolve_ingest_removals,
     )
+    from logspout_kinesis_tests_spark.sources.tables import spread_for_compute
 
-    docs = load_table(spark, sf_dir, "documents")
+    # respread keyed on doc_id BEFORE the explode: the 16-hash min-agg then
+    # runs map-side-complete on all cores instead of fused single-threaded
+    # into a one-split scan (measured 8.3 s -> sub-second for the sig
+    # checkpoint at sf0.1 on local[32])
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"), key="doc_id"
+    )
     sh = exploded_shingles(docs, n=3)
 
     def md5_32(col):
@@ -942,9 +949,16 @@ def c9_minhash_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # read by every epoch's 4 join branches
     )
 
-    def banded(s: DataFrame) -> DataFrame:
+    def banded(s: DataFrame, side: str) -> DataFrame:
+        """Banded LSH rows CARRYING the full signature: (id_<side>, band,
+        bucket, <side>0..15).  Inlining the 16 components into the bucket
+        rows makes the >= 8/16 verify a post-join FILTER instead of two
+        additional signature joins per step (the r11 shape's n_equal) —
+        the standard carry-the-signature-into-the-bucket trade: +128
+        bytes/row against two fewer shuffles per epoch step."""
         return s.select(
-            "doc_id",
+            F.col("doc_id").alias(f"id_{side}"),
+            *[F.col(f"mh{i}").alias(f"{side}{i}") for i in range(_ING_HASHES)],
             F.explode(
                 F.array(
                     *[
@@ -963,61 +977,75 @@ def c9_minhash_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bb"),
         ).select(
-            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+            f"id_{side}",
+            *[f"{side}{i}" for i in range(_ING_HASHES)],
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
 
-    def n_equal(l: DataFrame, r: DataFrame, pairs: DataFrame, a: str, b: str):
-        """pairs + both wide signatures -> rows meeting the >= 8/16 cut."""
-        la = l.select(F.col("doc_id").alias(a), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_ING_HASHES)])
-        rb = r.select(F.col("doc_id").alias(b), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_ING_HASHES)])
-        eq = sum(
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(_ING_HASHES)
-        )
-        return (
-            pairs.join(la, a).join(rb, b).filter(eq >= F.lit(_ING_MIN_EQ)).select(a, b)
-        )
+    # Incremental index: per-epoch CHECKPOINTED survivor frames unioned at
+    # the end — the accumulated wide index is never re-materialized and
+    # never re-banded (banding is a narrow explode over each epoch's
+    # checkpoint, so later epochs re-read small cached blocks, not the
+    # whole upstream pipeline).  VERDICT r11 #1: the previous shape
+    # re-banded the accumulated index every epoch and left ``fresh``
+    # unmaterialized, so the cross-index search + 16-component verify
+    # anti-join re-executed ~5x per epoch (cand's two self-join branches,
+    # ver's two signature joins, keep-one's final anti-join) — 9.7 s at
+    # sf0.1; this shape runs it once per epoch.
+    index_parts: list[DataFrame] = []  # checkpointed wide survivor frames
 
-    index = None  # accumulated survivor signatures (wide form)
+    def _union(frames: list[DataFrame]) -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
+
     for k in range(_ING_EPOCHS):
         cur = sig.filter(F.col("e") == k)
-        if index is not None:
-            bi = banded(index).withColumnRenamed("doc_id", "id_i")
-            candx = (
-                banded(cur)
-                .join(bi, ["band", "bucket"])
-                .select(F.col("doc_id").alias("id_n"), "id_i")
-                .distinct()
-            )
-            dropped = n_equal(cur, index, candx, "id_n", "id_i").select(
-                F.col("id_n").alias("doc_id")
-            ).distinct()
-            fresh = cur.join(dropped, "doc_id", "left_anti")
-        else:
-            fresh = cur
-        bf = banded(fresh)
-        cand = (
-            bf.alias("l")
-            .join(
-                bf.alias("r"),
+        # ONE join per epoch: band the epoch's arrivals (is_new) TOGETHER
+        # with the accumulated survivor index (union of per-epoch
+        # checkpoints), repartition once on the bucket key, and self-join
+        # through a reused exchange.  The one pair frame carries both the
+        # cross-index matches (new x index) and the intra-epoch candidate
+        # pairs (new x new, id-ordered), each already >= 8/16 verified
+        # JVM-side — collapsing the r11 shape's three sequential joins
+        # (cross search, anti-join, intra self-join) into one stage wave.
+        legs = [banded(cur, "x").withColumn("is_new", F.lit(True))]
+        legs += [
+            banded(p, "x").withColumn("is_new", F.lit(False)) for p in index_parts
+        ]
+        rep = _union(legs).repartition("band", "bucket")
+        new_side = rep.filter(F.col("is_new")).alias("l")
+        pairs = (
+            new_side.join(
+                rep.alias("r"),
                 (F.col("l.band") == F.col("r.band"))
                 & (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
+                & (~F.col("r.is_new") | (F.col("l.id_x") < F.col("r.id_x"))),
             )
-            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-            .distinct()
+            .filter(
+                sum(
+                    F.when(F.col(f"l.x{i}") == F.col(f"r.x{i}"), 1).otherwise(0)
+                    for i in range(_ING_HASHES)
+                )
+                >= F.lit(_ING_MIN_EQ)
+            )
+            .select(
+                F.col("l.id_x").alias("id_a"),
+                F.col("r.id_x").alias("id_b"),
+                (~F.col("r.is_new")).alias("cross"),
+            )
+            .localCheckpoint(eager=True)
         )
-        ver = n_equal(fresh, fresh, cand, "id_a", "id_b")
-        surv = dedup_keep_one(fresh, ver)
-        index = index.unionAll(surv) if index is not None else surv
-        # checkpoint the accumulated index once per epoch: the next epoch
-        # reads it from two join branches (banded search + verify), and the
-        # CC fixpoint inside dedup_keep_one must not re-execute upstream.
-        # The LAST epoch's index feeds exactly one downstream action, so
-        # its materialization would be pure overhead
+        removed = resolve_ingest_removals(pairs)
+        surv = cur.join(removed, "doc_id", "left_anti")
         if k < _ING_EPOCHS - 1:
-            index = index.localCheckpoint(eager=True)
-    return index.select("doc_id", F.col("e").cast("long").alias("epoch"))
+            surv = surv.localCheckpoint(eager=True)
+        index_parts.append(surv)
+    return _union(index_parts).select(
+        "doc_id", F.col("e").cast("long").alias("epoch")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -149,6 +149,55 @@ def test_connected_components_transitivity(spark):
     assert kept == [1, 10, 20, 99]
 
 
+def test_cluster_losers_both_strategies_agree(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import cluster_losers
+
+    # chain 1-2-3 (transitivity), star 10-{11,12,13}, pair 20-21, plus a
+    # duplicate edge (idempotence) — losers = everything but min per cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 21), (20, 21)],
+        "id_a long, id_b long",
+    )
+    expect = [2, 3, 11, 12, 13, 21]
+    small = sorted(r["id_a"] for r in cluster_losers(pairs).collect())
+    assert small == expect
+    # force the distributed connected-components fall-back path
+    dist = sorted(
+        r["id_a"] for r in cluster_losers(pairs, small_graph_max_edges=0).collect()
+    )
+    assert dist == expect
+    # empty edge set → no losers on either path
+    empty = pairs.filter("id_a < 0")
+    assert cluster_losers(empty).count() == 0
+
+
+def test_resolve_ingest_removals_both_strategies_agree(spark):
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        resolve_ingest_removals,
+    )
+
+    # cross: 5 and 7 matched the index; intra: 5-6 must be DISCARDED (5 was
+    # cross-dropped, so 6 survives), 8-9-10 chain resolves to keep 8
+    pairs = spark.createDataFrame(
+        [
+            (5, 100, True),
+            (7, 101, True),
+            (5, 6, False),
+            (8, 9, False),
+            (9, 10, False),
+        ],
+        "id_a long, id_b long, cross boolean",
+    )
+    expect = [5, 7, 9, 10]
+    small = sorted(r["doc_id"] for r in resolve_ingest_removals(pairs).collect())
+    assert small == expect
+    dist = sorted(
+        r["doc_id"]
+        for r in resolve_ingest_removals(pairs, small_graph_max_edges=0).collect()
+    )
+    assert dist == expect
+
+
 def test_line_dedup_drops_boilerplate_preserving_order(spark):
     from logspout_kinesis_tests_spark.operators.dedup import line_dedup
 

@@ -97,6 +97,18 @@ def make_client(client_b64: str):
     return cloudpickle.loads(base64.b64decode(client_b64))()
 
 
+class ExpiredIteratorError(Exception):
+    """Contract-level signal that a shard iterator has aged out.
+
+    Kinesis shard iterators expire after 5 minutes (the reference's poll
+    loop at readstream.py:30-35 never hits this because it re-polls every
+    0.2 s; a Spark task stalled on a slow executor can).  Clients raise
+    this from ``get_records``; the partition reader recovers by
+    re-acquiring an iterator at the last consumed sequence number — record
+    delivery stays exactly-once because sequence numbers, not iterators,
+    are the source of truth."""
+
+
 # --------------------------------------------------------------------------
 # Test client: shard directories of JSON-lines files.
 # --------------------------------------------------------------------------
@@ -184,7 +196,7 @@ def file_shard_client(root: str) -> FileShardClient:
     return FileShardClient(root)
 
 
-def boto3_pull_client(region: str, **kwargs):  # pragma: no cover - needs AWS
+def boto3_pull_client(region: str, **kwargs):
     """Production client: boto3 Kinesis behind the same contract.
 
     Import-gated; correctness tests never touch AWS (SURVEY.md §5).  Kinesis
@@ -225,7 +237,12 @@ def boto3_pull_client(region: str, **kwargs):  # pragma: no cover - needs AWS
             return client.get_shard_iterator(**kw)["ShardIterator"]
 
         def get_records(self, iterator, limit=DEFAULT_FETCH_LIMIT):
-            resp = client.get_records(ShardIterator=iterator, Limit=limit)
+            try:
+                resp = client.get_records(ShardIterator=iterator, Limit=limit)
+            except client.exceptions.ExpiredIteratorException as exc:
+                # translate to the contract error so the partition reader
+                # re-acquires at its last consumed sequence number
+                raise ExpiredIteratorError(str(exc)) from exc
             return {
                 "Records": [
                     {
@@ -338,10 +355,29 @@ class _PullStreamReader(DataSourceStreamReader):
             sequence_number=partition.start,
         )
         seq = partition.start
+        expiries = 0
         while seq < partition.end and iterator:
-            out = client.get_records(
-                iterator, limit=min(partition.fetch_limit, partition.end - seq)
-            )
+            try:
+                out = client.get_records(
+                    iterator, limit=min(partition.fetch_limit, partition.end - seq)
+                )
+            except ExpiredIteratorError:
+                # re-acquire at the last consumed sequence number and retry;
+                # progress is monotone (seq only advances on yielded
+                # records), so expiry recovery cannot duplicate or skip.
+                # Bounded: back-to-back expiries with no progress mean the
+                # stream is misbehaving — surface it rather than spin.
+                expiries += 1
+                if expiries > 5:
+                    raise
+                iterator = client.get_shard_iterator(
+                    partition.stream,
+                    partition.shard_id,
+                    "AT_SEQUENCE_NUMBER",
+                    sequence_number=seq,
+                )
+                continue
+            expiries = 0
             records = out["Records"]
             if not records:
                 break

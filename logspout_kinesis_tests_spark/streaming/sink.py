@@ -83,10 +83,13 @@ class FileRecordingClient:
         return failed
 
 
-def boto3_client_factory(region: str):  # pragma: no cover - needs AWS
+def boto3_client_factory(region: str):
     """Production client: boto3 Kinesis PutRecords behind the same contract.
 
-    Import- and env-gated; correctness tests never touch AWS (SURVEY.md §5).
+    Import-gated; correctness tests drive it against an injected protocol
+    fake speaking the real PutRecords response shapes
+    (``FailedRecordCount``/``Records[].ErrorCode``) — never AWS (SURVEY.md
+    §5, tests/test_boto3_adapters.py).
     """
 
     def factory():
@@ -109,6 +112,10 @@ def boto3_client_factory(region: str):  # pragma: no cover - needs AWS
                         for d, k in records
                     ],
                 )
+                # the all-succeeded fast path is the documented contract:
+                # FailedRecordCount == 0 means no per-record ErrorCode scan
+                if not resp.get("FailedRecordCount", 0):
+                    return []
                 return [
                     i
                     for i, rec in enumerate(resp.get("Records", []))

@@ -282,6 +282,31 @@ def segment_boundaries(n_queries: int, every: int = _CAL_SEGMENT_EVERY) -> list[
     return [i for i in range(1, n_queries) if i % every == 0]
 
 
+def assign_segment_factors(
+    n_queries: int,
+    start_factor: float,
+    mid_segments: list[dict],
+    end_factor: float,
+) -> list[float]:
+    """Per-query host factors from the calibration samples that bracketed
+    each query (VERDICT r11 #4): the start sample sits at loop position 0,
+    each mid sample at its ``after_index`` (it fired BEFORE that query),
+    and the end sample at position ``n_queries``.  Query ``i`` (center
+    ``i + 0.5``) takes the factor of the NEAREST sample — earlier sample on
+    ties — so a box that turns mid-run reprices only the queries that
+    actually ran on the turned box, instead of the start factor silently
+    repricing the whole loop.  Pure function for unit-testability."""
+    samples: list[tuple[float, float]] = [(0.0, start_factor)]
+    samples += [(float(s["after_index"]), s["host_factor"]) for s in mid_segments]
+    samples.append((float(n_queries), end_factor))
+    out = []
+    for i in range(n_queries):
+        center = i + 0.5
+        best = min(samples, key=lambda s: (abs(s[0] - center), s[0]))
+        out.append(best[1])
+    return out
+
+
 def drift_warning(start_factor: float, end_factor: float, loop_secs: float) -> str | None:
     """Warning when the host factor moved materially DURING the headline
     loop (within-run drift band [0.8, 1.25] on end/start).  Pure function
@@ -515,9 +540,24 @@ def main() -> None:
     )
     if drift_msg is not None:
         print(f"WARNING: {drift_msg}", file=sys.stderr)
+    # segment-corrected per-query medians (VERDICT r11 #4): each query
+    # divided by the factor of the calibration sample nearest to it in loop
+    # position, so round-over-round mover tables survive within-run drift.
+    # value_calibrated keeps its start-factor definition for cross-round
+    # comparability; value_calibrated_segmented is the drift-robust total.
+    factors = assign_segment_factors(
+        len(HEADLINE), calibration["host_factor"], segments,
+        calibration_end["host_factor"],
+    )
+    queries_calibrated = {
+        name: round(timings[name] / factors[i], 3)
+        for i, name in enumerate(HEADLINE)
+    }
     full = {
         **headline,
+        "value_calibrated_segmented": round(sum(queries_calibrated.values()), 3),
         "queries": timings,
+        "queries_calibrated": queries_calibrated,
         "spread": spread,
         "calibration": calibration,
         "calibration_mid": segments,

@@ -80,6 +80,36 @@ def test_segment_boundaries_small_loop_is_unsegmented():
     assert bench.segment_boundaries(26) == [25]
 
 
+def test_assign_segment_factors_nearest_sample_wins():
+    # VERDICT r11 #4: 10 queries, one mid sample before query 5, end sample
+    # at 10.  Query centers 0.5/1.5 are nearest the start sample (pos 0),
+    # 2.5 ties start vs mid → earlier sample (start) wins, 3.5..6.5 are
+    # nearest the mid (pos 5), 7.5 ties mid vs end → mid wins, 8.5/9.5 are
+    # nearest the end (pos 10).
+    f = bench.assign_segment_factors(
+        10, 1.0, [{"after_index": 5, "host_factor": 2.0}], 4.0
+    )
+    assert f == [1.0, 1.0, 1.0] + [2.0] * 5 + [4.0, 4.0]
+
+
+def test_assign_segment_factors_no_mids_splits_start_end():
+    # without mid samples the loop's first half prices at the start factor,
+    # the second half at the end factor
+    f = bench.assign_segment_factors(4, 1.0, [], 2.0)
+    assert f == [1.0, 1.0, 2.0, 2.0]
+    # a stable box yields a constant factor regardless of segmentation
+    assert set(bench.assign_segment_factors(7, 1.1, [], 1.1)) == {1.1}
+
+
+def test_assign_segment_factors_covers_headline_length():
+    n = len(bench.HEADLINE)
+    mids = [
+        {"after_index": b, "host_factor": 1.0}
+        for b in bench.segment_boundaries(n)
+    ]
+    assert len(bench.assign_segment_factors(n, 1.0, mids, 1.0)) == n
+
+
 def test_calibration_prewarm_runs_untimed_full_passes():
     """VERDICT r10 #5: the recorded session-start sample must sit PAST the
     JIT warm-up transient — ``prewarm_passes`` full untimed passes of the

@@ -95,7 +95,9 @@ def pagerank(
     return pr.select(F.col("src").alias("node"), F.col("pr").alias("pagerank"))
 
 
-def triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+def triangles(
+    edges: DataFrame, u: str = "u", v: str = "v", materialize: bool = True
+) -> DataFrame:
     """Enumerate triangles ``(a < b < c)`` of an undirected graph given as
     ORDERED distinct edge pairs (u < v, one row per edge).
 
@@ -128,11 +130,18 @@ def triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("eu") < F.col("ev"))
     )
-    # one materialization: the oriented table feeds all three join branches
+    # one materialization: the oriented table feeds all three join branches.
+    # ``materialize=False`` opts out for callers that only COMPOSE the plan
+    # (constructing the DataFrame must not launch a job) or run on
+    # preemptible executors where localCheckpoint blocks are lost on
+    # executor death (ADVICE r11) — they trade 3x recompute of the cheap
+    # orientation for schedulability.
     fwd = ranked.select(
         F.when(u_first, F.col("eu")).otherwise(F.col("ev")).alias("lo"),
         F.when(u_first, F.col("ev")).otherwise(F.col("eu")).alias("hi"),
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        fwd = fwd.localCheckpoint(eager=True)
     e1 = fwd.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = fwd.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     e3 = fwd.select(F.col("lo").alias("x"), F.col("hi").alias("z"))

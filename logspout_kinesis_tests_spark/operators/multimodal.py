@@ -1489,6 +1489,40 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_peek_dims(raw: bytes) -> tuple[int, int] | None:
+    """(height, width) from the SOF0 header via a marker-length walk that
+    never touches entropy data — the cheap pre-decode budget probe
+    (ADVICE r11): rejecting an over-budget frame BEFORE the pure-Python
+    Huffman/IDCT work bounds a hostile payload's cost at the container
+    scan, not at a full decode.  None for anything malformed or non-SOF0
+    (the full decoder would quarantine those anyway)."""
+    import struct
+
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        while raw[pos + 1] == 0xFF:  # T.81 B.1.1.2 fill bytes
+            pos += 1
+            if pos + 4 > len(raw):
+                return None
+        marker = raw[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return None
+        (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        if marker == 0xC0:  # SOF0: precision(1) height(2) width(2)
+            if pos + 9 > len(raw):
+                return None
+            h, w = struct.unpack(">HH", raw[pos + 5 : pos + 9])
+            return (h, w)
+        if marker != 0xC0 and 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # non-baseline SOF: out of decoder scope
+        pos += 2 + seglen
+    return None
+
+
 def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
     """bytes -> pixels[h, w, 3] uint8 (or [h, w, 1] grayscale widened to 3)
     for baseline sequential 8-bit 4:4:4 JFIF JPEGs, or None for anything
@@ -1507,6 +1541,13 @@ def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the space
+        # before a marker — skip them so a spec-legal padded stream isn't
+        # misread as a marker 0xFF with a bogus length (ADVICE r11)
+        while raw[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(raw):
+                return None
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             return None
@@ -2022,6 +2063,13 @@ def video_frame_stats(
                 budget = 0
                 rows = []
                 for i, fb in sampled:
+                    # pre-decode budget check from the SOF header (ADVICE
+                    # r11): the overflowing frame must not pay pure-Python
+                    # Huffman/IDCT work before being rejected
+                    dims = _jpeg_peek_dims(fb)
+                    if dims is not None and budget + dims[0] * dims[1] > VIDEO_MAX_PIXELS:
+                        rows = None  # budget blown: quarantine the payload
+                        break
                     px = _jpeg_decode_rgb(fb)
                     if px is None:
                         continue  # corrupt frame: drop it, keep the clip

@@ -382,13 +382,8 @@ def c5_entry_exit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c17_truss_support",
-    oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    pe AS (
-        SELECT a.p AS u, b.p AS v, count(*) AS support
-        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-        GROUP BY a.p, b.p),
-    edges AS (SELECT u, v FROM pe WHERE support >= 2),
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_CTE},
     tri AS (
         SELECT e1.u AS a, e1.v AS b, e3.v AS c
         FROM edges e1

@@ -10,6 +10,23 @@ from logspout_kinesis_tests_spark.operators.graph import pagerank
 from logspout_kinesis_tests_spark.plans import REGISTRY
 
 
+def test_triangles_materialize_flag_is_plan_only(spark):
+    """ADVICE r11: materialize=False must compose the identical triangle
+    set without eagerly launching the orientation checkpoint job."""
+    from logspout_kinesis_tests_spark.operators.graph import triangles
+
+    # K4 on {1,2,3,4} plus a pendant edge → 4 triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "u long, v long",
+    )
+    eager = sorted(map(tuple, triangles(edges).collect()))
+    lazy_df = triangles(edges, materialize=False)
+    assert sorted(map(tuple, lazy_df.collect())) == eager == [
+        (1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4),
+    ]
+
+
 def test_pagerank_is_a_distribution_and_rewards_degree(spark):
     # star graph: hub h <-> leaves a,b,c — hub must dominate, mass sums to 1
     pairs = [("h", x) for x in "abc"] + [(x, "h") for x in "abc"]

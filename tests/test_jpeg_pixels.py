@@ -102,6 +102,23 @@ def test_jpeg_restart_markers_decode_identically():
     assert (plain == rst).all()
 
 
+def test_jpeg_fill_bytes_before_marker_decode_identically():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad the space before any marker —
+    a padded stream must decode identically, not quarantine (ADVICE r11)."""
+    blocks = np.zeros((1, 1, 3, 64), dtype=np.int64)
+    blocks[0, 0, 0, 0] = 17
+    good = _jpeg_encode_blocks(8, 8, blocks)
+    plain = _jpeg_decode_rgb(good)
+    assert plain is not None
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        padded = good.replace(marker, b"\xff\xff\xff" + marker, 1)
+        got = _jpeg_decode_rgb(padded)
+        assert got is not None, f"fill bytes before {marker!r} quarantined"
+        assert (got == plain).all()
+    # fill bytes running off the end of the stream must quarantine, not raise
+    assert _jpeg_decode_rgb(good[:2] + b"\xff" * 6) is None
+
+
 def test_jpeg_quarantines_out_of_scope_and_malformed():
     """Progressive SOF2, subsampled components, truncation, oversize IHDR
     dims, and garbage must all skip — never mis-decode, never raise."""

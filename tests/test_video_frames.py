@@ -127,6 +127,46 @@ def test_video_pixel_budget_quarantines_payload(spark, monkeypatch):
     assert m.video_frame_stats(df, every=2).count() == 0
 
 
+def test_video_budget_rejects_oversize_sof_before_decode(spark):
+    """ADVICE r11: a frame whose SOF header declares over-budget dimensions
+    must quarantine the payload from the cheap header peek — without paying
+    the pure-Python Huffman/IDCT decode for the overflowing frame."""
+    from logspout_kinesis_tests_spark.operators import multimodal as m
+
+    raw = _one_avi(spark, 3)
+    frames = _avi_mjpeg_frames(raw)
+    import struct
+
+    f0 = frames[0]
+    # SOF0 payload: precision(1) height(2) width(2) — blow up the declared
+    # dims without touching the (now inconsistent) entropy data
+    i = f0.index(b"\xff\xc0")
+    big = f0[: i + 5] + struct.pack(">HH", 30000, 30000) + f0[i + 9 :]
+    assert m._jpeg_peek_dims(big) == (30000, 30000)
+    # the FULL decoder rejects this frame (oversize guard) — so the old
+    # decode-first flow would merely SKIP frame 0 and keep frames 2/4;
+    # only the pre-decode header peek quarantines the whole payload
+    assert m._jpeg_decode_rgb(big) is None
+    patched = raw.replace(f0, big, 1)
+    df = spark.createDataFrame([(9, patched)], "doc_id long, payload binary")
+    assert m.video_frame_stats(df, every=2).count() == 0
+
+
+def test_jpeg_peek_dims_contract():
+    from logspout_kinesis_tests_spark.operators import multimodal as m
+
+    blocks = np.zeros((1, 2, 3, 64), dtype=np.int64)
+    good = m._jpeg_encode_blocks(16, 8, blocks)
+    assert m._jpeg_peek_dims(good) == (8, 16)
+    assert m._jpeg_peek_dims(good) == m._jpeg_decode_rgb(good).shape[:2]
+    # fill bytes before SOF are spec-legal padding
+    assert m._jpeg_peek_dims(good.replace(b"\xff\xc0", b"\xff\xff\xc0", 1)) == (8, 16)
+    # progressive SOF2, garbage, truncation → None
+    assert m._jpeg_peek_dims(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    assert m._jpeg_peek_dims(b"\xff\xd8 junk") is None
+    assert m._jpeg_peek_dims(good[:4]) is None
+
+
 def test_avi_second_stream_chunks_are_not_frames(spark):
     """Review-found (r11): '01dc' chunks of an unverified second stream
     must not masquerade as frames of the verified MJPG stream 00."""

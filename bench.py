@@ -189,6 +189,10 @@ HEADLINE = (
     "c12_jpeg_pixel_stats",
     # container walk + frame sampling + per-frame JPEG decode
     "c12_video_frame_stats",
+    # round 12 — cross-modal composite: two banded near-dup pair
+    # generators (text inverted-index + image dHash) unioned into one
+    # adaptive-CC + keep-best resolution
+    "c8_crossmodal_keep_best",
 )
 
 

@@ -21,27 +21,11 @@ _PHASH_HAMMING = 3
 #: band equi-joins, never an all-pairs comparison.
 _PHASH_BANDS = 4
 
-
-@register(
-    "c12_phash_neardup",
-    # The "decode" is the documented deterministic stub (multimodal.py):
-    # pseudo-pixels derive LOCALITY-PRESERVINGLY from the payload (word
-    # lengths), unlike an avalanche hash — which is exactly the property a
-    # real grayscale-resize decode has and that perceptual hashing needs.
-    # list_sum widens to HUGEINT in DuckDB — cast back (r3 lesson).
-    oracle=f"""
-    WITH base AS (SELECT doc_id, lower(text) AS text FROM documents),
-    corpus AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM base
-        UNION ALL
-        SELECT doc_id + 7000000,
-               CASE WHEN len(w) >= 10
-                    THEN list_concat(list_concat(
-                             list_slice(w, 1, 9), [w[10] || 'x']),
-                             list_slice(w, 11, len(w)))
-                    ELSE list_append(w, 'x') END
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
-        WHERE doc_id % 7 = 0),
+#: The pixel-grid → dHash → banding → verified-pair pipeline as DuckDB CTE
+#: text, shared by c12_phash_neardup and the cross-modal composite
+#: (round12_queries) — expects an in-scope CTE ``corpus`` with
+#: (doc_id, w array<varchar>); yields ``imgpairs`` (id_a, id_b, hamming).
+PHASH_SQL_CTES = f"""
     px AS (
         SELECT doc_id,
                list_transform(range({_PHASH_PIXELS}),
@@ -65,10 +49,93 @@ _PHASH_BANDS = 4
                         c.doc_id AS id_b, c.h AS h_b
         FROM banded a JOIN banded c
           ON a.band = c.band AND a.band_val = c.band_val
-             AND a.doc_id < c.doc_id)
-    SELECT id_a, id_b,
-           CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {_PHASH_HAMMING}
+             AND a.doc_id < c.doc_id),
+    imgpairs AS (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(h_a, h_b)) <= {_PHASH_HAMMING})
+"""
+
+
+def phash_hashes(corpus: DataFrame) -> DataFrame:
+    """(doc_id, w array<string>) → (doc_id, h 63-bit dHash), CHECKPOINTED.
+
+    Materialized ONCE (the SimHash pattern): the pixel/hash lambdas are
+    interpreted higher-order functions, and without this barrier Catalyst's
+    projection collapsing inlines them through the downstream self-join —
+    re-evaluating the whole fold PER CANDIDATE PAIR (millions of times)
+    instead of once per doc.  16-byte rows, |docs| rows at any scale —
+    always worth pinning."""
+    px = corpus.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_PHASH_PIXELS - 1}), "
+            "i -> IF(i < size(w), CAST(length(element_at(w, i + 1)) % 251 AS BIGINT), "
+            "CAST((i * 7) % 251 AS BIGINT)))"
+        ).alias("p"),
+    )
+    return px.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {_PHASH_PIXELS - 2}), 0L, "
+            "(acc, i) -> acc + IF(element_at(p, i + 1) > element_at(p, i + 2), "
+            "shiftleft(1L, i), 0L))"
+        ).alias("h"),
+    ).localCheckpoint(eager=True)
+
+
+def phash_verified_pairs(spark: SparkSession, hashed: DataFrame) -> DataFrame:
+    """Banded-candidate generation + exact Hamming verify over a pinned
+    (doc_id, h) table → (id_a, id_b, hamming ≤ cut).  4×16-bit pigeonhole
+    bands: the shuffle carries (band, bucket, 8-byte hash) per doc, never
+    an all-pairs comparison."""
+    bands = spark.range(_PHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    banded = hashed.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "h",
+        "band",
+        F.expr("shiftright(h, band * 16) & 65535").alias("band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "h_a", "id_b", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.filter(hamming <= _PHASH_HAMMING).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )
+
+
+@register(
+    "c12_phash_neardup",
+    # The "decode" is the documented deterministic stub (multimodal.py):
+    # pseudo-pixels derive LOCALITY-PRESERVINGLY from the payload (word
+    # lengths), unlike an avalanche hash — which is exactly the property a
+    # real grayscale-resize decode has and that perceptual hashing needs.
+    # list_sum widens to HUGEINT in DuckDB — cast back (r3 lesson).
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lower(text) AS text FROM documents),
+    corpus AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM base
+        UNION ALL
+        SELECT doc_id + 7000000,
+               CASE WHEN len(w) >= 10
+                    THEN list_concat(list_concat(
+                             list_slice(w, 1, 9), [w[10] || 'x']),
+                             list_slice(w, 11, len(w)))
+                    ELSE list_append(w, 'x') END
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+        WHERE doc_id % 7 = 0),
+    {PHASH_SQL_CTES}
+    SELECT id_a, id_b, hamming FROM imgpairs
     """,
     doc="C12+: perceptual-hash (dHash-style) image near-duplication — the "
     "image-side analogue of SimHash text dedup: an 8×8 pseudo-pixel grid "
@@ -104,51 +171,7 @@ def c12_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 7000000).alias("doc_id"), variant_words.alias("w")
         )
     )
-    px = corpus.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {_PHASH_PIXELS - 1}), "
-            "i -> IF(i < size(w), CAST(length(element_at(w, i + 1)) % 251 AS BIGINT), "
-            "CAST((i * 7) % 251 AS BIGINT)))"
-        ).alias("p"),
-    )
-    # Materialize the signature table ONCE (the SimHash pattern): the
-    # pixel/hash lambdas are interpreted higher-order functions, and
-    # without this barrier Catalyst's projection collapsing inlines them
-    # through the self-join — re-evaluating the whole fold PER CANDIDATE
-    # PAIR (millions of times) instead of once per doc.  5.7k 16-byte rows
-    # at sf0.1; |docs| rows at any scale — always worth pinning.
-    hashed = px.select(
-        "doc_id",
-        F.expr(
-            f"aggregate(sequence(0, {_PHASH_PIXELS - 2}), 0L, "
-            "(acc, i) -> acc + IF(element_at(p, i + 1) > element_at(p, i + 2), "
-            "shiftleft(1L, i), 0L))"
-        ).alias("h"),
-    ).localCheckpoint(eager=True)
-    bands = spark.range(_PHASH_BANDS).select(F.col("id").cast("int").alias("band"))
-    banded = hashed.crossJoin(F.broadcast(bands)).select(
-        "doc_id",
-        "h",
-        "band",
-        F.expr("shiftright(h, band * 16) & 65535").alias("band_val"),
-    )
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"), "band", "band_val"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"), "band", "band_val"
-    )
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "h_a", "id_b", "h_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.filter(hamming <= _PHASH_HAMMING).select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    )
+    return phash_verified_pairs(spark, phash_hashes(corpus))
 
 
 # --- C3+: null-safe equality join ------------------------------------------

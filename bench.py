@@ -191,8 +191,10 @@ HEADLINE = (
     "c12_video_frame_stats",
     # round 12 — cross-modal composite: two banded near-dup pair
     # generators (text inverted-index + image dHash) unioned into one
-    # adaptive-CC + keep-best resolution
+    # adaptive-CC + keep-best resolution; and the 3-epoch train-once IVF
+    # recall monitor (broadcast panel probe + exact scan per epoch)
     "c8_crossmodal_keep_best",
+    "c10_ann_recall_monitor",
 )
 
 

@@ -162,3 +162,114 @@ def c8_crossmodal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmod.withColumn("score", F.length("text")), pairs, "score"
     )
     return kept.select("doc_id", F.col("score").cast("long").alias("score"))
+
+
+# --------------------------------------------------------------------------
+# C10+ — streaming-ANN recall monitor, batch parity (VERDICT r11 #6).
+# --------------------------------------------------------------------------
+
+_ANN_MON_EPOCHS = 3
+_ANN_MON_PANEL = 50
+_ANN_MON_K = 5
+#: minimum panel-agreement (of 50 queries x 5 exact neighbors = 250 pairs)
+#: per epoch before the monitor emits a violation row.  Measured agreement
+#: across sf0.001/0.01/0.1: 163-189 (nprobe=4 of nlist=16 on near-uniform
+#: synthetic vectors ≈ 65-75% recall) — the gate sits ~25% below the
+#: observed floor, so it trips only on a real probe/rank regression.
+_ANN_MON_FLOOR = 120
+
+
+def _ann_monitor_oracle() -> str:
+    rows = [
+        f"""SELECT CAST('epoch_{n}_self_matches' AS VARCHAR) AS gate,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM embeddings WHERE vec_id < {_ANN_MON_PANEL} AND vec_id % {_ANN_MON_EPOCHS} <= {n}"""
+        for n in range(_ANN_MON_EPOCHS)
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "c10_ann_recall_monitor",
+    # Self-checking gate (the c10_ivf_recall_gate shape): the healthy
+    # output is one COMPUTED row per epoch — how many frozen-panel queries
+    # recovered THEMSELVES from the epoch snapshot — which the oracle
+    # derives structurally from the same table (a panel query's own vector
+    # is in the snapshot iff its epoch has arrived; IVF always probes the
+    # query's own cell and cosine(q,q)=1 ranks first).  Low-agreement
+    # violation rows (vs the exact cosine top-5 on the same snapshot) go
+    # red against the oracle when emitted.
+    oracle=_ann_monitor_oracle(),
+    doc="C10+/C7+ (VERDICT r11 #6): batch parity for the streaming ANN "
+    "recall monitor (streaming/batch_apply.py _streaming_ann_ingest "
+    "probe_panel) — the corpus arrives in 3 deterministic epochs "
+    "(vec_id mod 3), IVF centroids train ONCE on epoch 0 (the streaming "
+    "train-once contract), and after each epoch the frozen 50-query "
+    "panel is searched approximately (ivf_topk over the accumulated "
+    "snapshot index) and exactly (cosine_topk over the same snapshot); "
+    "per-epoch self-match counts are the oracle-pinned structural truth "
+    "and agreement-floor violations are the tripwire.  Scale shape: the "
+    "panel is broadcast, each epoch costs one probe join + one exact "
+    "scan bounded by panel size, and the snapshot index grows by "
+    "ivf_assign increments exactly like the stream.",
+)
+def c10_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import (
+        ivf_assign,
+        ivf_index,
+        ivf_topk,
+    )
+    from logspout_kinesis_tests_spark.operators.similarity import cosine_topk
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") % _ANN_MON_EPOCHS).alias("e"),
+        )
+        .localCheckpoint(eager=True)  # read by every epoch's 3 branches
+    )
+    panel = (
+        emb.filter(F.col("vec_id") < _ANN_MON_PANEL)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint(eager=True)  # read by 2 searches x 3 epochs
+    )
+    cents = ivf_index(
+        emb.filter(F.col("e") == 0), nlist=16, iters=2
+    )[1].localCheckpoint(eager=True)  # train-once: frozen after epoch 0
+    # ONE inverted-file assignment for the whole corpus: per-vector cell
+    # membership is snapshot-independent (frozen centroids), and
+    # ivf_topk's corpus-side join restricts it to each epoch's filtered
+    # view — the streaming equivalent is the codes table the epochs append
+    # to, read here in one piece instead of re-assigned per epoch
+    assign = ivf_assign(emb, cents).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for n in range(_ANN_MON_EPOCHS):
+        snap = emb.filter(F.col("e") <= n).select("vec_id", "embedding")
+        # no per-epoch checkpoints: every branch below reads only
+        # checkpointed inputs, and the single final action runs all
+        # epochs' probe/exact subplans as parallel stages
+        approx = ivf_topk(
+            panel, snap, k=_ANN_MON_K, nprobe=4, index=(assign, cents)
+        ).select("query_id", "vec_id")
+        exact = cosine_topk(panel, snap, k=_ANN_MON_K).select("query_id", "vec_id")
+        self_row = (
+            approx.filter(F.col("query_id") == F.col("vec_id"))
+            .agg(F.count("*").cast("long").alias("observed"))
+            .select(
+                F.lit(f"epoch_{n}_self_matches").alias("gate"), "observed"
+            )
+        )
+        viol_row = (
+            exact.join(approx, ["query_id", "vec_id"], "leftsemi")
+            .agg(F.count("*").alias("agree"))
+            .filter(F.col("agree") < _ANN_MON_FLOOR)
+            .select(
+                F.lit(f"epoch_{n}_low_agreement").alias("gate"),
+                F.col("agree").cast("long").alias("observed"),
+            )
+        )
+        rows = self_row.unionByName(viol_row)
+        out = rows if out is None else out.unionByName(rows)
+    return out

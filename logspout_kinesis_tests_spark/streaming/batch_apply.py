@@ -608,6 +608,8 @@ def _write_health_row(
     n_vectors: int,
     mean_qerr: float,
     baseline: bool,
+    recall: float | None = None,
+    n_probe: int = 0,
 ) -> None:
     """One JSON health row per epoch (driver-side, deterministic content →
     crash-replay overwrites byte-identically)."""
@@ -621,6 +623,9 @@ def _write_health_row(
         "mean_qerr": round(mean_qerr, 9),
         "baseline": baseline,
     }
+    if recall is not None:
+        row["recall"] = round(recall, 9)
+        row["n_probe"] = n_probe
     # atomic tmp+replace: ann_ingest_health runs from a monitoring cron
     # beside the live stream, so a reader must never see a partial row
     final = os.path.join(health_dir, f"epoch={epoch_id}.json")
@@ -666,7 +671,9 @@ def _read_health_rows(index_dir: str, required: dict) -> list:
     return rows
 
 
-def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
+def ann_ingest_health(
+    index_dir: str, factor: float = 2.0, recall_floor_ratio: float = 0.8
+) -> list:
     """Read the per-epoch health rows of a streaming ANN index and flag
     codebook/centroid drift: an epoch is ``drifted`` when its mean
     quantization error exceeds ``factor`` × the most recent BASELINE
@@ -688,9 +695,12 @@ def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
         {"epoch": int, "mean_qerr": (int, float), "baseline": bool},
     )
     base = None
+    base_recall = None
     for r in rows:
         if r.get("baseline"):
             base = r["mean_qerr"]
+            if isinstance(r.get("recall"), (int, float)):
+                base_recall = r["recall"]
         r["baseline_qerr"] = base
         # a zero-error baseline (aux reproduces its training batch
         # exactly) makes ANY later error the strongest drift signal, not
@@ -699,6 +709,16 @@ def ann_ingest_health(index_dir: str, factor: float = 2.0) -> list:
             not r.get("baseline")
             and base is not None
             and r["mean_qerr"] > (factor * base if base > 0 else 1e-12)
+        )
+        # the DIRECT quality tripwire (VERDICT r11 #6): qerr is a proxy,
+        # recall of the frozen probe panel vs exact top-k on the same
+        # snapshot is the quantity users feel — flag an epoch whose recall
+        # fell below recall_floor_ratio x the baseline epoch's
+        r["recall_degraded"] = bool(
+            not r.get("baseline")
+            and base_recall is not None
+            and isinstance(r.get("recall"), (int, float))
+            and r["recall"] < recall_floor_ratio * base_recall
         )
     return rows
 
@@ -795,6 +815,8 @@ def _streaming_ann_ingest(
     search,
     qerr,
     max_files_per_trigger: int | None,
+    probe_panel: DataFrame | None = None,
+    probe_k: int = 5,
 ) -> StreamingQuery:
     """Shared skeleton of the incremental ANN flows: per micro-batch,
     SEARCH the arriving vectors against the pre-epoch index, then ENCODE
@@ -822,6 +844,19 @@ def _streaming_ann_ingest(
     epochs; ``recode_epoch_index`` refreshes the aux without violating
     replay safety.  The row write is driver-side and deterministic, so a
     crash-replay overwrites it byte-identically.
+
+    Recall instrumentation (VERDICT r11 #6): with ``probe_panel`` (a
+    FROZEN (id_col, vec_col) query panel — freeze it before starting the
+    stream; a panel that drifts makes rounds incomparable) each epoch also
+    runs the approximate search for the panel against the POST-epoch
+    snapshot (epochs ≤ N) and compares it to the exact cosine
+    top-``probe_k`` over the same snapshot vectors: ``recall`` = matched
+    exact pairs / exact pairs, recorded in the health row beside qerr.
+    This is the DIRECT quality tripwire — qerr is a proxy; panel recall
+    is what a search user experiences.  Pass ``probe_k`` equal to the
+    search's own k so the two rankings are set-comparable.  Cost per
+    epoch: one broadcast-panel approx search + one exact scan of the
+    snapshot — bounded by the panel size, not the stream.
     """
     ensure_runtime_confs(spark)
     reader = spark.readStream.schema(schema)
@@ -892,12 +927,49 @@ def _streaming_ann_ingest(
         stats = qerr(batch, aux).agg(
             F.count("*").alias("n"), F.avg("qerr").alias("mean_qerr")
         ).head()
+        recall, n_probe = None, 0
+        if probe_panel is not None:
+            from logspout_kinesis_tests_spark.operators.similarity import (
+                cosine_topk,
+            )
+
+            snap_codes = _index_before_epoch(
+                spark, os.path.join(index_dir, "codes"), epoch_id + 1,
+                id_col, *code_cols,
+            )
+            snap_vecs = _index_before_epoch(
+                spark, os.path.join(index_dir, "vecs"), epoch_id + 1,
+                id_col, vec_col,
+            )
+            if snap_codes is not None and snap_codes.head(1):
+                approx = search(probe_panel, snap_codes, snap_vecs, aux).select(
+                    "query_id", F.col(id_col)
+                )
+                exact = cosine_topk(
+                    probe_panel.select(
+                        F.col(id_col).alias("query_id"), F.col(vec_col)
+                    ),
+                    snap_vecs,
+                    k=probe_k,
+                    corpus_id=id_col,
+                    vec_col=vec_col,
+                ).select("query_id", F.col(id_col))
+                exact = exact.localCheckpoint(eager=True)  # 2 consumers
+                n_exact = exact.count()
+                n_hit = exact.join(
+                    approx, ["query_id", id_col], "leftsemi"
+                ).count()
+                if n_exact:
+                    recall = n_hit / n_exact
+                    n_probe = probe_panel.count()
         _write_health_row(
             index_dir,
             epoch_id,
             n_vectors=int(stats["n"]),
             mean_qerr=float(stats["mean_qerr"] or 0.0),
             baseline=_read_trained_epoch(aux_dir) == epoch_id,
+            recall=recall,
+            n_probe=n_probe,
         )
 
     return (
@@ -922,6 +994,7 @@ def streaming_pq_ingest(
     k: int = 5,
     rerank: int = 50,
     max_files_per_trigger: int | None = None,
+    probe_panel: DataFrame | None = None,
 ) -> StreamingQuery:
     """Incremental PQ-ANN index maintenance — the vector-stream member of
     the persisted-index family (exact hashes / Bloom / MinHash / heavy
@@ -973,6 +1046,8 @@ def streaming_pq_ingest(
             b, cb, corpus_id=id_col, vec_col=vec_col
         ),
         max_files_per_trigger=max_files_per_trigger,
+        probe_panel=probe_panel,
+        probe_k=k,
     )
 
 
@@ -989,6 +1064,7 @@ def streaming_ivf_ingest(
     nprobe: int = 4,
     k: int = 5,
     max_files_per_trigger: int | None = None,
+    probe_panel: DataFrame | None = None,
 ) -> StreamingQuery:
     """Incremental IVF index maintenance — the inverted-file twin of
     :func:`streaming_pq_ingest` on the same skeleton: centroids train once
@@ -1025,6 +1101,8 @@ def streaming_ivf_ingest(
             b, cents, corpus_id=id_col, vec_col=vec_col
         ),
         max_files_per_trigger=max_files_per_trigger,
+        probe_panel=probe_panel,
+        probe_k=k,
     )
 
 

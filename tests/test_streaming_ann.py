@@ -244,6 +244,61 @@ def test_aux_gate_is_the_trained_marker_not_readability(spark, tmp_path):
     assert top[100]["vec_id"] == 3 and top[100]["cosine"] > 0.999
 
 
+def test_recall_probe_writes_health_rows_per_epoch(spark, tmp_path):
+    """VERDICT r11 #6: with a frozen probe panel the ingest emits a recall
+    figure per epoch — approximate search of the panel vs exact cosine
+    top-k over the SAME post-epoch snapshot — beside the qerr proxy."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        ann_ingest_health,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(6)], 1_700_000_000)
+    _write_batch(src, "b1.json", [(10 + i, _vec(10 + i)) for i in range(4)], 1_700_000_060)
+    panel = spark.createDataFrame([(i, _vec(i)) for i in range(3)], SCHEMA)
+    q = streaming_pq_ingest(
+        spark, src, ckpt, SCHEMA, index, out,
+        m=4, ksub=4, k=3, rerank=10, max_files_per_trigger=1,
+        probe_panel=panel,
+    )
+    assert q.awaitTermination(180)
+    while any(a.id == q.id for a in spark.streams.active):
+        time.sleep(0.1)
+
+    rows = ann_ingest_health(index)
+    assert [r["epoch"] for r in rows] == [0, 1]
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_probe"] == 3
+        assert r["recall_degraded"] is False
+    # the baseline epoch's snapshot IS the panel's home batch: the panel
+    # vectors are all present and well-separated — exact self-recovery
+    assert rows[0]["recall"] == 1.0
+
+
+def test_recall_degradation_flagging_is_baseline_relative(tmp_path):
+    """ann_ingest_health flags an epoch whose panel recall fell below
+    recall_floor_ratio x the baseline epoch's; rows without recall (panel
+    not configured) never flag."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        _write_health_row,
+        ann_ingest_health,
+    )
+
+    index = str(tmp_path / "idx")
+    _write_health_row(index, 0, 10, 0.1, True, recall=0.9, n_probe=50)
+    _write_health_row(index, 1, 10, 0.1, False, recall=0.8, n_probe=50)
+    _write_health_row(index, 2, 10, 0.1, False, recall=0.5, n_probe=50)
+    _write_health_row(index, 3, 10, 0.1, False)  # no probe this epoch
+    rows = {r["epoch"]: r for r in ann_ingest_health(index, recall_floor_ratio=0.8)}
+    assert rows[0]["recall_degraded"] is False  # baseline never flags
+    assert rows[1]["recall_degraded"] is False  # 0.8 >= 0.8 * 0.9 - eps? no:
+    # 0.8 >= 0.72 → healthy
+    assert rows[2]["recall_degraded"] is True  # 0.5 < 0.72
+    assert rows[3]["recall_degraded"] is False  # no recall → no verdict
+
+
 def test_drift_monitor_flags_shifted_stream_and_recode_resets_it(spark, tmp_path):
     """The train-once contract's honest gap, instrumented: a
     distribution-shifted batch arrives, its mean quantization error

@@ -1034,6 +1034,11 @@ def c9_minhash_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         removed = resolve_ingest_removals(pairs)
+        # survivor checkpoint measured WORTH IT (same-session A/B, 5 runs:
+        # 5.51 s vs 6.02 s median without): skipping it re-runs the
+        # anti-join + union-find inside every later epoch's pairs job and
+        # the final union, lengthening their critical paths by more than
+        # the dedicated materialization job costs
         surv = cur.join(removed, "doc_id", "left_anti")
         if k < _ING_EPOCHS - 1:
             surv = surv.localCheckpoint(eager=True)

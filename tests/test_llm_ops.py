@@ -171,6 +171,60 @@ def test_cluster_losers_both_strategies_agree(spark):
     assert cluster_losers(empty).count() == 0
 
 
+def test_connected_components_paths_agree_on_random_graphs(spark):
+    """The r12 size-adaptive switch must be a pure physical-plan choice:
+    on randomized graphs (deep chains, stars, forests, duplicate edges)
+    the one-task union-find path, the distributed fixpoint path, and an
+    independent pure-Python reference must produce identical labels."""
+    import random
+
+    from logspout_kinesis_tests_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def ref_components(edges):
+        # textbook union-find, independent of the operator under test
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min reachable id per node = root under union-by-min
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(12)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(3, 60))
+        ]
+        edges += [(i, i + 1) for i in range(trial * 10)]  # a deep chain
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        expect = ref_components(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        small = {
+            r["id"]: r["component"] for r in connected_components(pairs).collect()
+        }
+        dist = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                pairs, small_graph_max_edges=0
+            ).collect()
+        }
+        assert small == expect, f"union-find path diverged on trial {trial}"
+        assert dist == expect, f"fixpoint path diverged on trial {trial}"
+
+
 def test_resolve_ingest_removals_both_strategies_agree(spark):
     from logspout_kinesis_tests_spark.operators.dedup import (
         resolve_ingest_removals,

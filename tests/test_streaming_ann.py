@@ -277,6 +277,50 @@ def test_recall_probe_writes_health_rows_per_epoch(spark, tmp_path):
     assert rows[0]["recall"] == 1.0
 
 
+def test_recall_rows_replay_byte_identically(spark, tmp_path):
+    """Crash-replay of an epoch regenerates its recall health row
+    byte-identically: the probe searches epochs <= N of an index whose
+    per-epoch writes are idempotent overwrites, so the recall figure is a
+    pure function of the (stable) epoch id."""
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(6)], 1_700_000_000)
+    _write_batch(src, "b1.json", [(10 + i, _vec(10 + i)) for i in range(4)], 1_700_000_060)
+    panel = spark.createDataFrame([(i, _vec(i)) for i in range(3)], SCHEMA)
+
+    def run():
+        q = streaming_pq_ingest(
+            spark, src, ckpt, SCHEMA, index, out,
+            m=4, ksub=4, k=3, rerank=10, max_files_per_trigger=1,
+            probe_panel=panel,
+        )
+        assert q.awaitTermination(180)
+        while any(a.id == q.id for a in spark.streams.active):
+            time.sleep(0.1)
+
+    run()
+    row_path = os.path.join(index, "health", "epoch=1.json")
+    with open(row_path) as f:
+        first = f.read()
+    assert '"recall"' in first
+    # crash: epoch-1 writes on disk, commit missing → replay on restart
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if "." not in os.path.basename(p)
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    with open(row_path) as f:
+        replayed = f.read()
+    assert replayed == first
+
+
 def test_recall_degradation_flagging_is_baseline_relative(tmp_path):
     """ann_ingest_health flags an epoch whose panel recall fell below
     recall_floor_ratio x the baseline epoch's; rows without recall (panel

@@ -626,6 +626,38 @@ def embedding_neardup_pairs(
 # C8+ — duplicate-cluster resolution: pairs → components → keep-one.
 # --------------------------------------------------------------------------
 
+class _MinUnionFind:
+    """Union-find with union-by-min-id: every tree's root IS its
+    component's minimum id.  The ONE task-side algorithm behind the three
+    size-adaptive small-graph paths (``connected_components``,
+    ``cluster_losers``, ``resolve_ingest_removals``) — shared so the
+    path-compression/tie-break logic cannot drift between them."""
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+
+    def find(self, x):
+        parent = self.parent
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+    def losers(self):
+        """Every node that is NOT its component's minimum id.  Only
+        non-root nodes ever enter ``parent``, so its keys are exactly the
+        loser set (the find() re-check is cheap insurance)."""
+        return [x for x in self.parent if self.find(x) != x]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -675,27 +707,15 @@ def connected_components(
         id_type = edges.schema["src"].dataType.simpleString()
 
         def _uf_labels(pdf: pd.DataFrame) -> pd.DataFrame:
-            parent: dict = {}
-
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:
-                    parent[x], x = root, parent[x]
-                return root
-
+            uf = _MinUnionFind()
             nodes = set()
             for a, b in zip(pdf["src"].values, pdf["dst"].values):
                 nodes.add(a)
                 nodes.add(b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
+                uf.union(a, b)
             ordered = sorted(nodes)
             return pd.DataFrame(
-                {"id": ordered, "component": [find(x) for x in ordered]}
+                {"id": ordered, "component": [uf.find(x) for x in ordered]}
             )
 
         return edges.groupBy(F.lit(0).alias("_g")).applyInPandas(
@@ -767,33 +787,26 @@ def cluster_losers(
         import pandas as pd
 
         out_col = id_a
+        id_type = pairs.schema[id_a].dataType.simpleString()
 
         def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
-            parent: dict = {}
-
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:
-                    parent[x], x = root, parent[x]
-                return root
-
+            uf = _MinUnionFind()
             for a, b in zip(pdf[id_a].values, pdf[id_b].values):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # union by min id so the root IS the representative
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            losers = [x for x in parent if find(x) != x]
-            return pd.DataFrame({out_col: losers})
+                uf.union(a, b)
+            return pd.DataFrame({out_col: uf.losers()})
 
         return (
             pairs.groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(_uf, schema=f"{out_col} long")
+            .applyInPandas(_uf, schema=f"{out_col} {id_type}")
             .select(out_col)
         )
-    cc = connected_components(pairs, id_a, id_b)
+    # forward the threshold so an explicit caller choice (e.g. a lower cut
+    # because one task would OOM on wide ids, or 0 to force the fixpoint)
+    # governs the inner probe too instead of silently re-entering the
+    # union-find via the default
+    cc = connected_components(
+        pairs, id_a, id_b, small_graph_max_edges=small_graph_max_edges
+    )
     return cc.filter(F.col("component") != F.col("id")).select(
         F.col("id").alias(id_a)
     )
@@ -830,32 +843,22 @@ def resolve_ingest_removals(
     if pairs.limit(small_graph_max_edges + 1).count() <= small_graph_max_edges:
         import pandas as pd
 
+        id_type = pairs.schema[id_a].dataType.simpleString()
+
         def _resolve(pdf: pd.DataFrame) -> pd.DataFrame:
             dropped = set(pdf.loc[pdf[cross_col], id_a].tolist())
-            parent: dict = {}
-
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:
-                    parent[x], x = root, parent[x]
-                return root
-
+            uf = _MinUnionFind()
             intra = pdf.loc[~pdf[cross_col], [id_a, id_b]]
             for a, b in zip(intra[id_a].values, intra[id_b].values):
                 if a in dropped or b in dropped:
                     continue
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            removed = dropped | {x for x in parent if find(x) != x}
+                uf.union(a, b)
+            removed = dropped | set(uf.losers())
             return pd.DataFrame({"doc_id": sorted(removed)})
 
         return (
             pairs.groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(_resolve, schema="doc_id long")
+            .applyInPandas(_resolve, schema=f"doc_id {id_type}")
             .select("doc_id")
         )
     dropped = (

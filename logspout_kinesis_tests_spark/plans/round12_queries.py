@@ -147,6 +147,10 @@ def c8_crossmodal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(variant_words, " ").alias("text"),
             )
         )
+        # four consumers (jaccard index build, phash_hashes, keep-best's
+        # clustered join + singles anti-join) — materialize the corpus +
+        # variant construction once instead of re-scanning per branch
+        .localCheckpoint(eager=True)
     )
     text_pairs = ngram_jaccard_pairs(
         cmod, threshold=_XM_JACCARD, block_cols=("lang",)

@@ -699,8 +699,17 @@ def ann_ingest_health(
     for r in rows:
         if r.get("baseline"):
             base = r["mean_qerr"]
-            if isinstance(r.get("recall"), (int, float)):
-                base_recall = r["recall"]
+            # RESET on every baseline, including one without a recall
+            # field (recode_epoch_index writes exactly that): a retrain
+            # must not leave later epochs judged against the pre-retrain
+            # panel recall — degradation verdicts resume once a new
+            # probed baseline exists
+            base_recall = (
+                r["recall"]
+                if isinstance(r.get("recall"), (int, float))
+                and not isinstance(r.get("recall"), bool)
+                else None
+            )
         r["baseline_qerr"] = base
         # a zero-error baseline (aux reproduces its training batch
         # exactly) makes ANY later error the strongest drift signal, not
@@ -718,6 +727,7 @@ def ann_ingest_health(
             not r.get("baseline")
             and base_recall is not None
             and isinstance(r.get("recall"), (int, float))
+            and not isinstance(r.get("recall"), bool)
             and r["recall"] < recall_floor_ratio * base_recall
         )
     return rows
@@ -864,6 +874,9 @@ def _streaming_ann_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.json(src_dir)
     aux_dir = os.path.join(index_dir, "aux")
+    # panel size is a constant of the stream — count it ONCE here, not one
+    # Spark job per epoch inside the sink
+    panel_n = probe_panel.count() if probe_panel is not None else 0
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -961,7 +974,7 @@ def _streaming_ann_ingest(
                 ).count()
                 if n_exact:
                     recall = n_hit / n_exact
-                    n_probe = probe_panel.count()
+                    n_probe = panel_n
         _write_health_row(
             index_dir,
             epoch_id,

@@ -166,6 +166,11 @@ class FileShardClient:
             seq = len(self._records(shard_id))
         elif position == "AT_SEQUENCE_NUMBER":
             seq = int(sequence_number or 0)
+        elif position == "AFTER_SEQUENCE_NUMBER":
+            # the expiry-recovery position: resume past a REAL consumed
+            # sequence number (Kinesis semantics — AT with a fabricated
+            # last+1 would name no record on a sparse-sequence stream)
+            seq = int(sequence_number or 0) + 1
         else:
             raise ValueError(f"unknown iterator position {position!r}")
         return json.dumps({"stream": stream, "shard": shard_id, "seq": seq})
@@ -355,6 +360,7 @@ class _PullStreamReader(DataSourceStreamReader):
             sequence_number=partition.start,
         )
         seq = partition.start
+        last_consumed = None  # last REAL sequence number yielded
         expiries = 0
         while seq < partition.end and iterator:
             try:
@@ -362,20 +368,33 @@ class _PullStreamReader(DataSourceStreamReader):
                     iterator, limit=min(partition.fetch_limit, partition.end - seq)
                 )
             except ExpiredIteratorError:
-                # re-acquire at the last consumed sequence number and retry;
-                # progress is monotone (seq only advances on yielded
-                # records), so expiry recovery cannot duplicate or skip.
-                # Bounded: back-to-back expiries with no progress mean the
-                # stream is misbehaving — surface it rather than spin.
+                # Re-acquire and retry; progress is monotone (seq only
+                # advances on yielded records), so expiry recovery cannot
+                # duplicate or skip.  Resume AFTER the last REAL sequence
+                # number we consumed — on production Kinesis, sequence
+                # numbers are sparse opaque values, so fabricating
+                # last + 1 for AT_SEQUENCE_NUMBER would name no record;
+                # before any consumption, re-issue the partition's own
+                # opening position.  Bounded: back-to-back expiries with
+                # no progress mean the stream is misbehaving — surface it
+                # rather than spin.
                 expiries += 1
                 if expiries > 5:
                     raise
-                iterator = client.get_shard_iterator(
-                    partition.stream,
-                    partition.shard_id,
-                    "AT_SEQUENCE_NUMBER",
-                    sequence_number=seq,
-                )
+                if last_consumed is not None:
+                    iterator = client.get_shard_iterator(
+                        partition.stream,
+                        partition.shard_id,
+                        "AFTER_SEQUENCE_NUMBER",
+                        sequence_number=last_consumed,
+                    )
+                else:
+                    iterator = client.get_shard_iterator(
+                        partition.stream,
+                        partition.shard_id,
+                        "AT_SEQUENCE_NUMBER",
+                        sequence_number=partition.start,
+                    )
                 continue
             expiries = 0
             records = out["Records"]
@@ -384,7 +403,8 @@ class _PullStreamReader(DataSourceStreamReader):
             for r in records:
                 if r["SequenceNumber"] >= partition.end:
                     return
-                seq = r["SequenceNumber"] + 1
+                last_consumed = r["SequenceNumber"]
+                seq = last_consumed + 1
                 yield (
                     partition.shard_id,
                     r["SequenceNumber"],

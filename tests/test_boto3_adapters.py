@@ -185,7 +185,15 @@ class _ExpiringContractClient:
         self.expired_once = False
 
     def get_shard_iterator(self, stream, shard_id, position, sequence_number=None):
-        return f"it:{int(sequence_number or 0)}"
+        base = int(sequence_number or 0)
+        if position == "AT_SEQUENCE_NUMBER" and base != 0:
+            # Kinesis semantics: AT with a fabricated (last + 1) sequence
+            # number names no record on a sparse stream — the recovery
+            # path must use AFTER_SEQUENCE_NUMBER at the last REAL one
+            raise AssertionError(
+                f"fabricated AT_SEQUENCE_NUMBER resume at {base}"
+            )
+        return f"it:{base + 1 if position == 'AFTER_SEQUENCE_NUMBER' else base}"
 
     def get_records(self, iterator, limit):
         seq = int(iterator.split(":")[1])
@@ -225,7 +233,8 @@ def test_partition_reader_recovers_from_mid_read_expiry():
         fetch_limit=1,
     )
     got = [r[3] for r in reader.read(part)]
-    # expiry mid-read neither duplicates nor drops records
+    # expiry mid-read neither duplicates nor drops records (and the fake
+    # asserts the resume used AFTER_SEQUENCE_NUMBER, not a fabricated AT)
     assert got == rows
 
 

@@ -275,6 +275,11 @@ _HEAVY = frozenset(
         # widest same-code spread outside the ANN set (2.8-3.9 s across the
         # r6-r8 driver runs) — median-of-7 keeps it off the 1.3x wire
         "c16_hampel",
+        # 12-checkpoint sequential cascade: per-job scheduler jitter
+        # compounds across the epoch chain (same-code within-run spread
+        # 5.0-6.5 s at r12, still descending at run 3) — median-of-7
+        # reaches the steady state median-of-3 misses
+        "c9_minhash_ingest_parity",
     }
 )
 

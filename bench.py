@@ -357,6 +357,32 @@ def yardstick_warning(host_factor: float) -> str | None:
     )
 
 
+def compact_headline(
+    value: float, n_queries: int, sf: float | None, start_factor: float
+) -> dict:
+    """The compact final-line JSON dict (pure, unit-testable).
+
+    ``value_calibrated_segmented`` — the HEADLINE metric rounds compare
+    (VERDICT r12 #4) — is appended by ``main`` once the mid/end calibration
+    samples exist; ``headline_basis`` names it up front so a reader of any
+    single artifact knows which figure is authoritative.
+    ``value_calibrated`` (raw / session-start host factor) is the LEGACY
+    r6-r12 normalization, kept for cross-round continuity: on a drifting
+    box it misprices every query that ran after the box turned (r12's
+    driver run: 115.6 start-basis vs 148.1 segmented in the same run).
+    """
+    return {
+        "metric": "headline query wall time (noop sink, warm session)",
+        "value": value,
+        "unit": "sec",
+        "n_queries": n_queries,
+        "sf": sf,
+        "host_factor": start_factor,
+        "value_calibrated": round(value / start_factor, 3),
+        "headline_basis": "value_calibrated_segmented",
+    }
+
+
 def _calibration_builders():
     """Three frozen trivial plans, self-contained (plain ``spark.read`` +
     ``pyspark.sql.functions``, no package helpers — helper edits must not
@@ -515,18 +541,7 @@ def main() -> None:
     # losing the headline value (BENCH_r05 "parsed": null).  The final line
     # is ~150 bytes and always survives tail capture intact.
     value = round(sum(timings.values()), 3)
-    headline = {
-        "metric": "headline query wall time (noop sink, warm session)",
-        "value": value,
-        "unit": "sec",
-        "n_queries": len(timings),
-        "sf": sf,
-        # host-normalized total: raw / (calibration_now / calibration_ref).
-        # Rounds compare THIS number (VERDICT r6 #1) — raw totals conflate
-        # host state with engine performance.
-        "host_factor": calibration["host_factor"],
-        "value_calibrated": round(value / calibration["host_factor"], 3),
-    }
+    headline = compact_headline(value, len(timings), sf, calibration["host_factor"])
     warning = yardstick_warning(calibration["host_factor"])
     if warning is not None:
         # stderr keeps the stdout JSON-line contract intact; the full
@@ -554,8 +569,9 @@ def main() -> None:
     # segment-corrected per-query medians (VERDICT r11 #4): each query
     # divided by the factor of the calibration sample nearest to it in loop
     # position, so round-over-round mover tables survive within-run drift.
-    # value_calibrated keeps its start-factor definition for cross-round
-    # comparability; value_calibrated_segmented is the drift-robust total.
+    # value_calibrated_segmented is the HEADLINE total (VERDICT r12 #4);
+    # value_calibrated keeps its start-factor definition as a legacy field
+    # for r6-r12 cross-round continuity.
     factors = assign_segment_factors(
         len(HEADLINE), calibration["host_factor"], segments,
         calibration_end["host_factor"],
@@ -564,9 +580,11 @@ def main() -> None:
         name: round(timings[name] / factors[i], 3)
         for i, name in enumerate(HEADLINE)
     }
+    headline["value_calibrated_segmented"] = round(
+        sum(queries_calibrated.values()), 3
+    )
     full = {
         **headline,
-        "value_calibrated_segmented": round(sum(queries_calibrated.values()), 3),
         "queries": timings,
         "queries_calibrated": queries_calibrated,
         "spread": spread,

@@ -385,6 +385,65 @@ def pq_topk(
     )
 
 
+def ivf_probe_scored(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Every IVF candidate pair scored by exact cosine, BEFORE ranking:
+    (query_id, corpus_id, cosine[, *carry_cols]).
+
+    This is the probe half shared by :func:`ivf_topk` (which ranks it to
+    top-k) and consumers that rank the SAME candidate frame several ways —
+    e.g. the streaming-ANN recall monitor derives every epoch's top-k from
+    one probe join by carrying each corpus row's arrival epoch through
+    ``carry_cols`` and ranking per epoch, instead of re-probing per epoch.
+    Candidate pairs are unique (each corpus vector lives in exactly one
+    cell), so downstream rankings need no dedup."""
+    assignment, centroids = index
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+    # nprobe nearest cells per query
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, "q_vec", "cell")
+    )
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
+    cand = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+        *[F.col(c) for c in carry_cols],
+    ).join(assignment, corpus_id)
+    qn = q_cells.withColumn("_nq", l2_norm(F.col("q_vec")))
+    denom = F.col("_nq") * F.col("_nc")
+    return (
+        F.broadcast(qn)
+        .join(cand, "cell")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
+            .alias("cosine"),
+            *[F.col(c) for c in carry_cols],
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -406,39 +465,8 @@ def ivf_topk(
         index if index is not None
         else ivf_index(corpus, nlist, iters, corpus_id, vec_col)
     )
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
-    # nprobe nearest cells per query
-    q_cells = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("centroid")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("cell"))
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select(query_id, "q_vec", "cell")
-    )
-    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
-
-    cand = corpus.select(
-        F.col(corpus_id),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("_nc"),
-    ).join(assignment, corpus_id)
-    qn = q_cells.withColumn("_nq", l2_norm(F.col("q_vec")))
-    denom = F.col("_nq") * F.col("_nc")
-    scored = (
-        F.broadcast(qn)
-        .join(cand, "cell")
-        .select(
-            F.col(query_id),
-            F.col(corpus_id),
-            F.when(denom == 0, F.lit(None))
-            .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
-            .alias("cosine"),
-        )
+    scored = ivf_probe_scored(
+        queries, corpus, (assignment, centroids), nprobe, query_id, corpus_id, vec_col
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (

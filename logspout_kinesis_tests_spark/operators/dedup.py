@@ -663,7 +663,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
-    small_graph_max_edges: int = 2_000_000,
+    small_graph_max_edges: int = 500_000,
 ) -> DataFrame:
     """(id, component) for every id in ``pairs``; component = min reachable id.
 
@@ -678,7 +678,13 @@ def connected_components(
       component label) — one task, O(E α(E)), instead of 3+ checkpoint
       jobs of fixpoint machinery whose scheduler floor dominates at this
       size (measured: the bench cluster query's CC portion 0.7 s → 0.2 s).
-      2M edges ≈ 32 MB of longs, trivially one task's memory.
+      The one task's footprint is NOT just the raw longs (500k edges ≈
+      8 MB): the union-find builds a Python parent dict and node set (up
+      to ~2 × E boxed-int entries, ~50-100 bytes each) on top of the
+      pandas frame, so budget roughly ``100 bytes × 2E`` of Python-object
+      heap — ~200 MB at the 500k default, comfortably one executor task;
+      memory-constrained executors should pass a smaller cut (ADVICE r12:
+      the previous 2M default implied up to ~GB-scale single-task heap).
     - above: min-label propagation to fixpoint — each round every node
       adopts the smallest label among itself and its neighbors (one
       equi-join + map-side-combined groupBy per round), converging in
@@ -760,7 +766,7 @@ def cluster_losers(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    small_graph_max_edges: int = 2_000_000,
+    small_graph_max_edges: int = 500_000,
 ) -> DataFrame:
     """Loser ids (every clustered node except its cluster's min id) from a
     MATERIALIZED pair set, with a size-adaptive physical strategy.
@@ -776,7 +782,9 @@ def cluster_losers(
       ``applyInPandas`` — one shuffle, one task, O(E α(E)) — instead of the
       distributed fixpoint's 4+ checkpoint jobs whose scheduler floor
       dominates at this size (measured 0.7 s -> 0.15 s per call at sf0.1).
-      2M edges ≈ 32 MB of longs: trivially within one task's memory.
+      Budget ~100 bytes × 2E of Python-object heap for the union-find's
+      parent dict on top of the raw longs — ~200 MB at the 500k default
+      (see connected_components; ADVICE r12).
     - above the threshold: the exact distributed ``connected_components``
       min-label fixpoint — unbounded scale, O(diameter) rounds.
 
@@ -817,7 +825,7 @@ def resolve_ingest_removals(
     id_a: str = "id_a",
     id_b: str = "id_b",
     cross_col: str = "cross",
-    small_graph_max_edges: int = 2_000_000,
+    small_graph_max_edges: int = 500_000,
 ) -> DataFrame:
     """One-shot removal resolution for a search-before-append dedup epoch.
 

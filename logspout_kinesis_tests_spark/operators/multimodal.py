@@ -13,14 +13,31 @@ ordinary columnar ops — cheap at any scale because the binary column is
 pruned away unless actually selected (columnar parquet + column pruning).
 
 Decode / feature-extract runs as Arrow-batched ``mapInPandas`` so payload
-bytes stream through Python in batches, never row-at-a-time.  The actual
-IMAGE/VIDEO decoding libraries are not available in this container, so
-those decode bodies are STUBBED: real libraries are attempted first, then
-a clearly-marked deterministic fake (hash-derived pseudo-features) keeps
-the plumbing — schema, batching, partitioning — fully testable.  AUDIO is
-the exception: WAV/PCM is uncompressed, so ``audio_energy_windows`` (end
-of this module) does the REAL decode with numpy alone — frombuffer over
-the RIFF data chunk, exact int64 per-window energy/peak features.
+bytes stream through Python in batches, never row-at-a-time.  The decoders
+in this module are REAL, implemented with numpy + stdlib zlib (no external
+codec stack):
+
+- PNG  — ``_png_decode_rgb`` (zlib inflate, all 5 filter types, 8-bit
+  RGB/RGBA/gray/palette) feeding ``png_pixel_stats`` / ``image_phash``;
+- GIF  — ``_gif_decode_rgb`` (LZW, interlace, local/global palettes);
+- JPEG — ``_jpeg_decode_rgb`` (baseline DCT: Huffman entropy decode,
+  dequantize, IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB) with
+  ``_jpeg_peek_dims`` as the cheap SOF-header walk for quarantine;
+- VIDEO — ``_avi_mjpeg_frames`` (RIFF/AVI container walk, MJPEG frame
+  extraction through the JPEG decoder) feeding ``video_frame_stats``;
+- AUDIO — WAV/PCM via ``audio_energy_windows``: numpy frombuffer over the
+  RIFF data chunk, exact int64 per-window energy/peak features.
+
+Container/header-level decodes (PNG IHDR, WAV fmt, JPEG SOF dims) are
+additionally expressed as scan-side JVM hex expressions (plan-gated, no
+Python at all) for the header-only query paths.
+
+What remains genuinely STUBBED is only the generic ``extract_features``
+convenience wrapper: it attempts a real third-party decoder stack (PIL)
+first and otherwise emits clearly-marked deterministic byte-prefix
+pseudo-features (``_fake_features``) so the distributed plumbing — schema,
+batching, partition layout — stays exercised where PIL is absent.  The
+format-specific pipelines above do NOT go through that fallback.
 """
 
 from __future__ import annotations
@@ -1511,6 +1528,12 @@ def _jpeg_peek_dims(raw: bytes) -> tuple[int, int] | None:
         marker = raw[pos + 1]
         if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
             return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with NO length segment
+            # (T.81 B.1.1.3) — reading one as length-bearing would walk
+            # onto spurious bytes; they are malformed before SOS anyway,
+            # mirroring _jpeg_decode_rgb's marker discipline (ADVICE r12)
+            return None
         (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         if marker == 0xC0:  # SOF0: precision(1) height(2) width(2)
             if pos + 9 > len(raw):
@@ -1550,6 +1573,11 @@ def _jpeg_decode_rgb(raw: bytes) -> np.ndarray | None:
                 return None
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI before SOS
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn carry no length segment (T.81 B.1.1.3) and are
+            # malformed before SOS — quarantine instead of unpacking a
+            # bogus seglen and walking onto spurious bytes (ADVICE r12)
             return None
         (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         body = raw[pos + 4 : pos + 2 + seglen]

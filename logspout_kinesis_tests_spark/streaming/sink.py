@@ -113,8 +113,11 @@ def boto3_client_factory(region: str):
                     ],
                 )
                 # the all-succeeded fast path is the documented contract:
-                # FailedRecordCount == 0 means no per-record ErrorCode scan
-                if not resp.get("FailedRecordCount", 0):
+                # FailedRecordCount == 0 means no per-record ErrorCode scan.
+                # Only when the key is PRESENT and zero — a nonconforming
+                # response missing it must still get the ErrorCode scan, or
+                # its failed records would be silently dropped (ADVICE r12)
+                if resp.get("FailedRecordCount") == 0:
                     return []
                 return [
                     i

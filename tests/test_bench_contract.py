@@ -152,6 +152,19 @@ def test_calibration_prewarm_runs_untimed_full_passes():
     assert set(out["queries"]) == set(bench._CAL_REF)
 
 
+def test_compact_headline_is_segmented_basis():
+    """VERDICT r12 #4: the headline metric is the segmented figure; the
+    start-factor number stays only as the legacy ``value_calibrated``."""
+    h = bench.compact_headline(100.0, 120, 0.1, 1.25)
+    assert h["headline_basis"] == "value_calibrated_segmented"
+    assert h["value_calibrated"] == 80.0  # legacy start-basis, still present
+    assert h["value"] == 100.0 and h["host_factor"] == 1.25
+    # main() appends the segmented total to THIS dict before printing both
+    # the full artifact and the compact final line, so the key must not be
+    # pre-filled with a stale/placeholder value here
+    assert "value_calibrated_segmented" not in h
+
+
 def test_start_sample_is_prewarmed():
     # the constant main() passes to the session-start sample; 0 would
     # silently restore the r9/r10 transient-starts

@@ -195,6 +195,10 @@ HEADLINE = (
     # recall monitor (broadcast panel probe + exact scan per epoch)
     "c8_crossmodal_keep_best",
     "c10_ann_recall_monitor",
+    # round 13 — ANN index compaction parity: builds the epoch-partitioned
+    # PQ index on disk, folds a copy with compact_ann_index, searches the
+    # fragmented and folded index in one action (real parquet IO both ways)
+    "c10_index_compaction_parity",
 )
 
 

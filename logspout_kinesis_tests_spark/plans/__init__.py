@@ -43,6 +43,7 @@ from logspout_kinesis_tests_spark.plans import round9_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import round10_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import round11_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import round12_queries  # noqa: F401,E402
+from logspout_kinesis_tests_spark.plans import round13_queries  # noqa: F401,E402
 from logspout_kinesis_tests_spark.plans import registry as _registry_mod
 from logspout_kinesis_tests_spark.plans.registry import (
     REGISTRY,

@@ -1,0 +1,183 @@
+"""Round-13 additions: ANN index compaction parity.
+
+Registered LAST (plans/__init__) and deliberately tiny — the r13 driver
+window's priority is the r6 stale-green drain (VERDICT r12 #1), so this
+round's new-query batch stays well under the ≤5 budget.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logspout_kinesis_tests_spark.plans.registry import register
+from logspout_kinesis_tests_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# C10+/C19+ — ANN index compaction (VERDICT r12 #6): the epoch-partitioned
+# streaming PQ index accumulates one codes + one vecs fragment per
+# micro-batch; compact_ann_index folds them with search results invariant.
+# --------------------------------------------------------------------------
+
+_CMP_EPOCHS = 3
+_CMP_PANEL = 20
+_CMP_M = 4
+_CMP_KSUB = 16
+_CMP_K = 5
+
+
+def _cmp_oracle() -> str:
+    return f"""
+    SELECT CAST('search_results_identical' AS VARCHAR) AS gate,
+           CAST(1 AS BIGINT) AS observed
+    UNION ALL
+    SELECT 'codes_rows_after_fold', CAST({_CMP_M} * count(*) AS BIGINT)
+    FROM embeddings
+    UNION ALL
+    SELECT 'vecs_rows_after_fold', CAST(count(*) AS BIGINT) FROM embeddings
+    UNION ALL
+    SELECT 'codes_epochs_after_fold', CAST(1 AS BIGINT)
+    """
+
+
+@register(
+    "c10_index_compaction_parity",
+    # Self-checking shape: the search-identity gate is computed by the
+    # query itself (symmetric anti-join of before/after result triples +
+    # 15dp-quantized exact-re-rank cosines must be empty) and pinned to
+    # the literal healthy value; the row-count gates are structural —
+    # folding preserves exact row sets, so codes = m rows/vector and vecs
+    # = 1 row/vector over the whole corpus, and everything folds into ONE
+    # epoch partition.
+    oracle=_cmp_oracle(),
+    doc="C10+/C19+ (VERDICT r12 #6): ANN index compaction — the index "
+    "analogue of the C19 small-file maintenance pass.  Builds the "
+    "streaming PQ index shape on disk (codes/epoch=N + vecs/epoch=N per "
+    "arrival epoch, codebooks trained once on epoch 0 — the "
+    "streaming_pq_ingest layout), folds a copy of every epoch fragment "
+    "with compact_ann_index (streaming/batch_apply.py), then searches a "
+    "frozen panel against the fragmented and the folded index as "
+    "parallel subplans of ONE action, emitting the invariant as gates: "
+    "result triples (query, neighbour, rank) and quantized re-rank "
+    "cosines identical, row sets preserved, fragments folded to one "
+    "partition.  Scale shape: compaction cost is one distinct() scan per "
+    "table over codes (m ints/vector) and vecs, independent of query "
+    "load; search cost is the broadcast-ADC codes scan + rerank-bounded "
+    "join per side.  Crash-safety of the fold itself is pytest-pinned "
+    "(kill between table folds, staged-swap resume).",
+)
+def c10_index_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logspout_kinesis_tests_spark.operators.ann import (
+        pq_encode,
+        pq_index,
+        pq_topk,
+    )
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_ann_index,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", (F.col("vec_id") % _CMP_EPOCHS).alias("e"))
+        .localCheckpoint(eager=True)  # read by train + 3 epoch writes ×2
+    )
+    # codebook QUALITY is irrelevant to the fold invariant (the same index
+    # is searched on both sides), so train at iters=0 — pq_index's
+    # deterministic seed codebooks, no k-means collect rounds
+    codebooks = pq_index(
+        emb.filter(F.col("e") == 0).coalesce(1), m=_CMP_M, ksub=_CMP_KSUB, iters=0
+    )[1]
+    panel = emb.filter(F.col("vec_id") < _CMP_PANEL).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    index_dir = tempfile.mkdtemp(prefix="ann_compact_parity_")
+    try:
+        # the streaming_pq_ingest layout — one codes + one vecs fragment
+        # per arrival epoch, encoded against the frozen epoch-0 codebooks.
+        # ONE partitionBy write per table lays down all epoch=N fragment
+        # dirs in a single job each (the per-epoch loop shape costs 2×
+        # epochs write jobs for identical on-disk layout)
+        pq_encode(emb, codebooks).withColumn(
+            "epoch", (F.col("vec_id") % _CMP_EPOCHS).cast("int")
+        ).write.mode("overwrite").partitionBy("epoch").parquet(
+            os.path.join(index_dir, "codes")
+        )
+        emb.select(
+            "vec_id", "embedding", F.col("e").cast("int").alias("epoch")
+        ).write.mode("overwrite").partitionBy("epoch").parquet(
+            os.path.join(index_dir, "vecs")
+        )
+        # compact a driver-side COPY of the index (the fragments are KB-MB
+        # scale — the maintenance op's input is small by construction) so
+        # the fragmented and folded indexes coexist and BOTH searches run
+        # as parallel subplans of the single gate action below, instead of
+        # a materialize-search / compact / search sequence
+        compact_dir = index_dir + "_folded"
+        shutil.copytree(index_dir, compact_dir)
+        # count_rows=False: the row-count gates below measure the folded
+        # tables themselves, so the op's own count read-back is redundant
+        compact_ann_index(
+            spark, compact_dir, upto_epoch=_CMP_EPOCHS, count_rows=False
+        )
+
+        def search(root: str) -> DataFrame:
+            codes = spark.read.parquet(os.path.join(root, "codes")).select(
+                "vec_id", "sub", "code"
+            )
+            vecs = spark.read.parquet(os.path.join(root, "vecs")).select(
+                "vec_id", "embedding"
+            )
+            res = pq_topk(
+                panel, vecs, k=_CMP_K, m=_CMP_M, ksub=_CMP_KSUB, rerank=20,
+                index=(codes, codebooks),
+            )
+            # quantize the exact-re-rank cosine (a per-row left-fold over
+            # the full-precision vectors — already partition-order-free)
+            # so the identity gate compares values, not just ranks
+            return res.select(
+                "query_id",
+                "vec_id",
+                "rank",
+                F.round("cosine", 15).cast("decimal(28,15)").alias("cos_q"),
+            )
+
+        before = search(index_dir)
+        after = search(compact_dir)
+        diff = before.exceptAll(after).unionAll(after.exceptAll(before))
+        codes_after = spark.read.parquet(os.path.join(compact_dir, "codes"))
+        vecs_after = spark.read.parquet(os.path.join(compact_dir, "vecs"))
+        gates = (
+            diff.agg(F.count("*").alias("n_diff"))
+            .select(
+                F.lit("search_results_identical").alias("gate"),
+                F.when(F.col("n_diff") == 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("observed"),
+            )
+            .unionByName(
+                codes_after.agg(F.count("*").cast("long").alias("observed")).select(
+                    F.lit("codes_rows_after_fold").alias("gate"), "observed"
+                )
+            )
+            .unionByName(
+                vecs_after.agg(F.count("*").cast("long").alias("observed")).select(
+                    F.lit("vecs_rows_after_fold").alias("gate"), "observed"
+                )
+            )
+            .unionByName(
+                codes_after.agg(
+                    F.count_distinct(F.col("epoch")).cast("long").alias("observed")
+                ).select(F.lit("codes_epochs_after_fold").alias("gate"), "observed")
+            )
+        )
+        # materialize before the temp indexes are deleted below
+        return gates.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(index_dir + "_folded", ignore_errors=True)

@@ -482,6 +482,7 @@ def compact_epoch_index(
     index_dir: str,
     upto_epoch: int,
     sum_cols: list[str] | None = None,
+    count_rows: bool = True,
 ) -> int:
     """Fold all index partitions with ``epoch < upto_epoch`` into the single
     partition ``epoch = upto_epoch - 1`` — the periodic maintenance job the
@@ -508,7 +509,10 @@ def compact_epoch_index(
       here would silently collapse repeated (key, count) partials and
       permanently undercount.
 
-    Returns the number of rows in the compacted partition.
+    Returns the number of rows in the compacted partition (an extra read
+    job; pass ``count_rows=False`` to skip it and get ``-1`` when the
+    caller doesn't need the figure — e.g. a maintenance loop folding many
+    tables back-to-back).
 
     Crash handling: the fold is staged under a Spark-hidden ``_compact_tmp``
     dir first, so a crash BEFORE the swap leaves the index untouched.  The
@@ -575,9 +579,62 @@ def compact_epoch_index(
             except ValueError:
                 continue
     os.rename(tmp, os.path.join(index_dir, f"epoch={upto_epoch - 1}"))
+    if not count_rows:
+        return -1
     return spark.read.parquet(
         os.path.join(index_dir, f"epoch={upto_epoch - 1}")
     ).count()
+
+
+#: Epoch-partitioned tables a streaming ANN index accumulates, in fold
+#: order.  ``aux`` (frozen codebooks/centroids) and ``health`` (per-epoch
+#: monitoring audit rows) are deliberately NOT folded: aux is not
+#: epoch-partitioned, and health rows are the drift/recall audit trail
+#: whose per-epoch identity IS their value.
+_ANN_INDEX_TABLES = ("codes", "vecs")
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, upto_epoch: int, count_rows: bool = True
+) -> dict[str, int]:
+    """Fold a streaming ANN index's epoch fragments (VERDICT r12 #6) —
+    the index analogue of the C19 small-file problem: every micro-batch
+    appends ``codes/epoch=N`` (m ints/vector) and ``vecs/epoch=N``
+    (re-rank precision), so long-running ingest accumulates thousands of
+    small fragments whose per-file open/footer cost eventually dominates
+    the probe scan.
+
+    Invariant: search results are identical before/after.  Both tables are
+    membership-shaped (one row per (id, sub) / per id; replay can only
+    duplicate whole rows, which ``distinct()`` collapses), so folding
+    preserves each table's exact row SET, and every search — ADC scan over
+    codes, re-rank join to vecs — is a deterministic function of that set
+    (ranking ties break on id).  ``tests/test_streaming_ann.py`` pins
+    triple-identity (query, neighbour, rank) plus quantized distances
+    across the fold, including a kill between the two table folds.
+
+    Crash contract (inherited per table from :func:`compact_epoch_index`'s
+    staged-swap recovery, extended across tables by ORDER): tables fold
+    one at a time, so a kill leaves at most one table mid-swap — that
+    table self-heals on the next call, the other is either fully pre- or
+    fully post-fold, and BOTH states serve identical ``epoch < N`` row
+    sets.  Re-running with the same ``upto_epoch`` is idempotent and
+    completes the remaining folds.  Same quiesce rule as the per-table op:
+    only fold epochs that can no longer replay (``upto_epoch <=`` last
+    committed epoch + 1).
+
+    Returns {table: rows_in_compacted_partition} for the tables present.
+    """
+    out: dict[str, int] = {}
+    for sub in _ANN_INDEX_TABLES:
+        path = os.path.join(index_dir, sub)
+        if os.path.isdir(path) and any(
+            n.startswith(("epoch=", "_compact_tmp_")) for n in os.listdir(path)
+        ):
+            out[sub] = compact_epoch_index(
+                spark, path, upto_epoch, count_rows=count_rows
+            )
+    return out
 
 
 def _trained_epoch_path(aux_dir: str) -> str:

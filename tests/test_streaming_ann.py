@@ -597,3 +597,120 @@ def test_recode_rerun_heals_half_swapped_index(spark, tmp_path):
         for r in spark.read.parquet(codes_dir).collect()
     }
     assert healed == final
+
+def test_compact_ann_index_kill_between_table_folds(spark, tmp_path):
+    """VERDICT r12 #6: compact_ann_index folds codes THEN vecs.  A kill
+    between the two folds must leave a searchable index serving identical
+    results (each table's epoch<N row SET is preserved whether pre- or
+    post-fold), and re-running the op must complete idempotently."""
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.ann import (
+        pq_encode,
+        pq_index,
+        pq_topk,
+    )
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_ann_index,
+        compact_epoch_index,
+    )
+
+    index = str(tmp_path / "idx")
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(24)], SCHEMA
+    ).localCheckpoint(eager=True)
+    codebooks = pq_index(
+        emb.filter(F.col("vec_id") % 3 == 0), m=4, ksub=4, iters=1
+    )[1].localCheckpoint(eager=True)
+    pq_encode(emb, codebooks).withColumn(
+        "epoch", (F.col("vec_id") % 3).cast("int")
+    ).write.partitionBy("epoch").parquet(os.path.join(index, "codes"))
+    emb.withColumn("epoch", (F.col("vec_id") % 3).cast("int")).write.partitionBy(
+        "epoch"
+    ).parquet(os.path.join(index, "vecs"))
+    panel = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+
+    def search() -> list[tuple]:
+        codes = spark.read.parquet(os.path.join(index, "codes")).select(
+            "vec_id", "sub", "code"
+        )
+        vecs = spark.read.parquet(os.path.join(index, "vecs")).select(
+            "vec_id", "embedding"
+        )
+        res = pq_topk(
+            panel, vecs, k=3, m=4, ksub=4, rerank=10, index=(codes, codebooks)
+        )
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in res.collect()
+        )
+
+    baseline = search()
+    assert len(baseline) == 4 * 3
+
+    # kill simulation: the op folds codes first — run ONLY that table's
+    # fold, as if the process died before reaching vecs
+    compact_epoch_index(spark, os.path.join(index, "codes"), upto_epoch=3)
+    assert sorted(
+        n
+        for n in os.listdir(os.path.join(index, "codes"))
+        if n.startswith("epoch=")
+    ) == ["epoch=2"]
+    assert search() == baseline, "half-compacted index diverged"
+
+    # re-run completes the remaining fold idempotently (codes already
+    # folded: its re-fold is a no-op on the same row set)
+    out = compact_ann_index(spark, index, upto_epoch=3)
+    assert out == {"codes": 24 * 4, "vecs": 24}
+    assert sorted(
+        n
+        for n in os.listdir(os.path.join(index, "codes"))
+        if n.startswith("epoch=")
+    ) == ["epoch=2"]
+    assert sorted(
+        n for n in os.listdir(os.path.join(index, "vecs")) if n.startswith("epoch=")
+    ) == ["epoch=2"]
+    assert search() == baseline, "compacted index diverged"
+
+
+def test_compact_ann_index_resumes_mid_swap_kill(spark, tmp_path):
+    """A kill MID-SWAP inside one table's fold (staged dir complete, source
+    partitions already deleted) must be finished by the next
+    compact_ann_index call — the staged rows are the only copy."""
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_encode, pq_index
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_ann_index,
+    )
+
+    index = str(tmp_path / "idx")
+    emb = spark.createDataFrame([(i, _vec(i)) for i in range(12)], SCHEMA)
+    codebooks = pq_index(emb, m=4, ksub=4, iters=1)[1]
+    codes = pq_encode(emb, codebooks).withColumn(
+        "epoch", (F.col("vec_id") % 3).cast("int")
+    )
+    codes.write.partitionBy("epoch").parquet(os.path.join(index, "codes"))
+    emb.withColumn("epoch", (F.col("vec_id") % 3).cast("int")).write.partitionBy(
+        "epoch"
+    ).parquet(os.path.join(index, "vecs"))
+
+    # emulate the vecs fold dying mid-swap: staging dir complete
+    # (_SUCCESS), folded source partitions already deleted
+    import shutil
+
+    vroot = os.path.join(index, "vecs")
+    emb.write.parquet(os.path.join(vroot, "_compact_tmp_2"))
+    for n in os.listdir(vroot):
+        if n.startswith("epoch="):
+            shutil.rmtree(os.path.join(vroot, n))
+
+    out = compact_ann_index(spark, index, upto_epoch=3)
+    assert out == {"codes": 12 * 4, "vecs": 12}
+    got = {r["vec_id"] for r in spark.read.parquet(vroot).collect()}
+    assert got == set(range(12)), "mid-swap staged rows lost"
+    assert sorted(
+        n for n in os.listdir(vroot) if n.startswith("epoch=")
+    ) == ["epoch=2"]

@@ -50,8 +50,21 @@ VOCAB_SIZE = 4000
 
 def main() -> None:
     rng = np.random.default_rng(20260816)
-    # rank-skewed vocabulary: P(rank r) ~ 1/(r+10)
-    vocab = np.array([f"w{i:04d}" for i in range(VOCAB_SIZE)])
+    # rank-skewed vocabulary: P(rank r) ~ 1/(r+10).  Word LENGTHS vary
+    # 2-12 chars like real text — several downstream fingerprints (the
+    # c12 word-derived pixel rows, char-level shingles) key on per-word
+    # length/shape, and a constant-length vocab collapses them into one
+    # giant everything-matches cluster (first probe attempt: 5.9k docs ->
+    # 1 survivor, 85 s of CC over a near-complete graph).
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = np.array(
+        [
+            "".join(
+                letters[rng.integers(0, 26, size=int(rng.integers(2, 13)))]
+            )
+            for _ in range(VOCAB_SIZE)
+        ]
+    )
     ranks = np.arange(VOCAB_SIZE)
     probs = 1.0 / (ranks + 10.0)
     probs /= probs.sum()

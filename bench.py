@@ -284,6 +284,9 @@ _HEAVY = frozenset(
         # 5.0-6.5 s at r12, still descending at run 3) — median-of-7
         # reaches the steady state median-of-3 misses
         "c9_minhash_ingest_parity",
+        # real parquet writes + copytree + staged-swap folds: filesystem
+        # jitter gives a 1.4x same-code spread (5.4-7.5 s observed r13)
+        "c10_index_compaction_parity",
     }
 )
 

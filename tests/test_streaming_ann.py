@@ -129,11 +129,12 @@ def test_pq_ingest_replay_regenerates_epoch(spark, tmp_path):
 
 
 def test_pq_ingest_composes_with_epoch_compaction(spark, tmp_path):
-    """`compact_epoch_index` folds the PQ index's epochs while the stream
-    is quiesced; the next increment's search results are identical to the
-    uncompacted run (the fold keeps every row visible to epoch<N probes)."""
+    """`compact_ann_index` folds the PQ index's epochs (codes + vecs in one
+    call) while the stream is quiesced; the next increment's search results
+    are identical to the uncompacted run (the fold keeps every row visible
+    to epoch<N probes)."""
     from logspout_kinesis_tests_spark.streaming.batch_apply import (
-        compact_epoch_index,
+        compact_ann_index,
     )
 
     def run_flow(root: str, compact: bool) -> list[str]:
@@ -145,8 +146,9 @@ def test_pq_ingest_composes_with_epoch_compaction(spark, tmp_path):
         _write_batch(src, "b1.json", [(50, _vec(21))], 1_700_000_060)
         _run(spark, src, ckpt, index, out)
         if compact:
+            folded = compact_ann_index(spark, index, upto_epoch=2)
+            assert folded == {"codes": 9 * 4, "vecs": 9}
             for sub in ("codes", "vecs"):
-                compact_epoch_index(spark, os.path.join(index, sub), upto_epoch=2)
                 eps = {
                     n for n in os.listdir(os.path.join(index, sub))
                     if n.startswith("epoch=")

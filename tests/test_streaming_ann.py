@@ -716,3 +716,55 @@ def test_compact_ann_index_resumes_mid_swap_kill(spark, tmp_path):
     assert sorted(
         n for n in os.listdir(vroot) if n.startswith("epoch=")
     ) == ["epoch=2"]
+
+
+def test_pq_ingest_replay_after_compaction(spark, tmp_path):
+    """Crash-replay ACROSS a compaction boundary: epochs < N are folded
+    while the stream is quiesced, then epoch N's commit is lost (crash
+    after index write, before checkpoint commit).  The replayed epoch
+    probes `epoch < N` — served by the FOLDED partition now — so its
+    search output regenerates byte-identically and the index holds no
+    duplicate rows."""
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_ann_index,
+    )
+
+    src, ckpt, index, out = (str(tmp_path / d) for d in ("src", "ckpt", "idx", "out"))
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(i, _vec(i)) for i in range(8)], 1_700_000_000)
+    near = list(_vec(5))
+    near[0] *= 1.02
+    _write_batch(src, "b1.json", [(100, near)], 1_700_000_060)
+    _run(spark, src, ckpt, index, out)
+
+    first = sorted(json.dumps(h, sort_keys=True) for h in _epoch_hits(out, 1))
+    assert first
+
+    # quiesced maintenance: fold the committed epochs 0..1 into epoch=1
+    folded = compact_ann_index(spark, index, upto_epoch=2)
+    assert folded == {"codes": 9 * 4, "vecs": 9}
+
+    # crash simulation: the post-compaction epoch's commit is the one we
+    # lose — write batch 2, run, then delete its commit and replay
+    _write_batch(src, "b2.json", [(200, [x * 1.01 for x in _vec(5)])], 1_700_000_120)
+    _run(spark, src, ckpt, index, out)
+    second = sorted(json.dumps(h, sort_keys=True) for h in _epoch_hits(out, 2))
+    assert second
+
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if "." not in os.path.basename(p)
+    )
+    last = commits[-1]
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _run(spark, src, ckpt, index, out)
+    replayed = sorted(json.dumps(h, sort_keys=True) for h in _epoch_hits(out, 2))
+    assert replayed == second, "replay across the compaction boundary diverged"
+    codes = spark.read.parquet(os.path.join(index, "codes"))
+    assert codes.count() == 10 * 4
+    assert codes.select("vec_id", "sub").distinct().count() == 10 * 4

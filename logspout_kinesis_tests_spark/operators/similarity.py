@@ -23,6 +23,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cosine_scored(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Every (query, corpus) pair scored by exact cosine, BEFORE ranking:
+    (query_id, corpus_id, cosine[, *carry_cols]) — the scan half shared by
+    :func:`cosine_topk` (which ranks it to top-k) and consumers that rank
+    the SAME scored frame several ways (e.g. the streaming-ANN recall
+    monitor carries each corpus row's arrival epoch through ``carry_cols``
+    and ranks per epoch — the exact twin of ``ann.ivf_probe_scored``).
+
+    The query set is broadcast (it is small by definition of the
+    operation); the corpus streams past it — one scan, no corpus shuffle.
+    Each side's norm is computed ONCE in its own projection instead of per
+    pair (a query row's norm is otherwise re-derived |corpus| times); the
+    per-pair expression keeps cosine_similarity's exact operation shape —
+    dot/(nq*nc) with the same zero guard — so emitted values stay
+    bit-identical to the unhoisted form (oracle-verified)."""
+    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
+
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("_nq"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+        *[F.col(col) for col in carry_cols],
+    )
+    denom = F.col("_nq") * F.col("_nc")
+    return F.broadcast(q).crossJoin(c).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.when(denom == 0, F.lit(None))
+        .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
+        .alias("cosine"),
+        *[F.col(col) for col in carry_cols],
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -34,35 +80,10 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
-    The query set is broadcast (it is small by definition of the operation);
-    the corpus streams past it — one scan, no corpus shuffle.  Ranking uses
+    One broadcast-query corpus scan (:func:`cosine_scored`); ranking uses
     a per-query window; ties break on corpus id for determinism.
     """
-    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
-
-    # each side's norm is computed ONCE in its own projection instead of
-    # per pair (a query row's norm is otherwise re-derived |corpus| times);
-    # the per-pair expression keeps cosine_similarity's exact operation
-    # shape — dot/(nq*nc) with the same zero guard — so emitted values stay
-    # bit-identical to the unhoisted form (oracle-verified)
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("_nq"),
-    )
-    c = corpus.select(
-        F.col(corpus_id),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("_nc"),
-    )
-    denom = F.col("_nq") * F.col("_nc")
-    scored = F.broadcast(q).crossJoin(c).select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.when(denom == 0, F.lit(None))
-        .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
-        .alias("cosine"),
-    )
+    scored = cosine_scored(queries, corpus, query_id, corpus_id, vec_col)
     if exclude_self:
         # exclude BEFORE ranking so each query still yields k neighbors
         scored = scored.filter(F.col(query_id) != F.col(corpus_id))

@@ -264,12 +264,12 @@ def _epoch_topk_marks(scored: DataFrame) -> DataFrame:
     "and one full-outer pair join feeds every gate from one action.",
 )
 def c10_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
     from logspout_kinesis_tests_spark.operators.ann import (
         ivf_assign,
         ivf_index,
         ivf_probe_scored,
     )
+    from logspout_kinesis_tests_spark.operators.similarity import cosine_scored
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -302,27 +302,11 @@ def c10_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_assign(emb, cents)
 
     # exact side: ONE broadcast-panel × corpus scan, each pair tagged with
-    # the corpus row's arrival epoch (same cosine shape as cosine_topk)
-    q = panel.select(
-        "query_id",
-        F.col("embedding").alias("q_vec"),
-        l2_norm(F.col("embedding")).alias("_nq"),
-    )
-    c = emb.select(
-        "vec_id",
-        F.col("embedding").alias("c_vec"),
-        l2_norm(F.col("embedding")).alias("_nc"),
-        "e",
-    )
-    denom = F.col("_nq") * F.col("_nc")
-    exact_scored = F.broadcast(q).crossJoin(c).select(
-        F.lit("x").alias("side"),
-        "query_id",
-        "vec_id",
-        F.when(denom == 0, F.lit(None))
-        .otherwise(dot_product(F.col("q_vec"), F.col("c_vec")) / denom)
-        .alias("cosine"),
-        "e",
+    # the corpus row's arrival epoch — cosine_topk's own scan half
+    # (cosine_scored), so the monitor's exact side can never drift from
+    # the operator it mirrors
+    exact_scored = cosine_scored(panel, emb, carry_cols=("e",)).select(
+        F.lit("x").alias("side"), "query_id", "vec_id", "cosine", "e"
     )
     # approx side: ONE probe join over the shared assignment, epoch carried
     approx_scored = ivf_probe_scored(

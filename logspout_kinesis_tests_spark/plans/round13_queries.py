@@ -82,8 +82,24 @@ def c10_index_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding", (F.col("vec_id") % _CMP_EPOCHS).alias("e"))
-        .localCheckpoint(eager=True)  # read by train + 3 epoch writes ×2
+        .select(
+            "vec_id",
+            # Quantize every coordinate to a multiple of 2^-10: products
+            # are then exact multiples of 2^-20 far below the 2^53 integer
+            # bound, so EVERY aggregated sum in the search (the ADC
+            # per-pair sums of m partial dots and codebook norms, whose
+            # accumulation order changes when the fold rewrites the row
+            # layout) is exact and ORDER-INDEPENDENT — which is what makes
+            # "search results identical" a true invariant instead of an
+            # ulp-level coin flip at the rerank cutoff (r13 review).  The
+            # iters=0 codebooks are exact seed subvectors, so they stay
+            # quantized too.
+            F.transform(
+                "embedding", lambda x: F.round(x * 1024) / F.lit(1024.0)
+            ).alias("embedding"),
+            (F.col("vec_id") % _CMP_EPOCHS).alias("e"),
+        )
+        .localCheckpoint(eager=True)  # read by train + the 2 table writes
     )
     # codebook QUALITY is irrelevant to the fold invariant (the same index
     # is searched on both sides), so train at iters=0 — pq_index's

@@ -604,14 +604,21 @@ def compact_ann_index(
     small fragments whose per-file open/footer cost eventually dominates
     the probe scan.
 
-    Invariant: search results are identical before/after.  Both tables are
-    membership-shaped (one row per (id, sub) / per id; replay can only
-    duplicate whole rows, which ``distinct()`` collapses), so folding
-    preserves each table's exact row SET, and every search — ADC scan over
-    codes, re-rank join to vecs — is a deterministic function of that set
-    (ranking ties break on id).  ``tests/test_streaming_ann.py`` pins
-    triple-identity (query, neighbour, rank) plus quantized distances
-    across the fold, including a kill between the two table folds.
+    Invariant: the fold preserves each table's exact row SET — both tables
+    are membership-shaped (one row per (id, sub) / per id; replay can only
+    duplicate whole rows, which ``distinct()`` collapses).  Search results
+    are therefore identical before/after up to floating-point summation
+    order: the exact re-rank cosine is a per-row fold (layout-free), and
+    ranking ties break on id, but the ADC candidate scores sum m partial
+    dots per pair in row-arrival order, so a re-layout can move a score by
+    an ulp and swap candidates exactly at the rerank cutoff.  Real
+    deployments keep rerank ≫ k, where an ulp-level cutoff swap cannot
+    reach the top-k; the parity row (c10_index_compaction_parity) goes
+    further and quantizes its vectors so every aggregated sum is exact and
+    order-independent, making result identity a strict invariant there.
+    ``tests/test_streaming_ann.py`` pins triple-identity (query,
+    neighbour, rank) plus quantized distances across the fold, including
+    a kill between the two table folds.
 
     Crash contract (inherited per table from :func:`compact_epoch_index`'s
     staged-swap recovery, extended across tables by ORDER): tables fold

@@ -119,11 +119,15 @@ def boto3_client_factory(region: str):
                 # its failed records would be silently dropped (ADVICE r12)
                 if resp.get("FailedRecordCount") == 0:
                     return []
-                return [
-                    i
-                    for i, rec in enumerate(resp.get("Records", []))
-                    if "ErrorCode" in rec
-                ]
+                recs = resp.get("Records")
+                if not isinstance(recs, list) or len(recs) != len(records):
+                    # response carries neither a zero failure count nor a
+                    # scannable per-record outcome list: delivery is
+                    # UNKNOWN, and treating unknown as success silently
+                    # drops records — retry the whole batch instead
+                    # (at-least-once; the retry loop bounds attempts)
+                    return list(range(len(records)))
+                return [i for i, rec in enumerate(recs) if "ErrorCode" in rec]
 
         return _Boto3Client()
 

@@ -137,6 +137,34 @@ def test_sink_binding_maps_records_and_failed_indices(fake_kinesis):
     assert client.put_records("logbuffer-dev", [("x", "k")]) == []
 
 
+def test_sink_binding_retries_nonconforming_responses(fake_kinesis):
+    """A response carrying neither FailedRecordCount == 0 nor a
+    per-record Records list matching the batch gives UNKNOWN delivery —
+    the binding must report the whole batch failed (at-least-once retry),
+    never silently succeed (ADVICE r12 + r13 review)."""
+    from logspout_kinesis_tests_spark.streaming.sink import boto3_client_factory
+
+    client = boto3_client_factory("eu-west-1")()
+    batch = [("a", "k1"), ("b", "k2"), ("c", "k3")]
+    # empty dict: no count, no Records
+    fake_kinesis.put_records = lambda **kw: {}
+    assert client.put_records("s", batch) == [0, 1, 2]
+    # missing count + Records SHORTER than the batch: outcomes unknowable
+    fake_kinesis.put_records = lambda **kw: {
+        "Records": [{"SequenceNumber": "100", "ShardId": "shardId-0"}]
+    }
+    assert client.put_records("s", batch) == [0, 1, 2]
+    # missing count but a full per-record list: the ErrorCode scan applies
+    fake_kinesis.put_records = lambda **kw: {
+        "Records": [
+            {"SequenceNumber": "100"},
+            {"ErrorCode": "ProvisionedThroughputExceededException"},
+            {"SequenceNumber": "102"},
+        ]
+    }
+    assert client.put_records("s", batch) == [1]
+
+
 def test_pull_binding_shapes_and_sequence_mapping(fake_kinesis):
     from logspout_kinesis_tests_spark.streaming.pull_source import boto3_pull_client
 

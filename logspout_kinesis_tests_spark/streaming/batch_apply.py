@@ -635,9 +635,22 @@ def compact_ann_index(
     out: dict[str, int] = {}
     for sub in _ANN_INDEX_TABLES:
         path = os.path.join(index_dir, sub)
-        if os.path.isdir(path) and any(
-            n.startswith(("epoch=", "_compact_tmp_")) for n in os.listdir(path)
-        ):
+        if not os.path.isdir(path):
+            continue
+        entries = os.listdir(path)
+        # Gate on a readable fold source: epoch= partitions, or a COMPLETED
+        # (_SUCCESS) staging dir whose swap compact_epoch_index can resume.
+        # A dir holding only an incomplete _compact_tmp_* must be skipped
+        # (ADVICE r13): compact_epoch_index would discard the stale tmp as
+        # crashed-mid-write and then fail reading the now-empty dir.  The
+        # incomplete tmp is left in place — it is Spark-invisible, and a
+        # later fold that finds real partitions beside it cleans it up.
+        foldable = any(n.startswith("epoch=") for n in entries) or any(
+            n.startswith("_compact_tmp_")
+            and os.path.exists(os.path.join(path, n, "_SUCCESS"))
+            for n in entries
+        )
+        if foldable:
             out[sub] = compact_epoch_index(
                 spark, path, upto_epoch, count_rows=count_rows
             )

@@ -127,7 +127,15 @@ def boto3_client_factory(region: str):
                     # drops records — retry the whole batch instead
                     # (at-least-once; the retry loop bounds attempts)
                     return list(range(len(records)))
-                return [i for i, rec in enumerate(recs) if "ErrorCode" in rec]
+                failed = [i for i, rec in enumerate(recs) if "ErrorCode" in rec]
+                if not failed and resp.get("FailedRecordCount", 0) > 0:
+                    # contradictory shape: the count asserts failures but no
+                    # record carries an ErrorCode — we cannot tell WHICH
+                    # records failed, so delivery is unknown; retry the whole
+                    # batch (at-least-once) rather than silently dropping the
+                    # failures the count asserted (ADVICE r13)
+                    return list(range(len(records)))
+                return failed
 
         return _Boto3Client()
 

@@ -163,6 +163,24 @@ def test_sink_binding_retries_nonconforming_responses(fake_kinesis):
         ]
     }
     assert client.put_records("s", batch) == [1]
+    # contradictory shape (ADVICE r13): the count asserts failures but the
+    # full-length Records list carries no ErrorCode — WHICH records failed
+    # is unknowable, so the whole batch must be retried, not dropped
+    fake_kinesis.put_records = lambda **kw: {
+        "FailedRecordCount": 2,
+        "Records": [{"SequenceNumber": str(100 + i)} for i in range(3)],
+    }
+    assert client.put_records("s", batch) == [0, 1, 2]
+    # a conforming partial-failure response is unaffected by the guard
+    fake_kinesis.put_records = lambda **kw: {
+        "FailedRecordCount": 1,
+        "Records": [
+            {"SequenceNumber": "100"},
+            {"ErrorCode": "InternalFailure"},
+            {"SequenceNumber": "102"},
+        ],
+    }
+    assert client.put_records("s", batch) == [1]
 
 
 def test_pull_binding_shapes_and_sequence_mapping(fake_kinesis):

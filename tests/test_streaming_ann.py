@@ -718,6 +718,39 @@ def test_compact_ann_index_resumes_mid_swap_kill(spark, tmp_path):
     ) == ["epoch=2"]
 
 
+def test_compact_ann_index_skips_incomplete_tmp_only_dir(spark, tmp_path):
+    """ADVICE r13: a table dir whose ONLY entry is an incomplete
+    _compact_tmp_* (crashed before any epoch partition ever landed) must be
+    skipped, not folded — the old gate admitted it, compact_epoch_index
+    discarded the tmp as crashed-mid-write, and the read of the now-empty
+    dir raised AnalysisException.  The healthy sibling table still folds."""
+    from pyspark.sql import functions as F
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_encode, pq_index
+    from logspout_kinesis_tests_spark.streaming.batch_apply import (
+        compact_ann_index,
+    )
+
+    index = str(tmp_path / "idx")
+    emb = spark.createDataFrame([(i, _vec(i)) for i in range(12)], SCHEMA)
+    codebooks = pq_index(emb, m=4, ksub=4, iters=1)[1]
+    pq_encode(emb, codebooks).withColumn(
+        "epoch", (F.col("vec_id") % 3).cast("int")
+    ).write.partitionBy("epoch").parquet(os.path.join(index, "codes"))
+    # vecs: only an incomplete staging dir — a parquet part but no _SUCCESS
+    vroot = os.path.join(index, "vecs")
+    tmp = os.path.join(vroot, "_compact_tmp_1")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1 partial write, crashed before commit")
+
+    out = compact_ann_index(spark, index, upto_epoch=3)
+    assert out == {"codes": 12 * 4}, "vecs must be skipped, codes folded"
+    # the incomplete tmp is left untouched (Spark-invisible; a later fold
+    # that finds real partitions beside it cleans it up)
+    assert os.listdir(vroot) == ["_compact_tmp_1"]
+
+
 def test_pq_ingest_replay_after_compaction(spark, tmp_path):
     """Crash-replay ACROSS a compaction boundary: epochs < N are folded
     while the stream is quiesced, then epoch N's commit is lost (crash

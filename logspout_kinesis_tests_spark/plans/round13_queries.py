@@ -26,8 +26,19 @@ from logspout_kinesis_tests_spark.sources.tables import load_table
 _CMP_EPOCHS = 3
 _CMP_PANEL = 20
 _CMP_M = 4
-_CMP_KSUB = 16
+#: 8 (not 16) since r14: the fold invariant is codebook-independent — the
+#: SAME codebooks serve both sides — and halving ksub halves the encode d2
+#: table and the ADC tables (interleaved A/B: ~0.9 s off the row)
+_CMP_KSUB = 8
 _CMP_K = 5
+#: Corpus stride (VERDICT r13 #3): the fold invariant — the folded index is
+#: a physical fold of the SAME fragments, searched identically — holds at
+#: any corpus size, so the harness indexes every 2nd vector instead of all
+#: of them; the gates stay structural over the same halved set on both
+#: engines.  Interleaved A/B at sf0.1: ~0.2 s off the row (it is
+#: scheduling-floor-bound at fixture scale; the halving is what keeps the
+#: harness linear-in-sf headroom honest, not a local[32] win).
+_CMP_STRIDE = 2
 
 
 def _cmp_oracle() -> str:
@@ -36,9 +47,10 @@ def _cmp_oracle() -> str:
            CAST(1 AS BIGINT) AS observed
     UNION ALL
     SELECT 'codes_rows_after_fold', CAST({_CMP_M} * count(*) AS BIGINT)
-    FROM embeddings
+    FROM embeddings WHERE vec_id % {_CMP_STRIDE} = 0
     UNION ALL
-    SELECT 'vecs_rows_after_fold', CAST(count(*) AS BIGINT) FROM embeddings
+    SELECT 'vecs_rows_after_fold', CAST(count(*) AS BIGINT)
+    FROM embeddings WHERE vec_id % {_CMP_STRIDE} = 0
     UNION ALL
     SELECT 'codes_epochs_after_fold', CAST(1 AS BIGINT)
     """
@@ -47,9 +59,9 @@ def _cmp_oracle() -> str:
 @register(
     "c10_index_compaction_parity",
     # Self-checking shape: the search-identity gate is computed by the
-    # query itself (symmetric anti-join of before/after result triples +
-    # 15dp-quantized exact-re-rank cosines must be empty) and pinned to
-    # the literal healthy value; the row-count gates are structural —
+    # query itself (multiset symmetric difference of before/after result
+    # triples + 15dp-quantized exact-re-rank cosines must be empty) and
+    # pinned to the literal healthy value; the row-count gates are structural —
     # folding preserves exact row sets, so codes = m rows/vector and vecs
     # = 1 row/vector over the whole corpus, and everything folds into ONE
     # epoch partition.
@@ -82,6 +94,7 @@ def c10_index_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _CMP_STRIDE == 0)
         .select(
             "vec_id",
             # Quantize every coordinate to a multiple of 2^-10: products
@@ -103,7 +116,10 @@ def c10_index_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # codebook QUALITY is irrelevant to the fold invariant (the same index
     # is searched on both sides), so train at iters=0 — pq_index's
-    # deterministic seed codebooks, no k-means collect rounds
+    # deterministic seed codebooks, no k-means collect rounds.  (An r14
+    # variant hoisting codebooks+panel to driver-side literals measured
+    # SLOWER — the two collect jobs cost more than the probe subplans they
+    # removed: 4.05 s → 6.31 s interleaved medians — and was dropped.)
     codebooks = pq_index(
         emb.filter(F.col("e") == 0).coalesce(1), m=_CMP_M, ksub=_CMP_KSUB, iters=0
     )[1]
@@ -162,13 +178,26 @@ def c10_index_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("cosine", 15).cast("decimal(28,15)").alias("cos_q"),
             )
 
-        before = search(index_dir)
-        after = search(compact_dir)
-        diff = before.exceptAll(after).unionAll(after.exceptAll(before))
+        # multiset symmetric difference |before ⊖ after| as ONE tagged
+        # union + groupBy (Σ|count_b − count_a| per result tuple) — the
+        # same invariant the old before.exceptAll(after) ∪ after.exceptAll
+        # (before) computed through four aggregate branches over the two
+        # search subplans (r14 harness trim: one shuffle, each search
+        # subplan evaluated once)
+        tagged = (
+            search(index_dir)
+            .withColumn("side", F.lit(1))
+            .unionByName(search(compact_dir).withColumn("side", F.lit(-1)))
+        )
+        diff = (
+            tagged.groupBy("query_id", "vec_id", "rank", "cos_q")
+            .agg(F.sum("side").alias("delta"))
+            .agg(F.sum(F.abs(F.col("delta"))).alias("n_diff"))
+        )
         codes_after = spark.read.parquet(os.path.join(compact_dir, "codes"))
         vecs_after = spark.read.parquet(os.path.join(compact_dir, "vecs"))
         gates = (
-            diff.agg(F.count("*").alias("n_diff"))
+            diff
             .select(
                 F.lit("search_results_identical").alias("gate"),
                 F.when(F.col("n_diff") == 0, F.lit(1))

@@ -152,6 +152,16 @@ def _lloyd_one_job(
     return cents
 
 
+#: Auto one-job training cap, in fused multiply-adds (rows × dim × cells ×
+#: iters).  Below it, driver Python beats the per-iteration distributed-agg
+#: scheduling floor (measured ~0.9-1.2 s/round on local[32]); above it the
+#: pure-Python loop's ~30-60 M ops/s loses to the cluster, so the auto gate
+#: falls back to the distributed loop even on a single-partition frame
+#: (the already-paid sample collect is the bounded cost of finding out).
+#: ``one_job=True`` overrides the cap.
+_ONE_JOB_MAX_OPS = 50_000_000
+
+
 def ivf_index(
     corpus: DataFrame,
     nlist: int = 16,
@@ -190,7 +200,10 @@ def ivf_index(
     if one_job is True or (one_job is None and c.rdd.getNumPartitions() == 1):
         rows = [(r[0], r[1]) for r in c.collect()]
         dim = len(rows[0][1]) if rows else 0
-        if one_job or dim * nlist <= driver_materialize_cells:
+        work = len(rows) * dim * nlist * max(iters, 1)
+        if one_job or (
+            dim * nlist <= driver_materialize_cells and work <= _ONE_JOB_MAX_OPS
+        ):
             centroids = spark.createDataFrame(
                 _lloyd_one_job(rows, nlist, iters),
                 "cell int, centroid array<double>",
@@ -260,6 +273,58 @@ def _pq_subvectors(vec_col: str, m: int, dsub: int):
     )
 
 
+def _pq_lloyd_one_job(
+    rows: list[tuple], m: int, dsub: int, ksub: int, iters: int
+) -> list[tuple[int, int, list[float]]]:
+    """All per-subspace Lloyd rounds over an already-collected training
+    sample (the PQ analogue of :func:`_lloyd_one_job`, same contract):
+    same recurrence and deterministic decisions as the distributed loop —
+    d2 as the sequential ``(x−y)²`` left fold, ``min_by(cell, struct(d2,
+    cell))`` ties to the lowest cell, per-(cell, dim) sum/count updates in
+    collected row order, empty cells dropped — with the same one caveat:
+    the distributed ``F.avg`` merges partial sums in shuffle order, so
+    centroid coordinates may differ by ulps; codes are argmin decisions
+    with real margins, pinned exactly equal by
+    ``tests/test_ann_winnowing.py::test_pq_one_job_training_equivalence``.
+    """
+    seeds = sorted(rows, key=lambda r: r[0])[: min(ksub, len(rows))]
+    books: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        lo = s * dsub
+        cents = [
+            (i, [float(x) for x in seeds[i][1][lo : lo + dsub]])
+            for i in range(len(seeds))
+        ]
+        for _ in range(iters):
+            sums: dict[int, list[float]] = {}
+            counts: dict[int, int] = {}
+            for _rid, vec in rows:
+                sv = vec[lo : lo + dsub]
+                best = None
+                for cell, cent in cents:
+                    d2 = 0.0
+                    for x, y in zip(sv, cent):
+                        diff = float(x) - y
+                        d2 += diff * diff
+                    key = (d2, cell)
+                    if best is None or key < best[0]:
+                        best = (key, cell)
+                cell = best[1]
+                if cell not in sums:
+                    sums[cell] = [0.0] * dsub
+                    counts[cell] = 0
+                acc = sums[cell]
+                for pos, x in enumerate(sv):
+                    acc[pos] += float(x)
+                counts[cell] += 1
+            cents = [
+                (cell, [v / counts[cell] for v in sums[cell]])
+                for cell in sorted(sums)
+            ]
+        books.extend((s, cell, cent) for cell, cent in cents)
+    return books
+
+
 def pq_index(
     corpus: DataFrame,
     m: int = 4,
@@ -267,6 +332,7 @@ def pq_index(
     iters: int = 1,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    one_job: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization index: per-subspace codebooks + per-vector codes.
 
@@ -294,8 +360,22 @@ def pq_index(
     instead of looping m× over the corpus.
     """
     c = corpus.select(F.col(corpus_id), F.col(vec_col))
-    head = c.select(F.size(F.col(vec_col)).alias("d")).head()
-    dim = head["d"] if head else 0
+    # One-job training, same gate and contract as ivf_index (VERDICT r13
+    # #2): a single-partition training frame is collected once and every
+    # subspace's Lloyd rounds run in driver Python, replacing the dim
+    # probe + seed materialize + per-iteration distributed agg rounds.
+    one_rows = None
+    if one_job is True or (one_job is None and c.rdd.getNumPartitions() == 1):
+        one_rows = [(r[0], r[1]) for r in c.collect()]
+        dim = len(one_rows[0][1]) if one_rows else 0
+        # same work cap as ivf_index (iters=0 is seeds-only: always cheap);
+        # on a cap trip the paid collect still supplies ``dim``, and the
+        # distributed loop below takes over
+        if not one_job and len(one_rows) * dim * ksub * iters > _ONE_JOB_MAX_OPS:
+            one_rows = None
+    else:
+        head = c.select(F.size(F.col(vec_col)).alias("d")).head()
+        dim = head["d"] if head else 0
     if m <= 0 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -325,6 +405,21 @@ def pq_index(
             F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias("code")
         )
 
+    if one_rows is not None:
+        centroids = corpus.sparkSession.createDataFrame(
+            _pq_lloyd_one_job(one_rows, m, dsub, ksub, iters),
+            "sub int, cell int, centroid array<double>",
+        )
+        codes = _assign(centroids)
+        codebooks = centroids.select(
+            "sub",
+            "cell",
+            "centroid",
+            F.aggregate(
+                F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+            ).alias("cent_sq"),
+        )
+        return codes, codebooks
     # Seeds: subvectors of the ksub lowest-id corpus rows (no RNG).  The
     # seed rows come from a TakeOrdered limit on the UN-exploded corpus —
     # a full per-subspace sort of the N·m exploded table would shuffle the

@@ -68,6 +68,32 @@ def test_ivf_one_job_training_equivalence(spark, sf_dir):
                 )
 
 
+def test_pq_one_job_training_equivalence(spark, sf_dir):
+    """PQ analogue of the ivf one-job contract: a single-partition training
+    frame runs all per-subspace Lloyd rounds driver-side; codes EXACTLY
+    equal the distributed loop's (argmin margins dwarf ulp), codebook
+    centroids allclose(rtol=1e-9), cent_sq consistent.  Swept at iters=0
+    (pure seeds — bit-identical by construction) and iters=1 (the bench
+    shape)."""
+    from logspout_kinesis_tests_spark.operators.ann import pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings").coalesce(1)
+    for iters in (0, 1):
+        codes_o, books_o = pq_index(emb, m=4, ksub=8, iters=iters)  # one-job
+        codes_d, books_d = pq_index(emb, m=4, ksub=8, iters=iters, one_job=False)
+        assert sorted(map(tuple, codes_o.collect())) == sorted(
+            map(tuple, codes_d.collect())
+        ), f"code drift at iters={iters}"
+        bo = {(r["sub"], r["cell"]): (r["centroid"], r["cent_sq"]) for r in books_o.collect()}
+        bd = {(r["sub"], r["cell"]): (r["centroid"], r["cent_sq"]) for r in books_d.collect()}
+        assert bo.keys() == bd.keys()
+        for key in bo:
+            for x, y in zip([*bo[key][0], bo[key][1]], [*bd[key][0], bd[key][1]]):
+                assert abs(x - y) <= 1e-9 * max(abs(x), abs(y), 1e-12), (
+                    f"codebook drift beyond ulp band at {key} iters={iters}"
+                )
+
+
 def test_ivf_one_job_empty_and_degenerate(spark):
     """One-job path edge cases: an empty training frame yields empty
     (assignment, centroids) without raising; fewer rows than nlist seeds

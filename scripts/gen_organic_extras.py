@@ -28,11 +28,22 @@ Usage: python scripts/gen_organic_extras.py [scale] [out_dir]
        scale=1 mirrors sf0.1 row counts; scale=10 is the 10×-organic probe
 Writes events/embeddings/orders/lineitem ``.parquet`` (testdata column
 subsets the probe queries read) with deterministic seeds per scale.
+
+Each table is sharded into ``scale`` equal files (1× = one file, matching
+sf0.1's on-disk layout).  This is the organic file shape too — a corpus
+10× bigger arrives as ~10× more files, not one 10×-bigger file — and it
+is load-bearing for the probes: Spark's scan parallelism follows file
+splits, and a single 6 MB parquet file puts ALL fused per-row compute
+(cosine folds, shingle explodes) on ONE core regardless of cluster size
+(the spread_for_compute rationale, sources/tables.py; a first probe run
+with unsharded 10× tables measured the ANN monitor 3.4× slower than the
+sharded layout purely from that serialization).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -43,6 +54,22 @@ SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/organic_extras_{SCALE}x"
 
 EVENT_TYPES = ["click", "view", "purchase", "login", "error"]
+
+
+def write_sharded(table: pa.Table, path: str, shards: int) -> None:
+    """Write ``table`` as a parquet DIRECTORY of ``shards`` row-sliced
+    files (Spark and DuckDB both read the directory transparently)."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+    n = table.num_rows
+    per = (n + shards - 1) // shards
+    for i in range(shards):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))
 
 
 def main() -> None:
@@ -67,7 +94,7 @@ def main() -> None:
             "value": pa.array(rng.normal(50.0, 15.0, n_ev)),
         }
     )
-    pq.write_table(events, os.path.join(OUT, "events.parquet"))
+    write_sharded(events, os.path.join(OUT, "events.parquet"), SCALE)
 
     # ---- embeddings: LABELS scale, block size + dup rate fixed ----------
     n_base = 2000 * SCALE
@@ -96,7 +123,7 @@ def main() -> None:
             "label": pa.array(all_labels, pa.int32()),
         }
     )
-    pq.write_table(emb, os.path.join(OUT, "embeddings.parquet"))
+    write_sharded(emb, os.path.join(OUT, "embeddings.parquet"), SCALE)
 
     # ---- trade graph: customers+suppliers scale, degrees fixed ----------
     n_cust = 15_000 * SCALE
@@ -105,16 +132,17 @@ def main() -> None:
     items_per_order = 4
     o_orderkey = np.arange(n_orders, dtype=np.int64)
     o_custkey = rng.integers(0, n_cust, n_orders).astype(np.int64)
-    pq.write_table(
+    write_sharded(
         pa.table({"o_orderkey": o_orderkey, "o_custkey": o_custkey}),
         os.path.join(OUT, "orders.parquet"),
+        SCALE,
     )
     n_li = n_orders * items_per_order
     ranks = np.arange(n_supp, dtype=np.float64)
     p = 1.0 / (ranks + 10.0)
     p /= p.sum()
     l_suppkey = rng.choice(n_supp, n_li, p=p).astype(np.int64)
-    pq.write_table(
+    write_sharded(
         pa.table(
             {
                 "l_orderkey": np.repeat(o_orderkey, items_per_order),
@@ -123,6 +151,7 @@ def main() -> None:
             }
         ),
         os.path.join(OUT, "lineitem.parquet"),
+        SCALE,
     )
     print(
         f"wrote {OUT}: events={n_ev} embeddings={len(all_ids)} "

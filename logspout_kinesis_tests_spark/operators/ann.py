@@ -152,14 +152,17 @@ def _lloyd_one_job(
     return cents
 
 
-#: Auto one-job training cap, in fused multiply-adds (rows × dim × cells ×
-#: iters).  Below it, driver Python beats the per-iteration distributed-agg
-#: scheduling floor (measured ~0.9-1.2 s/round on local[32]); above it the
-#: pure-Python loop's ~30-60 M ops/s loses to the cluster, so the auto gate
-#: falls back to the distributed loop even on a single-partition frame
-#: (the already-paid sample collect is the bounded cost of finding out).
-#: ``one_job=True`` overrides the cap.
-_ONE_JOB_MAX_OPS = 50_000_000
+#: Auto one-job training cap, in cell-dim ops (rows × dim × cells × iters).
+#: Below it, driver Python beats the per-iteration distributed-agg
+#: scheduling floor (~0.9-1.2 s/round on local[32]); above it the
+#: pure-Python loop loses to the cluster, so the auto gate falls back to
+#: the distributed loop even on a single-partition frame (the already-paid
+#: sample collect is the bounded cost of finding out).  Calibrated r14:
+#: the exact-fold loop runs ~14-16 M ops/s (0.25 s at 4 M ops / 2.9 s at
+#: 41 M), and the distributed alternative costs ~(iters+1) scheduling
+#: rounds, so 32 M ≈ 2.2 s of Python sits safely below break-even for the
+#: iters=1-2 shapes every call site uses.  ``one_job=True`` overrides.
+_ONE_JOB_MAX_OPS = 32_000_000
 
 
 def ivf_index(

@@ -118,7 +118,13 @@ def _lloyd_one_job(
                 dot = 0.0
                 for x, y in zip(vec, cent):
                     dot += float(x) * y
-                key = (1, dot / denom, -cell)
+                sim = dot / denom
+                # Spark's double ordering ranks NaN ABOVE every finite
+                # value (and NaN == NaN ties to the next struct field);
+                # Python tuple compares would instead always reject NaN,
+                # silently diverging from max_by (r14 review) — class 2
+                # reproduces the Spark ordering exactly
+                key = (2, 0.0, -cell) if sim != sim else (1, sim, -cell)
             if best is None or key > best[0]:
                 best = (key, cell)
         return best[1]
@@ -152,6 +158,18 @@ def _lloyd_one_job(
     return cents
 
 
+def _has_null_vecs(rows: list[tuple]) -> bool:
+    """True if any collected training vector is NULL or carries a NULL
+    element.  The distributed path has well-defined SQL semantics for both
+    (NULL sims excluded from argmax; ``F.avg`` skips NULL elements
+    per-position) that the exact-fold Python loops do not reproduce — a
+    NULL-bearing frame therefore always takes the distributed loop, so the
+    one-job path never changes NULL semantics (r14 review)."""
+    return any(
+        v is None or any(x is None for x in v) for _, v in rows
+    )
+
+
 #: Auto one-job training cap, in cell-dim ops (rows × dim × cells × iters).
 #: Below it, driver Python beats the per-iteration distributed-agg
 #: scheduling floor (~0.9-1.2 s/round on local[32]); above it the
@@ -179,16 +197,20 @@ def ivf_index(
     Returns ``assignment`` (corpus_id, cell) and ``centroids``
     (cell, centroid: array<double>).
 
-    Training cost shape: a single-partition training frame (every streaming
-    call site ``coalesce(1)``'s its bounded epoch sample — the standard
-    IVF practice of training on a sample, not the corpus) takes the
+    Training cost shape: a single-partition training frame (the
+    ``coalesce(1)`` bounded-sample shape the batch gate rows and the
+    recall monitor use — standard IVF practice trains on a sample, not
+    the corpus; streaming micro-batch trains engage only when the batch
+    arrives single-partition, e.g. one drip file per trigger) takes the
     one-job path: collect the sample once and run all Lloyd rounds in
     driver Python (:func:`_lloyd_one_job`; assignments provably identical,
     centroids within ulps — see its docstring).  A one-partition frame
     already concentrates the whole sample in one task, so the driver
-    collect adds no memory class the caller didn't accept.  Multi-partition
-    frames keep the distributed loop: one corpus scan per iteration,
-    centroids re-broadcast each round.
+    collect adds no memory class the caller didn't accept — and the
+    ``_ONE_JOB_MAX_OPS`` cap plus the NULL fallback bound the cases where
+    the collect was paid for nothing.  Multi-partition frames keep the
+    distributed loop: one corpus scan per iteration, centroids
+    re-broadcast each round.
     """
     spark = corpus.sparkSession
     c = corpus.select(F.col(corpus_id), F.col(vec_col))
@@ -202,16 +224,23 @@ def ivf_index(
     # localCheckpoint loop reachable in tests).
     if one_job is True or (one_job is None and c.rdd.getNumPartitions() == 1):
         rows = [(r[0], r[1]) for r in c.collect()]
-        dim = len(rows[0][1]) if rows else 0
+        dim = len(rows[0][1]) if rows and rows[0][1] is not None else 0
         work = len(rows) * dim * nlist * max(iters, 1)
-        if one_job or (
-            dim * nlist <= driver_materialize_cells and work <= _ONE_JOB_MAX_OPS
-        ):
+        if (
+            one_job
+            or (dim * nlist <= driver_materialize_cells and work <= _ONE_JOB_MAX_OPS)
+        ) and not _has_null_vecs(rows):
             centroids = spark.createDataFrame(
                 _lloyd_one_job(rows, nlist, iters),
                 "cell int, centroid array<double>",
             )
             return _nearest_cell(c, centroids, corpus_id, vec_col), centroids
+        # cap trip / NULL fallback: the paid collect supplied ``dim``; free
+        # the boxed rows before the distributed loop (r14 review)
+        if dim == 0 and rows:
+            head = c.select(F.size(F.col(vec_col)).alias("d")).head()
+            dim = head["d"] if head else 0
+        del rows
     else:
         head = c.select(F.size(F.col(vec_col)).alias("d")).head()
         dim = head["d"] if head else 0
@@ -227,7 +256,15 @@ def ivf_index(
 
     def _materialize(cents: DataFrame) -> DataFrame:
         if driver_side:
-            rows = [(r["cell"], list(r["centroid"])) for r in cents.collect()]
+            rows = [
+                # a NULL seed vector (NULL corpus embedding among the nlist
+                # lowest ids) stays a NULL centroid: its sims are NULL →
+                # excluded from argmax, and the next update round drops the
+                # cell — same semantics as the executor-side path
+                # (pre-existing crash, caught by the r14 review tests)
+                (r["cell"], None if r["centroid"] is None else list(r["centroid"]))
+                for r in cents.collect()
+            ]
             return spark.createDataFrame(rows, "cell int, centroid array<double>")
         return cents.localCheckpoint(eager=True)
 
@@ -309,7 +346,12 @@ def _pq_lloyd_one_job(
                     for x, y in zip(sv, cent):
                         diff = float(x) - y
                         d2 += diff * diff
-                    key = (d2, cell)
+                    # Spark's double ordering ranks NaN ABOVE every finite
+                    # value, so min_by never picks a NaN distance while any
+                    # finite one exists; a raw Python tuple compare would
+                    # instead FREEZE on a NaN best (all compares False) —
+                    # class 1 reproduces the Spark ordering (r14 review)
+                    key = (1, 0.0, cell) if d2 != d2 else (0, d2, cell)
                     if best is None or key < best[0]:
                         best = (key, cell)
                 cell = best[1]
@@ -370,11 +412,18 @@ def pq_index(
     one_rows = None
     if one_job is True or (one_job is None and c.rdd.getNumPartitions() == 1):
         one_rows = [(r[0], r[1]) for r in c.collect()]
-        dim = len(one_rows[0][1]) if one_rows else 0
-        # same work cap as ivf_index (iters=0 is seeds-only: always cheap);
-        # on a cap trip the paid collect still supplies ``dim``, and the
-        # distributed loop below takes over
-        if not one_job and len(one_rows) * dim * ksub * iters > _ONE_JOB_MAX_OPS:
+        dim = len(one_rows[0][1]) if one_rows and one_rows[0][1] is not None else 0
+        # same work cap as ivf_index — max(iters, 1) so iters=0 cannot
+        # bypass the bound on the collect itself (r14 review) — plus the
+        # NULL fallback; on a trip the paid collect still supplies ``dim``
+        # and the distributed loop below takes over
+        if (
+            not one_job
+            and len(one_rows) * dim * ksub * max(iters, 1) > _ONE_JOB_MAX_OPS
+        ) or _has_null_vecs(one_rows):
+            if dim == 0 and one_rows:  # first row's vec was NULL
+                head = c.select(F.size(F.col(vec_col)).alias("d")).head()
+                dim = head["d"] if head else 0
             one_rows = None
     else:
         head = c.select(F.size(F.col(vec_col)).alias("d")).head()

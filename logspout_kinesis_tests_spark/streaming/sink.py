@@ -128,7 +128,11 @@ def boto3_client_factory(region: str):
                     # (at-least-once; the retry loop bounds attempts)
                     return list(range(len(records)))
                 failed = [i for i, rec in enumerate(recs) if "ErrorCode" in rec]
-                if not failed and resp.get("FailedRecordCount", 0) > 0:
+                fc = resp.get("FailedRecordCount")
+                # isinstance guard: a nonconforming None/string count must
+                # not crash the very branch built for nonconforming shapes
+                # (dict.get's default only covers a MISSING key — r14 review)
+                if not failed and isinstance(fc, int) and fc > 0:
                     # contradictory shape: the count asserts failures but no
                     # record carries an ErrorCode — we cannot tell WHICH
                     # records failed, so delivery is unknown; retry the whole

@@ -58,7 +58,11 @@ EVENT_TYPES = ["click", "view", "purchase", "login", "error"]
 
 def write_sharded(table: pa.Table, path: str, shards: int) -> None:
     """Write ``table`` as a parquet DIRECTORY of ``shards`` row-sliced
-    files (Spark and DuckDB both read the directory transparently)."""
+    files.  Spark reads the directory transparently; DuckDB 1.0.0 needs a
+    glob (``read_parquet('<dir>/*.parquet')``) — the tests/oracle.py view
+    pattern (``FROM '<dir>/<name>.parquet'``) does NOT resolve a bare
+    directory, so these corpora are probe inputs, not oracle inputs
+    (r14 review)."""
     if os.path.isdir(path):
         shutil.rmtree(path)
     elif os.path.exists(path):
@@ -73,6 +77,15 @@ def write_sharded(table: pa.Table, path: str, shards: int) -> None:
 
 
 def main() -> None:
+    # c8_semantic_dedup plants its own duplicates at vec_id + 1M/2M
+    # (plans/curation_queries.py _semantic_corpus); our variant ids start
+    # at n_base*10 = 20000*SCALE, so SCALE >= 50 would collide with the
+    # planted range and corrupt dedup semantics (r14 review)
+    if 2000 * SCALE * 10 >= 1_000_000:
+        raise SystemExit(
+            f"scale {SCALE} puts variant vec_ids into c8_semantic_dedup's "
+            "planted +1M id range; max supported scale is 49"
+        )
     rng = np.random.default_rng(20260816 + SCALE)
     os.makedirs(OUT, exist_ok=True)
 

@@ -121,6 +121,74 @@ def test_ivf_one_job_empty_and_degenerate(spark):
     assert sorted(map(tuple, c.collect())) == sorted(map(tuple, c_d.collect()))
 
 
+def test_one_job_null_vectors_fall_back(spark):
+    """r14 review: NULL embeddings (whole-vector or single-element) have
+    SQL semantics the Python loops don't reproduce — a NULL-bearing
+    single-partition frame must take the distributed loop on BOTH
+    trainers, not crash with TypeError, and produce the distributed
+    result."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_index
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType(), True), True),
+        ]
+    )
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(8)]
+    rows[3] = (3, None)                      # whole-vector NULL
+    rows[5] = (5, [1.0, None, 2.0, 3.0])     # element NULL
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    a_auto, c_auto = ivf_index(df, nlist=4, iters=1)      # auto → fallback
+    a_dist, c_dist = ivf_index(df, nlist=4, iters=1, one_job=False)
+    assert sorted(map(tuple, a_auto.collect())) == sorted(
+        map(tuple, a_dist.collect())
+    )
+    assert sorted(map(tuple, c_auto.collect())) == sorted(
+        map(tuple, c_dist.collect())
+    )
+    p_auto, b_auto = pq_index(df, m=2, ksub=4, iters=1)
+    p_dist, b_dist = pq_index(df, m=2, ksub=4, iters=1, one_job=False)
+    assert sorted(map(tuple, p_auto.collect())) == sorted(
+        map(tuple, p_dist.collect())
+    )
+    assert sorted(map(tuple, b_auto.collect())) == sorted(
+        map(tuple, b_dist.collect())
+    )
+
+
+def test_one_job_nan_ordering_matches_spark(spark):
+    """r14 review: an Inf coordinate propagates NaN similarities/distances
+    in later rounds; Spark orders NaN ABOVE every finite double, which the
+    Python loops must reproduce (a raw tuple compare rejects/freezes on
+    NaN).  Both trainers must match the distributed result exactly."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_index
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(8)]
+    rows[2] = (2, [float("inf"), 1.0, 2.0, 3.0])
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    a_one, _ = ivf_index(df, nlist=4, iters=2)            # auto → one-job
+    a_dist, _ = ivf_index(df, nlist=4, iters=2, one_job=False)
+    assert sorted(map(tuple, a_one.collect())) == sorted(
+        map(tuple, a_dist.collect())
+    ), "NaN sim ordering diverged from max_by"
+    p_one, _ = pq_index(df, m=2, ksub=4, iters=2)
+    p_dist, _ = pq_index(df, m=2, ksub=4, iters=2, one_job=False)
+    assert sorted(map(tuple, p_one.collect())) == sorted(
+        map(tuple, p_dist.collect())
+    ), "NaN d2 ordering diverged from min_by"
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(

@@ -181,6 +181,22 @@ def test_sink_binding_retries_nonconforming_responses(fake_kinesis):
         ],
     }
     assert client.put_records("s", batch) == [1]
+    # a None (or string) count must not crash the contradiction guard
+    # itself (r14 review): the ErrorCode scan's verdict stands
+    fake_kinesis.put_records = lambda **kw: {
+        "FailedRecordCount": None,
+        "Records": [{"SequenceNumber": str(100 + i)} for i in range(3)],
+    }
+    assert client.put_records("s", batch) == []
+    fake_kinesis.put_records = lambda **kw: {
+        "FailedRecordCount": "2",
+        "Records": [
+            {"SequenceNumber": "100"},
+            {"ErrorCode": "InternalFailure"},
+            {"SequenceNumber": "102"},
+        ],
+    }
+    assert client.put_records("s", batch) == [1]
 
 
 def test_pull_binding_shapes_and_sequence_mapping(fake_kinesis):

@@ -158,6 +158,18 @@ def _lloyd_one_job(
     return cents
 
 
+def _probe_dim(c: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first NON-NULL vector (a head() on
+    the raw frame reads the first row, whose NULL embedding would yield a
+    NULL/-1 size and poison the m/nlist arithmetic — r14 review)."""
+    head = (
+        c.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .head()
+    )
+    return head["d"] if head else 0
+
+
 def _has_null_vecs(rows: list[tuple]) -> bool:
     """True if any collected training vector is NULL or carries a NULL
     element.  The distributed path has well-defined SQL semantics for both
@@ -238,12 +250,10 @@ def ivf_index(
         # cap trip / NULL fallback: the paid collect supplied ``dim``; free
         # the boxed rows before the distributed loop (r14 review)
         if dim == 0 and rows:
-            head = c.select(F.size(F.col(vec_col)).alias("d")).head()
-            dim = head["d"] if head else 0
+            dim = _probe_dim(c, vec_col)
         del rows
     else:
-        head = c.select(F.size(F.col(vec_col)).alias("d")).head()
-        dim = head["d"] if head else 0
+        dim = _probe_dim(c, vec_col)
     # Each k-means round must materialize its centroids — without cutting
     # the lineage, round N re-executes ALL previous rounds (lazy-plan
     # chaining: measured 5 min → 30 s at 500 vectors; fatal at scale).
@@ -422,12 +432,10 @@ def pq_index(
             and len(one_rows) * dim * ksub * max(iters, 1) > _ONE_JOB_MAX_OPS
         ) or _has_null_vecs(one_rows):
             if dim == 0 and one_rows:  # first row's vec was NULL
-                head = c.select(F.size(F.col(vec_col)).alias("d")).head()
-                dim = head["d"] if head else 0
+                dim = _probe_dim(c, vec_col)
             one_rows = None
     else:
-        head = c.select(F.size(F.col(vec_col)).alias("d")).head()
-        dim = head["d"] if head else 0
+        dim = _probe_dim(c, vec_col)
     if m <= 0 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

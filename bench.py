@@ -257,6 +257,49 @@ _CAL_PREWARM_PASSES = 1
 #: factor instead of throwing away the whole run.
 _CAL_SEGMENT_EVERY = 25
 
+#: Parallel-compute diagnostic probe (r14).  The three frozen calibration
+#: plans are FLOOR-shaped (1-2 task waves, 0.15-0.25 s): a box that loses
+#: parallel-compute throughput to a co-tenant runs the 32-core-saturated
+#: headline rows 4-9× slow while host_factor still reads ~1.0 — observed
+#: in the r14 pairing-A run (ngram/minhash/cosine rows 4-9×, calibration
+#: 0.87-1.16 mid-loop).  This probe is a 32-partition compute-bound fold
+#: (spark.range, no tables, no package helpers) whose factor is reported
+#: SEPARATELY as ``parallel_factor`` — diagnostic only, never folded into
+#: value_calibrated, so cross-round comparability of the calibrated
+#: headline is untouched.  Reference pinned 2026-08-16 per the _CAL_REF
+#: protocol: median of 3 fresh-session medians (0.445/0.401/0.428) after
+#: 2 untimed prewarm passes, quiet box, local[32].
+_CAL_PAR_REF = 0.428
+_CAL_PAR_N = 1_600_000
+_CAL_PAR_WARMUPS = 1
+_CAL_PAR_REPEATS = 3
+#: parallel_factor this far above the same sample's host_factor means the
+#: box lost parallel throughput specifically — flag the saturated rows
+_PAR_DEGRADE_RATIO = 1.5
+
+
+def parallel_degradation_warning(samples: list[tuple[float, float]]) -> str | None:
+    """Warn when any calibration sample shows parallel-compute throughput
+    degrading while the floor factor looks healthy.  ``samples`` is
+    [(host_factor, parallel_factor), ...]; pure for unit-testability."""
+    worst = None
+    for host, par in samples:
+        if par is None:
+            continue
+        ratio = par / max(host, 1e-9)
+        if ratio >= _PAR_DEGRADE_RATIO and (worst is None or ratio > worst[2]):
+            worst = (host, par, ratio)
+    if worst is None:
+        return None
+    return (
+        f"parallel-compute probe factor {worst[1]} vs floor host_factor "
+        f"{worst[0]} (x{round(worst[2], 2)}): the box is losing SATURATED "
+        "throughput (co-tenant?) that the floor-shaped calibration cannot "
+        "see — treat this run's compute-heavy movers as suspect and "
+        "re-pair on a quiet box"
+    )
+
+
 #: host_factor band outside which the frozen yardstick itself is suspect
 #: (VERDICT r7 #5): calibration corrects same-box drift (observed class
 #: ~1.25×), but a factor this far from 1.0 means the BOX changed — the
@@ -447,7 +490,10 @@ def _run_calibration(spark, sf_dir, builders=None, prewarm_passes: int = 0) -> d
     ``host_drift_within_run`` on a quiet box.  Per-query ``_CAL_WARMUPS``
     can't fix that (they run inside the same first-seconds window); a full
     extra pass pushes the recorded sample past the tiering cliff.
-    ``builders`` is injectable for the bench-contract test."""
+    ``builders`` is injectable for the bench-contract test (injected
+    builders skip the parallel-compute probe: fake sessions can't run
+    it)."""
+    injected = builders is not None
     if builders is None:
         builders = _calibration_builders()
     for _ in range(prewarm_passes):
@@ -471,7 +517,7 @@ def _run_calibration(spark, sf_dir, builders=None, prewarm_passes: int = 0) -> d
     # outlier's weight; the median needs 2 of 3 frozen queries to move
     # before the factor does, which is what genuine host drift looks like
     ratios = sorted(cal[name] / _CAL_REF[name] for name in cal)
-    return {
+    out = {
         "queries": cal,
         "total": total,
         "ref_total": _CAL_REF_TOTAL,
@@ -479,6 +525,34 @@ def _run_calibration(spark, sf_dir, builders=None, prewarm_passes: int = 0) -> d
         "per_query_ratio": {n: round(cal[n] / _CAL_REF[n], 3) for n in cal},
         "host_factor": round(ratios[len(ratios) // 2], 3),
     }
+    if not injected:
+        # saturated-throughput diagnostic (r14) — real runs only; the
+        # contract tests inject fake builders/sessions that can't run it
+        from pyspark.sql import functions as F
+
+        def par(spark_):
+            return (
+                spark_.range(0, _CAL_PAR_N, 1, 32)
+                .select(
+                    F.aggregate(
+                        F.sequence(F.lit(1), F.lit(32)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + F.sin(x * F.col("id")),
+                    ).alias("s")
+                )
+                .agg(F.sum("s").alias("total"))
+            )
+
+        for _ in range(_CAL_PAR_WARMUPS):
+            par(spark).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(_CAL_PAR_REPEATS):
+            t0 = time.perf_counter()
+            par(spark).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out["parallel_sec"] = round(statistics.median(runs), 3)
+        out["parallel_factor"] = round(out["parallel_sec"] / _CAL_PAR_REF, 3)
+    return out
 
 
 def main() -> None:
@@ -520,6 +594,7 @@ def main() -> None:
                     "after_index": i,
                     "after_query": HEADLINE[i - 1],
                     "host_factor": seg["host_factor"],
+                    "parallel_factor": seg.get("parallel_factor"),
                     "queries": seg["queries"],
                 }
             )
@@ -590,6 +665,14 @@ def main() -> None:
     headline["value_calibrated_segmented"] = round(
         sum(queries_calibrated.values()), 3
     )
+    par_samples = [
+        (calibration["host_factor"], calibration.get("parallel_factor")),
+        *[(s["host_factor"], s.get("parallel_factor")) for s in segments],
+        (calibration_end["host_factor"], calibration_end.get("parallel_factor")),
+    ]
+    par_msg = parallel_degradation_warning(par_samples)
+    if par_msg is not None:
+        print(f"WARNING: {par_msg}", file=sys.stderr)
     full = {
         **headline,
         "queries": timings,
@@ -600,6 +683,7 @@ def main() -> None:
         "calibration_end": calibration_end,
         "host_drift_within_run": drift,
         **({"calibration_warning": warning} if warning else {}),
+        **({"parallel_warning": par_msg} if par_msg else {}),
     }
     print(json.dumps(full))
     # local artifact with the per-query detail, for cross-round comparisons

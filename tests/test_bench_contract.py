@@ -36,6 +36,26 @@ def test_yardstick_warns_outside_band(factor):
     assert str(factor) in msg
 
 
+def test_parallel_degradation_silent_when_healthy():
+    # factors moving TOGETHER (plain box drift) must not trip the
+    # saturated-throughput warning, nor must missing probes (injected
+    # builders skip it → parallel_factor None)
+    assert bench.parallel_degradation_warning([]) is None
+    assert bench.parallel_degradation_warning([(1.0, 1.1), (1.2, 1.3)]) is None
+    assert bench.parallel_degradation_warning([(1.0, None), (0.9, 1.2)]) is None
+
+
+def test_parallel_degradation_warns_on_co_tenant_signature():
+    # the r14 pairing-A shape: floor calibration ~1.0 while saturated
+    # throughput collapses — exactly what the probe exists to catch
+    msg = bench.parallel_degradation_warning([(1.0, 1.05), (0.94, 3.2)])
+    assert msg is not None
+    assert "SATURATED" in msg and "3.2" in msg and "0.94" in msg
+    # worst sample wins when several trip
+    msg2 = bench.parallel_degradation_warning([(1.0, 1.6), (1.0, 4.0)])
+    assert "4.0" in msg2
+
+
 def test_heavy_family_is_a_headline_subset():
     # a heavy entry not in HEADLINE would silently never get its 7 repeats
     missing = bench._HEAVY - set(bench.HEADLINE)

@@ -271,7 +271,11 @@ _CAL_SEGMENT_EVERY = 25
 #: 2 untimed prewarm passes, quiet box, local[32].
 _CAL_PAR_REF = 0.428
 _CAL_PAR_N = 1_600_000
-_CAL_PAR_WARMUPS = 1
+#: 2 matches the reference-pinning protocol above ("after 2 untimed
+#: prewarm passes") — at 1 the runtime probe ran one fewer warmup than
+#: the pin, biasing parallel_sec/parallel_factor slightly high against
+#: the 0.428 reference (ADVICE r14)
+_CAL_PAR_WARMUPS = 2
 _CAL_PAR_REPEATS = 3
 #: parallel_factor this far above the same sample's host_factor means the
 #: box lost parallel throughput specifically — flag the saturated rows
@@ -298,6 +302,21 @@ def parallel_degradation_warning(samples: list[tuple[float, float]]) -> str | No
         "see — treat this run's compute-heavy movers as suspect and "
         "re-pair on a quiet box"
     )
+
+
+def quotable_verdict(
+    yardstick_msg: str | None, drift_msg: str | None, par_msg: str | None
+) -> bool:
+    """Machine-readable run-quality verdict (VERDICT r14 #4): the r14
+    pairing-A cycle was burned diagnosing a degraded-box run post-hoc even
+    though the probes had fired in-run.  A run is quotable for ratio
+    pairings / cross-round mover tables ONLY when none of the three box
+    diagnostics tripped: the yardstick band (the BOX moved vs the frozen
+    reference), within-run drift (the box turned mid-run), and the
+    parallel-compute probe (saturated throughput lost to a co-tenant while
+    the floor calibration read healthy).  SCALE.md's multi-pairing protocol
+    keys off this flag instead of judgment."""
+    return yardstick_msg is None and drift_msg is None and par_msg is None
 
 
 #: host_factor band outside which the frozen yardstick itself is suspect
@@ -673,6 +692,7 @@ def main() -> None:
     par_msg = parallel_degradation_warning(par_samples)
     if par_msg is not None:
         print(f"WARNING: {par_msg}", file=sys.stderr)
+    headline["quotable"] = quotable_verdict(warning, drift_msg, par_msg)
     full = {
         **headline,
         "queries": timings,

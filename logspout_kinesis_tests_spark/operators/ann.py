@@ -182,6 +182,85 @@ def _has_null_vecs(rows: list[tuple]) -> bool:
     )
 
 
+#: Row bound on the one-job training collect (ADVICE r14): the full-vector
+#: collect is only paid for frames the sizes probe has shown to be at most
+#: this many rows.  At the dims the ops cap admits (``_ONE_JOB_MAX_OPS`` /
+#: (nlist·iters) cells ≈ 1-2 M rows×dims), 64 Ki rows is never the binding
+#: constraint for dim ≥ ~16; tiny-dim frames beyond it just keep the
+#: distributed loop — a correct, merely slower path.
+_ONE_JOB_MAX_ROWS = 65_536
+
+
+def _one_job_sample(
+    c: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    unit_cost: int,
+    forced: bool,
+    dim_gate=None,
+) -> tuple[list[tuple] | None, int]:
+    """Bounded one-job training sample: ``(rows, dim)`` when every gate
+    holds, ``(None, dim)`` to send the caller to the distributed loop.
+
+    ADVICE r14 (medium): the previous auto path collected the ENTIRE
+    single-partition frame to the driver and only then checked the ops
+    cap — CPU was bounded but the collect's memory was not.  Probe first
+    with ``limit(_ONE_JOB_MAX_ROWS+1).select(size(vec))`` — a collect of
+    ints, byte-safe at any dim — which yields the row-count bound, the
+    dim (first non-null size, matching :func:`_probe_dim`), top-level
+    NULL vectors, and raggedness (ADVICE r14 low: a ragged frame would
+    IndexError / zip-truncate in the Python folds, diverging from Spark's
+    NULL-padding ``zip_with``) all BEFORE the full-vector collect.  Once
+    the gates pass, that collect is provably small: n·dim ≤
+    ``_ONE_JOB_MAX_OPS`` / unit_cost cells ≈ ≤16 MB of doubles.
+
+    ``forced`` (explicit ``one_job=True``) keeps the pre-ADVICE single
+    direct collect — the caller vouches for the frame's size (the bench
+    shapes pass a ``coalesce(1)`` bounded sample, where the one task
+    already holds every row) and opts out of the probe job and the
+    ops/row/dim budgets — but the correctness gates (NULLs, raggedness)
+    are still applied to the collected rows at zero extra jobs.
+    Element-level NULLs are invisible to ``size()``; the caller's
+    :func:`_has_null_vecs` scan covers them after either collect.
+    """
+    if forced:
+        rows = [(r[0], r[1]) for r in c.select(corpus_id, vec_col).collect()]
+        sizes = [None if v is None else len(v) for _, v in rows]
+    else:
+        rows = None
+        sizes = [
+            r[0]
+            for r in c.limit(_ONE_JOB_MAX_ROWS + 1)
+            .select(F.size(F.col(vec_col)))
+            .collect()
+        ]
+    n = len(sizes)
+    non_null = [s for s in sizes if s is not None and s >= 0]
+    dim = non_null[0] if non_null else 0
+    ok = (
+        len(non_null) == n  # no top-level NULL vectors
+        and all(s == dim for s in non_null)  # no ragged vectors
+        and (
+            forced
+            or (
+                n <= _ONE_JOB_MAX_ROWS
+                and n * dim * unit_cost <= _ONE_JOB_MAX_OPS
+                and (dim_gate is None or dim_gate(dim))
+            )
+        )
+    )
+    if ok:
+        if rows is None:
+            rows = [(r[0], r[1]) for r in c.select(corpus_id, vec_col).collect()]
+        if not _has_null_vecs(rows):
+            return rows, dim
+    if dim == 0 and n > 0 and not forced:
+        # first _ONE_JOB_MAX_ROWS rows all NULL — the real dim (if any)
+        # lives beyond the probe window
+        dim = _probe_dim(c, vec_col)
+    return None, dim
+
+
 #: Auto one-job training cap, in cell-dim ops (rows × dim × cells × iters).
 #: Below it, driver Python beats the per-iteration distributed-agg
 #: scheduling floor (~0.9-1.2 s/round on local[32]); above it the
@@ -216,11 +295,11 @@ def ivf_index(
     arrives single-partition, e.g. one drip file per trigger) takes the
     one-job path: collect the sample once and run all Lloyd rounds in
     driver Python (:func:`_lloyd_one_job`; assignments provably identical,
-    centroids within ulps — see its docstring).  A one-partition frame
-    already concentrates the whole sample in one task, so the driver
-    collect adds no memory class the caller didn't accept — and the
-    ``_ONE_JOB_MAX_OPS`` cap plus the NULL fallback bound the cases where
-    the collect was paid for nothing.  Multi-partition frames keep the
+    centroids within ulps — see its docstring).  The collect is bounded
+    BEFORE it is paid (ADVICE r14): a byte-safe sizes probe
+    (:func:`_one_job_sample`) checks the row bound, ops cap, NULLs and
+    raggedness first, so a large single-partition frame never
+    materializes on the driver.  Multi-partition frames keep the
     distributed loop: one corpus scan per iteration, centroids
     re-broadcast each round.
     """
@@ -230,28 +309,26 @@ def ivf_index(
     # already holds the whole sample in one task, so collecting it once and
     # running every Lloyd round in driver Python replaces the dim probe +
     # 1 seed job + ``iters`` distributed agg rounds (~0.9-1.2 s scheduling
-    # floor each on local[32]) with ONE collect.  ``one_job=None``
-    # auto-detects; True/False force the path (False also via
-    # ``driver_materialize_cells=0``, which keeps the executor-side
-    # localCheckpoint loop reachable in tests).
+    # floor each on local[32]) with TWO cheap single-task jobs — the
+    # byte-safe sizes probe that bounds the collect (ADVICE r14), then the
+    # collect itself.  ``one_job=None`` auto-detects; True/False force the
+    # path (False also via ``driver_materialize_cells=0``, which keeps the
+    # executor-side localCheckpoint loop reachable in tests).
     if one_job is True or (one_job is None and c.rdd.getNumPartitions() == 1):
-        rows = [(r[0], r[1]) for r in c.collect()]
-        dim = len(rows[0][1]) if rows and rows[0][1] is not None else 0
-        work = len(rows) * dim * nlist * max(iters, 1)
-        if (
-            one_job
-            or (dim * nlist <= driver_materialize_cells and work <= _ONE_JOB_MAX_OPS)
-        ) and not _has_null_vecs(rows):
+        rows, dim = _one_job_sample(
+            c,
+            corpus_id,
+            vec_col,
+            nlist * max(iters, 1),
+            forced=one_job is True,
+            dim_gate=lambda d: d * nlist <= driver_materialize_cells,
+        )
+        if rows is not None:
             centroids = spark.createDataFrame(
                 _lloyd_one_job(rows, nlist, iters),
                 "cell int, centroid array<double>",
             )
             return _nearest_cell(c, centroids, corpus_id, vec_col), centroids
-        # cap trip / NULL fallback: the paid collect supplied ``dim``; free
-        # the boxed rows before the distributed loop (r14 review)
-        if dim == 0 and rows:
-            dim = _probe_dim(c, vec_col)
-        del rows
     else:
         dim = _probe_dim(c, vec_col)
     # Each k-means round must materialize its centroids — without cutting
@@ -388,8 +465,17 @@ def pq_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     one_job: bool | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization index: per-subspace codebooks + per-vector codes.
+
+    ``dim`` (trusted geometry, VERDICT r14 #2): on the distributed path
+    (``one_job=False`` or a multi-partition corpus) a caller that KNOWS
+    the vector dim passes it here to skip the eager ``_probe_dim`` head —
+    an in-plan :func:`_checked_geometry` guard keeps mismatches loud at
+    zero probe jobs.  The one-job path ignores it: its sizes probe IS the
+    safety gate bounding the training collect (ADVICE r14) and supplies
+    the dim as a byproduct.
 
     Splits each d-dim vector into ``m`` contiguous subvectors and k-means
     quantizes every subspace independently to ``ksub`` centroids (the
@@ -419,26 +505,29 @@ def pq_index(
     # #2): a single-partition training frame is collected once and every
     # subspace's Lloyd rounds run in driver Python, replacing the dim
     # probe + seed materialize + per-iteration distributed agg rounds.
+    trusted_dim = dim
     one_rows = None
     if one_job is True or (one_job is None and c.rdd.getNumPartitions() == 1):
-        one_rows = [(r[0], r[1]) for r in c.collect()]
-        dim = len(one_rows[0][1]) if one_rows and one_rows[0][1] is not None else 0
-        # same work cap as ivf_index — max(iters, 1) so iters=0 cannot
-        # bypass the bound on the collect itself (r14 review) — plus the
-        # NULL fallback; on a trip the paid collect still supplies ``dim``
-        # and the distributed loop below takes over
-        if (
-            not one_job
-            and len(one_rows) * dim * ksub * max(iters, 1) > _ONE_JOB_MAX_OPS
-        ) or _has_null_vecs(one_rows):
-            if dim == 0 and one_rows:  # first row's vec was NULL
-                dim = _probe_dim(c, vec_col)
-            one_rows = None
-    else:
+        # same bounded gate as ivf_index (ADVICE r14): sizes probe before
+        # the full-vector collect; max(iters, 1) so iters=0 cannot bypass
+        # the ops bound (r14 review); the probe's measured dim overrides a
+        # caller-passed one
+        one_rows, dim = _one_job_sample(
+            c, corpus_id, vec_col, ksub * max(iters, 1), forced=one_job is True
+        )
+    elif dim is None:
         dim = _probe_dim(c, vec_col)
     if m <= 0 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    if one_rows is None and trusted_dim is not None:
+        # trusted-dim distributed plan: keep a dim mismatch loud in-plan
+        # (a wrong dim would slice short subvectors whose zip_with
+        # NULL-pads silently).  null_ok: the distributed loop's documented
+        # NULL-vector SQL semantics must survive the guard.
+        c = _checked_geometry(
+            c, corpus_id, vec_col, m, dsub, "pq_index", null_ok=True
+        )
     subs = _pq_subvectors(vec_col, m, dsub)
     sub_df = c.select(
         F.col(corpus_id), F.posexplode(subs).alias("sub", "svec")
@@ -541,6 +630,7 @@ def pq_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """PQ approximate cosine top-k with asymmetric distance + exact re-rank.
 
@@ -548,6 +638,14 @@ def pq_topk(
     reuse a persisted index — the production shape: the index is built once
     per corpus snapshot and amortized over every query batch, so the
     per-search cost is only the ADC scan + re-rank.
+
+    ``dim`` (trusted geometry, VERDICT r14 #2): the default ``None`` probes
+    the query dim and the index geometry with two eager ``head()`` jobs —
+    two scheduling floors a hot search loop pays per call.  A caller that
+    KNOWS the dim it built the index with passes it here; both probes are
+    then replaced by in-plan loud guards (:func:`_checked_geometry` on the
+    queries, :func:`_guarded_codebooks` on the index) that run inside the
+    consuming action at zero extra jobs.
 
     Search-time shape (the part that matters at 100 TB):
 
@@ -564,8 +662,10 @@ def pq_topk(
         index if index is not None
         else pq_index(corpus, m, ksub, iters, corpus_id, vec_col)
     )
-    head = queries.select(F.size(F.col(vec_col)).alias("d")).head()
-    dim = head["d"] if head else 0
+    trusted = dim is not None
+    if not trusted:
+        head = queries.select(F.size(F.col(vec_col)).alias("d")).head()
+        dim = head["d"] if head else 0
     if m <= 0 or dim % m != 0:
         raise ValueError(f"query dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -574,15 +674,23 @@ def pq_topk(
     # candidates — fail loudly instead.  This guards BOTH paths: a prebuilt
     # index with a different m, and a self-built index over a corpus whose
     # dim differs from the query dim (each divisible by m, e.g. 32-dim
-    # queries against a 64-dim corpus).
-    cb = codebooks.select(
-        F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
-    ).head()
-    if cb["max_sub"] != m - 1 or cb["dsub"] != dsub:
-        raise ValueError(
-            f"PQ index has m={cb['max_sub'] + 1}, dsub={cb['dsub']}; "
-            f"query expects m={m}, dsub={dsub}"
+    # queries against a 64-dim corpus).  With trusted geometry the same
+    # failures raise in-plan instead (zero probe jobs — see the ``dim``
+    # docstring paragraph).
+    if trusted:
+        queries = _checked_geometry(
+            queries, query_id, vec_col, m, dsub, "pq_topk"
         )
+        codebooks = _guarded_codebooks(codebooks, dsub, "pq_topk")
+    else:
+        cb = codebooks.select(
+            F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
+        ).head()
+        if cb["max_sub"] != m - 1 or cb["dsub"] != dsub:
+            raise ValueError(
+                f"PQ index has m={cb['max_sub'] + 1}, dsub={cb['dsub']}; "
+                f"query expects m={m}, dsub={dsub}"
+            )
     from logspout_kinesis_tests_spark.functions.vectors import dot_product, l2_norm
 
     q_subs = queries.select(
@@ -772,16 +880,55 @@ def _pq_cell_d2(
     )
 
 
+def _guarded_codebooks(codebooks: DataFrame, dsub: int, who: str) -> DataFrame:
+    """In-plan analogue of the eager codebook-geometry head for the
+    trusted-geometry paths (VERDICT r14 #2): every centroid's length is
+    checked WHERE IT IS READ — a mismatch raises loudly during the
+    consuming action instead of costing a dedicated probe job up front.
+    (The per-row check cannot see an index whose ``m`` exceeds the
+    caller's at equal dsub — trusted geometry means the caller asserts the
+    ``m`` it built the index with; the eager default path still catches
+    that case.)"""
+    return codebooks.select(
+        "sub",
+        "cell",
+        F.when(F.size("centroid") == dsub, F.col("centroid"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{who}: codebook centroid length "),
+                    F.coalesce(F.size("centroid"), F.lit(-1)).cast("string"),
+                    F.lit(f" != trusted dsub = {dsub}"),
+                )
+            )
+        )
+        .alias("centroid"),
+        *(["cent_sq"] if "cent_sq" in codebooks.columns else []),
+    )
+
+
 def _checked_geometry(
-    vectors: DataFrame, corpus_id: str, vec_col: str, m: int, dsub: int, who: str
+    vectors: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    m: int,
+    dsub: int,
+    who: str,
+    null_ok: bool = False,
 ) -> DataFrame:
     """Shared loud length guard for the encode AND drift-scoring paths —
     one contract for malformed input.  NULL embeddings report length -1
     (F.size(NULL) is NULL; an unguarded concat would feed raise_error a
-    NULL message, killing the batch with no diagnostics)."""
+    NULL message, killing the batch with no diagnostics).  ``null_ok``
+    passes NULL vectors through unchanged instead — for consumers whose
+    documented semantics already handle NULLs SQL-side (the distributed
+    pq_index loop) and only need the length check kept loud."""
+    ok = F.size(vec_col) == m * dsub
+    if null_ok:
+        ok = F.col(vec_col).isNull() | ok
     return vectors.select(
         F.col(corpus_id),
-        F.when(F.size(vec_col) == m * dsub, F.col(vec_col))
+        F.when(ok, F.col(vec_col))
         .otherwise(
             F.raise_error(
                 F.concat(
@@ -800,6 +947,7 @@ def pq_encode(
     codebooks: DataFrame,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    geometry: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Encode vectors against FROZEN codebooks → (corpus_id, sub, code).
 
@@ -815,11 +963,22 @@ def pq_encode(
     the job loudly — F.slice on a short vector would otherwise yield
     short subvectors, zip_with would null-pad, d2 would fold to NULL and
     min_by would append an arbitrary code to the index silently.
+
+    ``geometry=(m, dsub)`` (trusted geometry, VERDICT r14 #2): skips the
+    eager codebook-probe ``head()`` — one scheduling floor per call — for
+    callers that KNOW the geometry they trained the codebooks with; the
+    in-plan guards (:func:`_checked_geometry` on the vectors,
+    :func:`_guarded_codebooks` on the codebooks) keep the loud-failure
+    contract at zero extra jobs.
     """
-    meta = codebooks.agg(
-        F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
-    ).head()
-    m, dsub = meta["max_sub"] + 1, meta["dsub"]
+    if geometry is not None:
+        m, dsub = geometry
+        codebooks = _guarded_codebooks(codebooks, dsub, "pq_encode")
+    else:
+        meta = codebooks.agg(
+            F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
+        ).head()
+        m, dsub = meta["max_sub"] + 1, meta["dsub"]
     checked = _checked_geometry(vectors, corpus_id, vec_col, m, dsub, "pq_encode")
     scored = _pq_cell_d2(checked, codebooks, m, dsub, corpus_id, vec_col)
     return scored.groupBy(corpus_id, "sub").agg(

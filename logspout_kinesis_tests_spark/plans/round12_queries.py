@@ -292,7 +292,14 @@ def c10_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor's data even at 100 TB corpus: training reads one epoch);
     # monitor-side centroid numerics are floor-gated, not value-pinned,
     # so call-site partitioning is free to choose
-    cents = ivf_index(emb.filter(F.col("e") == 0).coalesce(1), nlist=16, iters=2)[1]
+    # one_job=True: the training sample is bounded by construction (one
+    # epoch of the fixture corpus, coalesce(1) — the task already holds
+    # every row), so the explicit flag keeps the pre-collect sizes-probe
+    # job (the ADVICE r14 auto-path bound) off this hot row; the
+    # NULL/raggedness gates still apply post-collect
+    cents = ivf_index(
+        emb.filter(F.col("e") == 0).coalesce(1), nlist=16, iters=2, one_job=True
+    )[1]
     # ONE inverted-file assignment for the whole corpus: per-vector cell
     # membership is snapshot-independent (frozen centroids) — the
     # streaming equivalent is the codes table the epochs append to, read

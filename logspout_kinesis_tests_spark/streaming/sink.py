@@ -132,12 +132,14 @@ def boto3_client_factory(region: str):
                 # isinstance guard: a nonconforming None/string count must
                 # not crash the very branch built for nonconforming shapes
                 # (dict.get's default only covers a MISSING key — r14 review)
-                if not failed and isinstance(fc, int) and fc > 0:
-                    # contradictory shape: the count asserts failures but no
-                    # record carries an ErrorCode — we cannot tell WHICH
-                    # records failed, so delivery is unknown; retry the whole
-                    # batch (at-least-once) rather than silently dropping the
-                    # failures the count asserted (ADVICE r13)
+                if isinstance(fc, int) and fc > len(failed):
+                    # contradictory shape: the count asserts MORE failures
+                    # than the records flag (including the no-flags case) —
+                    # we cannot tell WHICH unflagged records failed, so
+                    # delivery is unknown; retry the whole batch
+                    # (at-least-once) rather than silently dropping the
+                    # failures the count asserted (ADVICE r13, generalized
+                    # to partial flagging per ADVICE r14)
                     return list(range(len(records)))
                 return failed
 

@@ -37,6 +37,17 @@ sys.path.insert(0, str(_REPO))
 sys.path.insert(0, str(_REPO / "tests"))
 
 CAP_SEC = 15.0
+
+#: Maintenance-harness rows whose DuckDB oracle is a constant-time
+#: structural gate, not an equivalent query (VERDICT r14 #3) — excluded
+#: from the ``_ex_harness`` figures, kept in the conservative headline.
+HARNESS_ROWS = frozenset(
+    {
+        "c10_index_compaction_parity",
+        "c10_ann_recall_monitor",
+        "c9_minhash_ingest_parity",
+    }
+)
 BEST_OF = 2
 
 
@@ -117,6 +128,16 @@ def main() -> None:
 
     spark_total = round(sum(r["spark_sec"] for r in rows), 3)
     duck_total = round(sum(r["duckdb_sec"] for r in rows), 3)
+    # Dual report (VERDICT r14 #3): the self-exercising maintenance-harness
+    # rows (index build + fold + dual search / 12-epoch ingest cascade) are
+    # compared against ~3 ms CONSTANT-TIME structural oracles, so they
+    # dominate the all-rows numerator (~10.5 s vs 6 ms in r14) without
+    # measuring a query DuckDB actually runs.  Keeping them in the headline
+    # bound is conservative and stays; the ex-harness figure reports the
+    # query-only signal beside it.
+    ex = [r for r in rows if r["query"] not in HARNESS_ROWS]
+    ex_spark = round(sum(r["spark_sec"] for r in ex), 3)
+    ex_duck = round(sum(r["duckdb_sec"] for r in ex), 3)
     capped_set = [r["query"] for r in rows if r["duckdb_capped"]]
     duck_wins = sorted(
         (r for r in rows if r["spark_over_duckdb"] and r["spark_over_duckdb"] > 1),
@@ -138,6 +159,12 @@ def main() -> None:
         "spark_total_sec": spark_total,
         "duckdb_total_sec_lower_bound": duck_total,
         "ratio_upper_bound": round(spark_total / duck_total, 3),
+        "ex_harness_rows": sorted(HARNESS_ROWS & {r["query"] for r in rows}),
+        "spark_total_sec_ex_harness": ex_spark,
+        "duckdb_total_sec_lower_bound_ex_harness": ex_duck,
+        "ratio_upper_bound_ex_harness": round(ex_spark / ex_duck, 3)
+        if ex_duck > 0
+        else None,
         "duckdb_capped_queries": capped_set,
         "top_duckdb_wins": duck_wins[:8],
         "top_spark_wins": spark_wins[:8],

@@ -159,6 +159,81 @@ def test_one_job_null_vectors_fall_back(spark):
     )
 
 
+def test_one_job_collect_is_bounded(spark, monkeypatch):
+    """ADVICE r14 (medium): the one-job auto path must NOT collect a
+    single-partition frame larger than the row bound — the sizes probe
+    (ints only) decides first, and an over-bound frame takes the
+    distributed loop without the driver ever materializing the vectors.
+    Proven by shrinking the row bound below the frame size and pinning
+    both Python trainers to raise if entered."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    import logspout_kinesis_tests_spark.operators.ann as ann
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(8)]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    monkeypatch.setattr(ann, "_ONE_JOB_MAX_ROWS", 4)
+
+    def _boom(*a, **k):
+        raise AssertionError("one-job trainer entered past the row bound")
+
+    monkeypatch.setattr(ann, "_lloyd_one_job", _boom)
+    monkeypatch.setattr(ann, "_pq_lloyd_one_job", _boom)
+    a_auto, c_auto = ann.ivf_index(df, nlist=4, iters=1)  # auto → fallback
+    p_auto, b_auto = ann.pq_index(df, m=2, ksub=4, iters=1)
+    monkeypatch.undo()
+    # explicit one_job=True opts OUT of the size budgets (the caller
+    # vouches for the collect) — it must still train and match
+    a_frc, _ = ann.ivf_index(df, nlist=4, iters=1, one_job=True)
+    a_dist, c_dist = ann.ivf_index(df, nlist=4, iters=1, one_job=False)
+    p_dist, b_dist = ann.pq_index(df, m=2, ksub=4, iters=1, one_job=False)
+    assert sorted(map(tuple, a_auto.collect())) == sorted(map(tuple, a_dist.collect()))
+    assert sorted(map(tuple, c_auto.collect())) == sorted(map(tuple, c_dist.collect()))
+    assert sorted(map(tuple, p_auto.collect())) == sorted(map(tuple, p_dist.collect()))
+    assert sorted(map(tuple, b_auto.collect())) == sorted(map(tuple, b_dist.collect()))
+    assert sorted(map(tuple, a_frc.collect())) == sorted(map(tuple, a_dist.collect()))
+
+
+def test_one_job_ragged_vectors_fall_back(spark):
+    """ADVICE r14 (low): a ragged frame (vector lengths differ) would
+    IndexError / zip-truncate inside the Python folds, silently diverging
+    from Spark's NULL-padding ``zip_with`` — the sizes probe must send it
+    to the distributed loop, and both trainers must match that loop's
+    result exactly."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from logspout_kinesis_tests_spark.operators.ann import ivf_index, pq_index
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(8)]
+    rows[5] = (5, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])  # longer later vector
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    a_auto, c_auto = ivf_index(df, nlist=4, iters=2)      # auto → fallback
+    a_dist, c_dist = ivf_index(df, nlist=4, iters=2, one_job=False)
+    assert sorted(map(tuple, a_auto.collect())) == sorted(map(tuple, a_dist.collect()))
+    assert sorted(map(tuple, c_auto.collect())) == sorted(map(tuple, c_dist.collect()))
+    p_auto, b_auto = pq_index(df, m=2, ksub=4, iters=1)
+    p_dist, b_dist = pq_index(df, m=2, ksub=4, iters=1, one_job=False)
+    assert sorted(map(tuple, p_auto.collect())) == sorted(map(tuple, p_dist.collect()))
+    assert sorted(map(tuple, b_auto.collect())) == sorted(map(tuple, b_dist.collect()))
+    # the forced path detects raggedness post-collect and falls back too
+    a_frc, _ = ivf_index(df, nlist=4, iters=2, one_job=True)
+    assert sorted(map(tuple, a_frc.collect())) == sorted(map(tuple, a_dist.collect()))
+    p_frc, _ = pq_index(df, m=2, ksub=4, iters=1, one_job=True)
+    assert sorted(map(tuple, p_frc.collect())) == sorted(map(tuple, p_dist.collect()))
+
+
 def test_one_job_nan_ordering_matches_spark(spark):
     """r14 review: an Inf coordinate propagates NaN similarities/distances
     in later rounds; Spark orders NaN ABOVE every finite double, which the
@@ -457,6 +532,40 @@ def test_pq_topk_rejects_query_corpus_dim_mismatch(spark, sf_dir):
     corpus = emb.select("vec_id", "embedding")
     with _pytest.raises(ValueError, match="PQ index"):
         pq_topk(queries, corpus, k=5, m=4)
+
+
+def test_pq_topk_trusted_dim_matches_and_stays_loud(spark, sf_dir):
+    """VERDICT r14 #2 trusted geometry: passing ``dim`` must (a) return
+    EXACTLY the default path's results — the probes it skips are
+    pure-validation — and (b) keep geometry mismatches loud via the
+    in-plan guards instead of the skipped eager heads."""
+    import pytest as _pytest
+
+    from logspout_kinesis_tests_spark.operators.ann import (
+        pq_encode,
+        pq_index,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    dim = len(corpus.filter(F.col("embedding").isNotNull()).head()["embedding"])
+    idx = pq_index(corpus, m=4, ksub=8, one_job=False, dim=dim)
+    got = pq_topk(queries, corpus, k=5, m=4, index=idx, dim=dim)
+    want = pq_topk(queries, corpus, k=5, m=4, index=idx)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # trusted pq_encode path: identical codes, no probe head
+    enc_t = pq_encode(corpus, idx[1], geometry=(4, dim // 4))
+    enc_d = pq_encode(corpus, idx[1])
+    assert sorted(map(tuple, enc_t.collect())) == sorted(map(tuple, enc_d.collect()))
+    # a WRONG trusted dim must fail loudly at execution (in-plan guard),
+    # never silently degrade to the id tiebreak
+    bad = pq_topk(queries, corpus, k=5, m=4, index=idx, dim=dim // 2)
+    with _pytest.raises(Exception, match="pq_topk"):
+        bad.write.format("noop").mode("overwrite").save()
 
 
 def test_pq_finds_planted_exact_duplicates(spark, sf_dir):

@@ -56,6 +56,21 @@ def test_parallel_degradation_warns_on_co_tenant_signature():
     assert "4.0" in msg2
 
 
+def test_quotable_verdict_keys_off_all_three_diagnostics():
+    """VERDICT r14 #4: the emitted JSON carries quotable=false whenever ANY
+    box diagnostic fired (yardstick band, within-run drift, parallel
+    probe), so the multi-pairing protocol keys off the flag instead of a
+    post-hoc judgment call."""
+    assert bench.quotable_verdict(None, None, None) is True
+    assert bench.quotable_verdict("yardstick moved", None, None) is False
+    assert bench.quotable_verdict(None, "drift", None) is False
+    assert bench.quotable_verdict(None, None, "saturated loss") is False
+    assert bench.quotable_verdict("a", "b", "c") is False
+    # the probe's own warmup count must match its pinning protocol
+    # (ADVICE r14: _CAL_PAR_REF was pinned after 2 untimed passes)
+    assert bench._CAL_PAR_WARMUPS == 2
+
+
 def test_heavy_family_is_a_headline_subset():
     # a heavy entry not in HEADLINE would silently never get its 7 repeats
     missing = bench._HEAVY - set(bench.HEADLINE)

@@ -181,6 +181,29 @@ def test_sink_binding_retries_nonconforming_responses(fake_kinesis):
         ],
     }
     assert client.put_records("s", batch) == [1]
+    # generalized contradiction (ADVICE r14): the count asserts MORE
+    # failures than the records flag — the unflagged failures are
+    # unidentifiable, so the whole batch must be retried
+    fake_kinesis.put_records = lambda **kw: {
+        "FailedRecordCount": 3,
+        "Records": [
+            {"SequenceNumber": "100"},
+            {"ErrorCode": "InternalFailure"},
+            {"SequenceNumber": "102"},
+        ],
+    }
+    assert client.put_records("s", batch) == [0, 1, 2]
+    # count UNDER the flagged total: the per-record flags identify the
+    # failures precisely, so the flag scan's verdict stands
+    fake_kinesis.put_records = lambda **kw: {
+        "FailedRecordCount": 1,
+        "Records": [
+            {"ErrorCode": "InternalFailure"},
+            {"ErrorCode": "InternalFailure"},
+            {"SequenceNumber": "102"},
+        ],
+    }
+    assert client.put_records("s", batch) == [0, 1]
     # a None (or string) count must not crash the contradiction guard
     # itself (r14 review): the ErrorCode scan's verdict stands
     fake_kinesis.put_records = lambda **kw: {

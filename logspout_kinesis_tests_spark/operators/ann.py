@@ -678,8 +678,12 @@ def pq_topk(
     # failures raise in-plan instead (zero probe jobs — see the ``dim``
     # docstring paragraph).
     if trusted:
+        # null_ok: the default path tolerates NULL query vectors (their
+        # sims are NULL — SQL semantics rank them out), so the trusted
+        # guard must not turn them into a crash; only LENGTH mismatches
+        # are the loud failure here
         queries = _checked_geometry(
-            queries, query_id, vec_col, m, dsub, "pq_topk"
+            queries, query_id, vec_col, m, dsub, "pq_topk", null_ok=True
         )
         codebooks = _guarded_codebooks(codebooks, dsub, "pq_topk")
     else:

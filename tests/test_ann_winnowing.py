@@ -566,6 +566,15 @@ def test_pq_topk_trusted_dim_matches_and_stays_loud(spark, sf_dir):
     bad = pq_topk(queries, corpus, k=5, m=4, index=idx, dim=dim // 2)
     with _pytest.raises(Exception, match="pq_topk"):
         bad.write.format("noop").mode("overwrite").save()
+    # a NULL query vector keeps the default path's SQL semantics under the
+    # trusted guard (ranked out via NULL sims, not a crash)
+    nq = queries.withColumn(
+        "embedding",
+        F.when(F.col("query_id") == 3, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    got_n = pq_topk(nq, corpus, k=5, m=4, index=idx, dim=dim)
+    want_n = pq_topk(nq, corpus, k=5, m=4, index=idx)
+    assert sorted(map(tuple, got_n.collect())) == sorted(map(tuple, want_n.collect()))
 
 
 def test_pq_finds_planted_exact_duplicates(spark, sf_dir):

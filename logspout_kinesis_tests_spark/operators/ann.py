@@ -658,11 +658,28 @@ def pq_topk(
     3. Exact re-rank: only the top-``rerank`` candidates per query join
        back to the full-precision vectors for true cosine; final top-k.
     """
+    self_built = index is None
     codes, codebooks = (
         index if index is not None
         else pq_index(corpus, m, ksub, iters, corpus_id, vec_col)
     )
     trusted = dim is not None
+    if not trusted and self_built:
+        # r15: a SELF-BUILT index's geometry is ours by construction —
+        # pq_index just validated ``corpus_dim % m`` and built exactly
+        # ``m`` subspaces of one dsub — so the two eager probe jobs this
+        # path used to pay (query-dim head + codebook-geometry head) are
+        # pure scheduling floor.  Derive the plan-time dim from the
+        # codebooks we built (a LocalRelation head on the one-job path —
+        # job-free; one tiny checkpointed-block read at iters>0) and let
+        # the in-plan trusted guards below keep mismatched QUERY lengths
+        # exactly as loud, inside the consuming action at zero extra jobs.
+        # Empty corpus → no codebook rows → fall through to the query
+        # head probe, preserving the old empty-input error surface.
+        row = codebooks.select(F.size("centroid").alias("dsub")).head()
+        if row is not None:
+            dim = row["dsub"] * m
+            trusted = True
     if not trusted:
         head = queries.select(F.size(F.col(vec_col)).alias("d")).head()
         dim = head["d"] if head else 0

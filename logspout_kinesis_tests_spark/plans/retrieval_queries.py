@@ -445,7 +445,17 @@ def c20_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     keep = exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
-    survivors = corpus.join(keep, "doc_id", "left_semi")
+    # r15: THREE consumers read the survivor set (repetition_stats, the
+    # decontamination n-gram explode, and the final doc_id/text join) and
+    # each re-derived the union + sha256 dedup + semi-join subtree — Spark
+    # shares no subplans across one action.  One materialization removes
+    # two recomputations of the dedup shuffle (guide §2.4/§5; interleaved
+    # same-session A/B, 5 alternating repeats at sf0.1: 2.69 s → 2.04 s
+    # median, 0.76×, rows identical; plan diff in
+    # plans/r15/c20_training_prep_{before,after}.txt).
+    survivors = corpus.join(keep, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     bench = docs.filter(F.col("doc_id") % 101 == 0).select(
         F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 5, 16)).alias(
             "text"

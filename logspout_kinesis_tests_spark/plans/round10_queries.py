@@ -1213,29 +1213,53 @@ def c20_term_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVL_BUCKETS = 256
 
 
-def _rank_counts(
-    ref: DataFrame, qry: DataFrame, bounds: DataFrame, strict: bool
+def _rank_counts_multi(
+    passes: list[tuple[DataFrame, DataFrame, bool, int]], bounds: DataFrame
 ) -> DataFrame:
-    """For every (user_id, session_seq, q) in ``qry``: the number of
-    ``ref.v`` values ≤ q (or < q when ``strict``), via the bucketed-CDF
-    pattern (c2_ks_test): a monotone integer bucket map, exclusive prefix
-    offsets over the ≤256-row bucket table (the one allowed tiny global
-    window), and per-bucket cumulative windows that run in parallel.  At
-    tie values refs sort before queries for ≤ and after them for <, so
-    the inclusive cumsum over is_ref reads exactly the wanted rank."""
-    pts = ref.select(
-        F.col("v"),
-        F.lit(1).alias("is_ref"),
-        F.lit(None).cast("long").alias("user_id"),
-        F.lit(None).cast("long").alias("session_seq"),
-    ).unionAll(
-        qry.select(
-            F.col("q").alias("v"),
-            F.lit(0).alias("is_ref"),
-            "user_id",
-            "session_seq",
+    """Several independent rank-count passes fused into ONE tagged plan
+    (r15, the recall-monitor reshape applied here): every pass's ref and
+    query points are unioned with an integer ``side`` tag, and the bucket
+    rollup, offset table and cumulative window all key on (side, bucket) —
+    one shuffle wave total instead of one per pass.
+
+    ``passes`` is ``[(ref, qry, strict, side), ...]``: for every
+    (user_id, session_seq, q) in ``qry``, the number of ``ref.v`` values
+    ≤ q (or < q when ``strict``), via the bucketed-CDF pattern
+    (c2_ks_test): a monotone integer bucket map, exclusive prefix offsets
+    over the ≤256·len(passes)-row bucket table (the one allowed tiny
+    global window, partitioned by side), and per-(side, bucket)
+    cumulative windows that run in parallel.  At tie values refs sort
+    before queries for ≤ and after them for < — encoded per-row in the
+    integer ``tie`` column (refs −1/+1, queries 0) so one window spec
+    serves both strictness flavors.  Output: (user_id, session_seq,
+    side, rank), query rows only.
+    """
+    legs = []
+    for ref, qry, strict, side in passes:
+        tie_ref = F.lit(1) if strict else F.lit(-1)
+        legs.append(
+            ref.select(
+                F.col("v"),
+                F.lit(1).alias("is_ref"),
+                F.lit(None).cast("long").alias("user_id"),
+                F.lit(None).cast("long").alias("session_seq"),
+                F.lit(side).alias("side"),
+                tie_ref.alias("tie"),
+            )
         )
-    )
+        legs.append(
+            qry.select(
+                F.col("q").alias("v"),
+                F.lit(0).alias("is_ref"),
+                "user_id",
+                "session_seq",
+                F.lit(side).alias("side"),
+                F.lit(0).alias("tie"),
+            )
+        )
+    pts = legs[0]
+    for leg in legs[1:]:
+        pts = pts.unionAll(leg)
     b = pts.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket",
         F.least(
@@ -1246,24 +1270,41 @@ def _rank_counts(
     # ref counts per bucket over ALL points (like c2_ks_test): a bucket
     # holding only queries must still appear with cnt=0, or its rows would
     # coalesce to offset 0 and silently lose every lower bucket's ref mass
-    bucket_tot = b.groupBy("bucket").agg(F.sum("is_ref").alias("cnt"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offs = bucket_tot.select(
-        "bucket", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off")
+    bucket_tot = b.groupBy("side", "bucket").agg(F.sum("is_ref").alias("cnt"))
+    wb = (
+        Window.partitionBy("side")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    order = [F.col("v").asc(), F.col("is_ref").desc() if not strict else F.col("is_ref").asc()]
+    offs = bucket_tot.select(
+        "side", "bucket", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off")
+    )
     wv = (
-        Window.partitionBy("bucket")
-        .orderBy(*order)
+        Window.partitionBy("side", "bucket")
+        .orderBy("v", "tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = b.join(F.broadcast(offs), "bucket", "left").select(
+    cum = b.join(F.broadcast(offs), ["side", "bucket"], "left").select(
         "user_id",
         "session_seq",
         "is_ref",
+        "side",
         (F.coalesce("off", F.lit(0)) + F.sum("is_ref").over(wv)).alias("rank"),
     )
-    return cum.filter(F.col("is_ref") == 0).select("user_id", "session_seq", "rank")
+    return cum.filter(F.col("is_ref") == 0).select(
+        "user_id", "session_seq", "side", "rank"
+    )
+
+
+def _rank_counts(
+    ref: DataFrame, qry: DataFrame, bounds: DataFrame, strict: bool
+) -> DataFrame:
+    """Single-pass wrapper over :func:`_rank_counts_multi` — kept as the
+    documented reference shape (its tie semantics are unit-pinned in
+    tests/test_round10.py)."""
+    return _rank_counts_multi([(ref, qry, strict, 0)], bounds).select(
+        "user_id", "session_seq", "rank"
+    )
 
 
 @register(
@@ -1296,18 +1337,36 @@ def c15_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = iv.agg(F.min("start_us").alias("mn"), F.max("end_us").alias("mx"))
     starts = iv.select(F.col("start_us").alias("v"))
     ends = iv.select(F.col("end_us").alias("v"))
-    le = _rank_counts(
-        starts, iv.select("user_id", "session_seq", F.col("end_us").alias("q")),
-        bounds, strict=False,
-    ).withColumnRenamed("rank", "n_starts_le")
-    lt = _rank_counts(
-        ends, iv.select("user_id", "session_seq", F.col("start_us").alias("q")),
-        bounds, strict=True,
-    ).withColumnRenamed("rank", "n_ends_lt")
-    return le.join(lt, ["user_id", "session_seq"]).select(
-        "user_id",
-        "session_seq",
-        (F.col("n_starts_le") - F.col("n_ends_lt") - 1).alias("n_overlap"),
+    # r15: BOTH rank passes fused into one tagged plan (side 0 = "#starts
+    # ≤ my end", side 1 = "#ends < my start") and the final per-session
+    # combine is a groupBy over the tagged rows instead of an equi-join of
+    # two pass outputs — one bucket rollup + one window + one aggregate
+    # where the old shape ran two of each plus a sort-merge join (plan
+    # diff: plans/r15/c15_session_overlap_{before,after}.txt; interleaved
+    # A/B in OPTIMIZATION_r15.md).
+    ranks = _rank_counts_multi(
+        [
+            (
+                starts,
+                iv.select("user_id", "session_seq", F.col("end_us").alias("q")),
+                False,
+                0,
+            ),
+            (
+                ends,
+                iv.select("user_id", "session_seq", F.col("start_us").alias("q")),
+                True,
+                1,
+            ),
+        ],
+        bounds,
+    )
+    return ranks.groupBy("user_id", "session_seq").agg(
+        (
+            F.max(F.when(F.col("side") == 0, F.col("rank")))
+            - F.max(F.when(F.col("side") == 1, F.col("rank")))
+            - 1
+        ).alias("n_overlap")
     )
 
 

@@ -516,9 +516,12 @@ def test_pq_topk_rejects_mismatched_prebuilt_index(spark, sf_dir):
 
 def test_pq_topk_rejects_query_corpus_dim_mismatch(spark, sf_dir):
     """Self-built path: queries whose dim differs from the corpus dim (both
-    divisible by m) must raise the same geometry error — without the check
-    the short query subvectors zip_with-pad to NULL ADC partials and the
-    result silently degrades to the id tiebreak."""
+    divisible by m) must raise a geometry error — without the check the
+    short query subvectors zip_with-pad to NULL ADC partials and the result
+    silently degrades to the id tiebreak.  Since r15 the self-built path
+    derives its geometry from the index it just built (no eager probe
+    jobs), so the mismatch surfaces through the in-plan guard at EXECUTION
+    time — same loudness, zero probe jobs."""
     import pytest as _pytest
 
     from logspout_kinesis_tests_spark.operators.ann import pq_topk
@@ -530,8 +533,9 @@ def test_pq_topk_rejects_query_corpus_dim_mismatch(spark, sf_dir):
         F.slice("embedding", 1, 32).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding")
-    with _pytest.raises(ValueError, match="PQ index"):
-        pq_topk(queries, corpus, k=5, m=4)
+    bad = pq_topk(queries, corpus, k=5, m=4)
+    with _pytest.raises(Exception, match="pq_topk"):
+        bad.write.format("noop").mode("overwrite").save()
 
 
 def test_pq_topk_trusted_dim_matches_and_stays_loud(spark, sf_dir):

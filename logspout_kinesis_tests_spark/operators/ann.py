@@ -647,6 +647,14 @@ def pq_topk(
     queries, :func:`_guarded_codebooks` on the index) that run inside the
     consuming action at zero extra jobs.
 
+    Empty-queries contract (ADVICE r15): on the self-built path the dim is
+    trusted from the index's own codebooks, so EMPTY queries return an
+    empty result instead of raising — there is nothing to mismatch against
+    a geometry the call itself constructed.  The prebuilt-index path keeps
+    the eager query-dim probe and still raises on empty queries with a
+    dsub=0 mismatch, because there a wrong *index* (e.g. larger m) is a
+    real possibility the probe exists to catch.
+
     Search-time shape (the part that matters at 100 TB):
 
     1. ADC tables: dot(q_sub, centroid) for every (query, sub, cell) —
@@ -664,6 +672,7 @@ def pq_topk(
         else pq_index(corpus, m, ksub, iters, corpus_id, vec_col)
     )
     trusted = dim is not None
+    derived = False  # dim derived from our own codebooks (NULL-tolerant)
     if not trusted and self_built:
         # r15: a SELF-BUILT index's geometry is ours by construction —
         # pq_index just validated ``corpus_dim % m`` and built exactly
@@ -676,10 +685,21 @@ def pq_topk(
         # exactly as loud, inside the consuming action at zero extra jobs.
         # Empty corpus → no codebook rows → fall through to the query
         # head probe, preserving the old empty-input error surface.
-        row = codebooks.select(F.size("centroid").alias("dsub")).head()
-        if row is not None:
+        # NULL-centroid rows are skipped (ADVICE r15): at iters=0 a NULL
+        # embedding among the ksub lowest-id seed rows yields NULL seed
+        # centroids, whose size() is NULL — deriving from one of those
+        # would compute ``None * m``.  NULL corpus vectors are in-contract
+        # (the null_ok guards below), so filter to a real centroid and let
+        # the all-NULL case fall through to the query probe too.
+        row = (
+            codebooks.where(F.col("centroid").isNotNull())
+            .select(F.size("centroid").alias("dsub"))
+            .head()
+        )
+        if row is not None and row["dsub"] is not None:
             dim = row["dsub"] * m
             trusted = True
+            derived = True
     if not trusted:
         head = queries.select(F.size(F.col(vec_col)).alias("d")).head()
         dim = head["d"] if head else 0
@@ -702,7 +722,9 @@ def pq_topk(
         queries = _checked_geometry(
             queries, query_id, vec_col, m, dsub, "pq_topk", null_ok=True
         )
-        codebooks = _guarded_codebooks(codebooks, dsub, "pq_topk")
+        # derived → self-built codebooks may hold NULL seed centroids
+        # (in-contract NULL corpus vectors at iters=0) — rank out, not raise
+        codebooks = _guarded_codebooks(codebooks, dsub, "pq_topk", null_ok=derived)
     else:
         cb = codebooks.select(
             F.max("sub").alias("max_sub"), F.max(F.size("centroid")).alias("dsub")
@@ -901,7 +923,9 @@ def _pq_cell_d2(
     )
 
 
-def _guarded_codebooks(codebooks: DataFrame, dsub: int, who: str) -> DataFrame:
+def _guarded_codebooks(
+    codebooks: DataFrame, dsub: int, who: str, null_ok: bool = False
+) -> DataFrame:
     """In-plan analogue of the eager codebook-geometry head for the
     trusted-geometry paths (VERDICT r14 #2): every centroid's length is
     checked WHERE IT IS READ — a mismatch raises loudly during the
@@ -909,11 +933,21 @@ def _guarded_codebooks(codebooks: DataFrame, dsub: int, who: str) -> DataFrame:
     (The per-row check cannot see an index whose ``m`` exceeds the
     caller's at equal dsub — trusted geometry means the caller asserts the
     ``m`` it built the index with; the eager default path still catches
-    that case.)"""
+    that case.)
+
+    ``null_ok`` passes NULL centroids through unchanged (ADVICE r15): a
+    self-built index can legitimately hold them — at iters=0 a NULL
+    corpus vector among the seed rows slices to a NULL centroid — and the
+    eager default path tolerates them (its probe is max over non-NULL
+    sizes; NULL ADC partials rank out SQL-side).  Only LENGTH mismatches
+    stay loud."""
+    ok = F.size("centroid") == dsub
+    if null_ok:
+        ok = F.col("centroid").isNull() | ok
     return codebooks.select(
         "sub",
         "cell",
-        F.when(F.size("centroid") == dsub, F.col("centroid"))
+        F.when(ok, F.col("centroid"))
         .otherwise(
             F.raise_error(
                 F.concat(

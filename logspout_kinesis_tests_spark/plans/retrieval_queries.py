@@ -452,7 +452,12 @@ def c20_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two recomputations of the dedup shuffle (guide §2.4/§5; interleaved
     # same-session A/B, 5 alternating repeats at sf0.1: 2.69 s → 2.04 s
     # median, 0.76×, rows identical; plan diff in
-    # plans/r15/c20_training_prep_{before,after}.txt).
+    # plans/r15/c20_training_prep_{before,after}.txt).  localCheckpoint
+    # pins the survivor corpus in executor-local non-recomputable blocks —
+    # the established repo pattern, right for the bench's local mode; a
+    # 100 TB deployment would swap this one call for
+    # persist(MEMORY_AND_DISK) + an action to keep the blocks rebuildable
+    # after executor loss (ADVICE r15).
     survivors = corpus.join(keep, "doc_id", "left_semi").localCheckpoint(
         eager=True
     )

@@ -1361,6 +1361,10 @@ def c15_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         bounds,
     )
+    # groupBy (not the old inner join of the two rank passes) so NULL
+    # (user_id, session_seq) groups are KEPT, matching the oracle's
+    # GROUP BY semantics — an inner equi-join would silently drop them
+    # (ADVICE r15; do not "fix" this back to a join)
     return ranks.groupBy("user_id", "session_seq").agg(
         (
             F.max(F.when(F.col("side") == 0, F.col("rank")))

@@ -113,12 +113,14 @@ def _crossmodal_oracle() -> str:
 def c8_crossmodal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logspout_kinesis_tests_spark.operators.dedup import (
         dedup_keep_best,
-        ngram_jaccard_pairs,
+        exploded_shingles,
     )
     from logspout_kinesis_tests_spark.plans.multimodal_ext_queries import (
+        _PHASH_BANDS,
+        _PHASH_HAMMING,
         phash_hashes,
-        phash_verified_pairs,
     )
+    from logspout_kinesis_tests_spark.sources.tables import spread_for_compute
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower("text").alias("text")
@@ -152,16 +154,98 @@ def c8_crossmodal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         # variant construction once instead of re-scanning per branch
         .localCheckpoint(eager=True)
     )
-    text_pairs = ngram_jaccard_pairs(
-        cmod, threshold=_XM_JACCARD, block_cols=("lang",)
-    ).select("id_a", "id_b")
-    img_pairs = phash_verified_pairs(
-        spark, phash_hashes(cmod.select("doc_id", w.alias("w")))
-    ).select("id_a", "id_b")
+    # Fused pair generation (r16, VERDICT r15 #5 — the O3/recall-monitor
+    # tag-union reshape): both candidate generators are self-equi-joins —
+    # text on (lang, shingle-hash) over the inverted index, image on
+    # (band, band_val) over the banded dHash table — so one side-tagged
+    # union runs BOTH through a single self-join + a single per-pair
+    # aggregation (guide §2.4: two operations keyed the same way share one
+    # exchange) instead of two separate join+aggregate plans.  Keys stay
+    # EXACT: the text rows keep the raw ``lang`` string and the same
+    # xxhash64(shingle) the unfused ngram_jaccard_pairs joined on; the
+    # image rows pack (band, band_val) into one collision-free long
+    # (band_val is 16 bits) with lang='' — the tag + key equality is
+    # row-for-row the same candidate set as the two unfused joins, and the
+    # grouped count reproduces both the text n_inter and the image
+    # DISTINCT (each image pair carries a unique (h_a, h_b)).
+    inv = exploded_shingles(
+        spread_for_compute(cmod.select("doc_id", "lang", "text")),
+        "doc_id",
+        "text",
+        3,
+        ("lang",),
+    ).select("doc_id", "lang", F.xxhash64("shingle").alias("shingle"))
+    # the inverted index feeds the per-doc sizes AND both self-join sides;
+    # same materialize-once rationale as ngram_jaccard_pairs' default
+    inv = inv.localCheckpoint(eager=True)
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hashed = phash_hashes(cmod.select("doc_id", w.alias("w")))
+    bands = spark.range(_PHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    banded = hashed.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "h",
+        (
+            F.col("band").cast("long") * 65536
+            + F.expr("shiftright(h, band * 16) & 65535")
+        ).alias("key"),
+    )
+    null_h = F.lit(None).cast("long")
+    tagged = inv.select(
+        F.lit(0).alias("side"),
+        "lang",
+        F.col("shingle").alias("key"),
+        F.col("doc_id").alias("id"),
+        null_h.alias("h"),
+    ).unionAll(
+        banded.select(
+            F.lit(1).alias("side"),
+            F.lit("").alias("lang"),
+            "key",
+            F.col("doc_id").alias("id"),
+            "h",
+        )
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    grouped = (
+        a.join(
+            b,
+            (F.col("a.side") == F.col("b.side"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.side").alias("side"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # ONE consumer chain off ``grouped`` — per-side filters would give it
+    # two downstream consumers and Catalyst (which shares no subplans
+    # within an action) would duplicate the whole fused join per side,
+    # undoing the fuse.  Instead the sizes left-join onto every grouped
+    # row (image rows ignore the values) and one OR filter keeps exactly
+    # the union of the old text_pairs and img_pairs row sets.
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")
+    ).cast("double")
+    img_ok = (F.col("side") == 1) & (
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= _PHASH_HAMMING
+    )
+    text_ok = (F.col("side") == 0) & (jac >= _XM_JACCARD)
     # no checkpoint here: connected_components (inside dedup_keep_best) is
     # the edge set's ONLY consumer and materializes its own symmetrized
     # copy — an extra barrier would just add a job
-    pairs = text_pairs.unionAll(img_pairs)
+    pairs = (
+        grouped.join(sa, F.col("id_a") == F.col("sa.doc_id"), "left")
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"), "left")
+        .filter(img_ok | text_ok)
+        .select("id_a", "id_b")
+    )
     kept = dedup_keep_best(
         cmod.withColumn("score", F.length("text")), pairs, "score"
     )

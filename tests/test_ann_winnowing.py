@@ -581,6 +581,40 @@ def test_pq_topk_trusted_dim_matches_and_stays_loud(spark, sf_dir):
     assert sorted(map(tuple, got_n.collect())) == sorted(map(tuple, want_n.collect()))
 
 
+def test_pq_topk_self_built_null_seed_centroid(spark):
+    """ADVICE r15: on the self-built path at iters=0, a NULL embedding
+    among the ksub lowest-id seed rows yields NULL seed centroids; the
+    codebook-derived dim must skip those (size(NULL) is NULL → the old
+    code computed ``None * m``) and still search correctly, with the NULL
+    corpus vector ranked out by SQL semantics."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from logspout_kinesis_tests_spark.operators.ann import pq_topk
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType(), True), True),
+        ]
+    )
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(8)]
+    rows[0] = (0, None)  # lowest id → a seed row at iters=0 → NULL centroid
+    corpus = spark.createDataFrame(rows, schema)
+    queries = spark.createDataFrame(
+        [(100, [2.0, 3.0, 4.0, 5.0])],
+        "query_id long, embedding array<double>",
+    )
+    got = pq_topk(queries, corpus, k=3, m=2, ksub=2, iters=0).collect()
+    assert len(got) == 3
+    assert all(r["vec_id"] != 0 for r in got)  # NULL vector ranked out
+
+
 def test_pq_finds_planted_exact_duplicates(spark, sf_dir):
     """PQ geometry pin with no recall band (the IVF twin above): an exact
     duplicate has identical subvectors, hence identical codes, hence ADC
